@@ -1,0 +1,484 @@
+"""Layer-A relational parity queries (SURVEY.md §2.1).
+
+These exercise the host-engine operators the reference relies on DuckDB for
+(scan, filter, join, group-by, window, set ops, explode, JSON, rollup, top-k)
+as idiomatic Spark DataFrame plans, each paired with a DuckDB oracle.
+
+Float determinism: money math is done in integer cents (exact in both
+engines regardless of partition order); plain sums only over integer-valued
+doubles (exact in IEEE754 below 2^53); averages derived as exact_sum/count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from duckdb_miint_spark.registry import register
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def cents(col):
+    """Exact integer cents from a 2-decimal double column."""
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS) — unsupported by Spark's reader.
+
+    Read it as a raw long (nanoseconds since epoch): ordering stays exact
+    (micro-truncation could reorder sub-microsecond neighbours) and grouped
+    outputs derive display timestamps explicitly.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return T(spark, sf_dir, "events")
+
+
+# --- q1: TPC-H Q1 shape — full-scan aggregate, the flagship -----------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))
+                * (100 + CAST(ROUND(l_tax*100,0) AS BIGINT))) AS DOUBLE)/1000000.0 AS sum_charge,
+       SUM(l_quantity)/COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0 AS avg_price,
+       CAST(SUM(CAST(ROUND(l_discount*100,0) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0 AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("relational", "agg"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan-heavy grouped aggregate; predicate pushes to parquet."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+    pc = cents("l_extendedprice")
+    dc = cents("l_discount")
+    tc = cents("l_tax")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(pc).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(pc * (100 - dc)).cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum(pc * (100 - dc) * (100 + tc)).cast("double") / 1000000.0).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (F.sum(pc).cast("double") / F.count("*") / 100.0).alias("avg_price"),
+            (F.sum(dc).cast("double") / F.count("*") / 100.0).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- q3: join + filter + grouped top-k --------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    tags=("relational", "join"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: 3-way join; customer side is broadcast-able at any scale."""
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15 00:00:00")
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15 00:00:00")
+    pc = cents("l_extendedprice")
+    dc = cents("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(pc * (100 - dc)).cast("double") / 10000.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- q5: 6-way star join ----------------------------------------------------
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    tags=("relational", "join"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: star join; dims broadcast, fact-fact join shuffles on keys."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    pc = cents("l_extendedprice")
+    dc = cents("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(pc * (100 - dc)).cast("double") / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --- windows -----------------------------------------------------------------
+
+
+@register(
+    "window_top_parts_per_brand",
+    oracle="""
+SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part) t
+WHERE rn <= 3
+ORDER BY p_brand, rn
+""",
+    tags=("relational", "window"),
+)
+def window_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER top-k per group (deterministic tie-break on key)."""
+    part = T(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+        .orderBy("p_brand", "rn")
+    )
+
+
+@register(
+    "window_running_user_value",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)/100.0 AS running_value,
+       LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events
+ORDER BY user_id, event_id
+""",
+    tags=("relational", "window"),
+)
+def window_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + LEAD per user ordered by time (cents-exact).
+
+    Ordering uses the raw nanosecond long so it matches DuckDB's
+    nanosecond-precision sort exactly.
+    """
+    ev = read_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn(
+            "running_value",
+            (F.sum(cents("value")).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("double") / 100.0),
+        )
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .select("event_id", "user_id", "running_value", "next_type")
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --- distinct / set ops / anti-semi joins ------------------------------------
+
+
+@register(
+    "distinct_counts",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_custs,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    tags=("relational", "agg"),
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group — expands then partial-aggregates."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_custs"), F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "setop_nations_with_both",
+    oracle="""
+SELECT n_nationkey FROM (
+  SELECT c_nationkey AS n_nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+) t ORDER BY n_nationkey
+""",
+    tags=("relational", "setop"),
+)
+def setop_nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) across two tables."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    return c.intersect(s).orderBy("n_nationkey")
+
+
+@register(
+    "anti_join_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+""",
+    tags=("relational", "join"),
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join ≡ NOT IN subquery (null-free keys)."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --- explode / string / JSON --------------------------------------------------
+
+
+@register(
+    "explode_word_counts",
+    oracle="""
+SELECT word, COUNT(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+WHERE word <> ''
+GROUP BY word ORDER BY n DESC, word LIMIT 20
+""",
+    tags=("relational", "explode"),
+)
+def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST/explode of split text → word frequencies (top 20)."""
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+@register(
+    "json_event_props",
+    oracle="""
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("relational", "json"),
+)
+def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column, aggregated."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "string_funcs_part_types",
+    oracle="""
+SELECT upper(regexp_extract(p_type, '^(\\w+)', 1)) AS type_head,
+       COUNT(*) AS n,
+       SUM(CASE WHEN p_size >= 25 THEN 1 ELSE 0 END) AS n_large,
+       MIN(length(p_name)) AS min_name_len,
+       MAX(length(p_name)) AS max_name_len
+FROM part
+WHERE p_brand LIKE 'Brand%' AND p_type NOT LIKE '%POLISHED%'
+GROUP BY type_head ORDER BY type_head
+""",
+    tags=("relational", "string"),
+)
+def string_funcs_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / LIKE / CASE / length over part."""
+    part = T(spark, sf_dir, "part").filter(
+        F.col("p_brand").like("Brand%") & ~F.col("p_type").like("%POLISHED%")
+    )
+    return (
+        part.withColumn("type_head", F.upper(F.regexp_extract("p_type", r"^(\w+)", 1)))
+        .groupBy("type_head")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("p_size") >= 25, 1).otherwise(0)).alias("n_large"),
+            F.min(F.length("p_name")).alias("min_name_len"),
+            F.max(F.length("p_name")).alias("max_name_len"),
+        )
+        .orderBy("type_head")
+    )
+
+
+# --- rollup / date buckets ----------------------------------------------------
+
+
+@register(
+    "rollup_order_volume",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS total
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+    tags=("relational", "rollup"),
+)
+def rollup_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP with subtotal rows (NULL markers)."""
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents("o_totalprice")).cast("double") / 100.0).alias("total"),
+        )
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@register(
+    "events_hourly",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+FROM events GROUP BY hour, event_type ORDER BY hour, event_type
+""",
+    tags=("relational", "date"),
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (the batch shape of the streaming op).
+
+    The hour bucket is emitted as a string: Spark timestamps are
+    microsecond-precision while the source column is nanosecond, so a
+    string at hour granularity is the portable representation.
+    """
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "hour",
+            F.date_format(F.timestamp_micros((F.col("ts") / 1000).cast("long")), "yyyy-MM-dd HH:00:00"),
+        )
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+# --- correlated-style subquery / having ----------------------------------------
+
+
+@register(
+    "having_big_orders",
+    oracle="""
+SELECT o_orderkey, o_totalprice, n_items FROM (
+  SELECT o_orderkey, o_totalprice, COUNT(*) AS n_items
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey, o_totalprice) t
+WHERE n_items >= 6
+ORDER BY o_orderkey
+""",
+    tags=("relational", "agg"),
+)
+def having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + GROUP BY + HAVING."""
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count("*").alias("n_items"))
+        .filter(F.col("n_items") >= 6)
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    tags=("relational", "pivot"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT ≡ FILTERed aggregates (fixed value list keeps names aligned)."""
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("status_O"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("status_F"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("status_P"),
+        )
+        .orderBy("o_orderpriority")
+    )

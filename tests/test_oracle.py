@@ -1,0 +1,84 @@
+"""Differential harness mirroring the driver's t2 gate: every registered
+query runs on Spark AND DuckDB at sf0.01; results must match exactly
+(columns sorted by name, rows sorted, NaN-safe equality)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from duckdb_miint_spark.registry import load_all
+from duckdb_miint_spark.session import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+REG = load_all()
+ORACLE_QUERIES = [n for n, q in sorted(REG.items()) if q.oracle]
+ROWS_ONLY_QUERIES = [n for n, q in sorted(REG.items()) if not q.oracle]
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def normalize(rows, colnames):
+    """Column-name-sorted, row-sorted, type-normalized tuples."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def norm_val(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return bool(v)
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return float(v)
+        if isinstance(v, int):
+            return float(v) if abs(v) < 2**53 else v
+        if isinstance(v, (list, tuple)):
+            return tuple(norm_val(x) for x in v)
+        if isinstance(v, dict):
+            return tuple(sorted((k, norm_val(x)) for k, x in v.items()))
+        return str(v)
+
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_matches_duckdb_oracle(spark, name):
+    qd = REG[name]
+    sdf = qd.spark_fn(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    con = duck_con(SF_DIR)
+    res = con.execute(qd.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    s = normalize(spark_rows, spark_cols)
+    d = normalize(duck_rows, duck_cols)
+    assert len(s) == len(d), f"{name}: row count spark={len(s)} duck={len(d)}"
+    mismatches = [(i, a, b) for i, (a, b) in enumerate(zip(s, d)) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, name):
+    qd = REG[name]
+    sdf = qd.spark_fn(spark, SF_DIR)
+    assert sdf.count() >= 0
