@@ -1,0 +1,93 @@
+"""Genomic interval union (reference ``compress_intervals`` aggregate).
+
+Parity target: src/compress_intervals.cpp:52-163 + src/IntervalCompressor.cpp:5-55.
+Semantics: inverted pairs swapped, NULL start/stop skipped, touching intervals
+(next.start <= cur.stop) merge, result sorted by start, NULL for empty group.
+
+Spark-first design: the reference buffers up to 1M intervals per group and
+sort-merges; at 100 TB a buffering UDAF is the wrong shape. We use the
+classic *island* formulation — a window over (group, start) flags a new
+island whenever start > max(stop) of everything before it; islands then
+group-reduce. Everything stays JVM-side: two shuffles max (window + final
+agg), no Python in the hot path.
+
+``compress_intervals`` reproduces the reference's exact output shape
+(one array<struct<start,stop>> per group); ``compress_intervals_islands``
+returns the flat row form, which is what downstream operators
+(genome_coverage) consume and what scales best.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def compress_intervals_islands(
+    df: DataFrame,
+    start_col: str = "start",
+    stop_col: str = "stop",
+    group_cols: list[str] | tuple = (),
+) -> DataFrame:
+    """Merge overlapping/touching intervals per group → one row per island.
+
+    Output columns: *group_cols, start, stop (sorted within group by start).
+    """
+    group_cols = list(group_cols)
+    s = F.least(F.col(start_col), F.col(stop_col)).alias("__s")
+    e = F.greatest(F.col(start_col), F.col(stop_col)).alias("__e")
+    base = (
+        df.filter(F.col(start_col).isNotNull() & F.col(stop_col).isNotNull())
+        .select(*group_cols, s, e)
+    )
+    w_order = W.partitionBy(*group_cols).orderBy("__s", "__e")
+    # max stop over all *previous* rows in start order; start beyond it ⇒ new island
+    prev_max = F.max("__e").over(w_order.rowsBetween(W.unboundedPreceding, -1))
+    flagged = base.withColumn(
+        "__new_island",
+        F.when(prev_max.isNull() | (F.col("__s") > prev_max), F.lit(1)).otherwise(F.lit(0)),
+    )
+    island_id = F.sum("__new_island").over(w_order.rowsBetween(W.unboundedPreceding, 0))
+    return (
+        flagged.withColumn("__island", island_id)
+        .groupBy(*group_cols, "__island")
+        .agg(F.min("__s").alias("start"), F.max("__e").alias("stop"))
+        .drop("__island")
+    )
+
+
+def compress_intervals(
+    df: DataFrame,
+    start_col: str = "start",
+    stop_col: str = "stop",
+    group_cols: list[str] | tuple = (),
+    out_col: str = "intervals",
+) -> DataFrame:
+    """Reference-shaped output: array<struct<start,stop>> per group, sorted by
+    start. Groups with only NULL pairs don't appear (reference returns NULL)."""
+    group_cols = list(group_cols)
+    islands = compress_intervals_islands(df, start_col, stop_col, group_cols)
+    return islands.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(F.struct("start", "stop"))).alias(out_col)
+    )
+
+
+def merge_intervals_py(pairs) -> list[tuple[int, int]]:
+    """Driver-side reference merge (swap-inverted, skip-NULL, sort, single pass).
+    Shared by unit tests and the Newick/coverage driver paths."""
+    clean = []
+    for a, b in pairs:
+        if a is None or b is None:
+            continue
+        clean.append((a, b) if a <= b else (b, a))
+    if not clean:
+        return []
+    clean.sort()
+    out = [clean[0]]
+    for s, e in clean[1:]:
+        if s <= out[-1][1]:
+            if e > out[-1][1]:
+                out[-1] = (out[-1][0], e)
+        else:
+            out.append((s, e))
+    return out

@@ -1,0 +1,14 @@
+"""Derived/analysis operators: the reference's SQL table macros re-expressed
+as DataFrame→DataFrame functions (the idiomatic Spark equivalent — Catalyst
+inlines the composite plan exactly as DuckDB inlines the macro)."""
+
+from duckdb_miint_spark.operators.woltka import woltka_ogu, woltka_ogu_per_sample
+from duckdb_miint_spark.operators.coverage import genome_coverage
+from duckdb_miint_spark.operators.gff import parse_gff_attributes
+
+__all__ = [
+    "woltka_ogu",
+    "woltka_ogu_per_sample",
+    "genome_coverage",
+    "parse_gff_attributes",
+]
