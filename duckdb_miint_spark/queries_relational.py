@@ -108,15 +108,21 @@ LIMIT 10
     tags=("relational", "join"),
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: 3-way join; customer side is broadcast-able at any scale."""
-    cust = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    """TPC-H Q3: 3-way join. Customer is a ~1/5-selectivity fact slice, not a
+    dim — no broadcast hint; project it to the join key only (a semi-join
+    shape) and let AQE pick the strategy at runtime size."""
+    cust = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
     orders = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15 00:00:00")
     li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15 00:00:00")
     pc = cents("l_extendedprice")
     dc = cents("l_discount")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(pc * (100 - dc)).cast("double") / 10000.0).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -148,13 +154,16 @@ ORDER BY revenue DESC, n_name
     tags=("relational", "join"),
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: star join; dims broadcast, fact-fact join shuffles on keys."""
-    cust = T(spark, sf_dir, "customer")
+    """TPC-H Q5: star join. Only true dims (nation/region, O(100) rows at any
+    SF) get a broadcast hint; supplier and customer scale with SF, so their
+    joins shuffle on keys — projected to the needed columns — and AQE picks
+    broadcast at runtime when a side is actually small."""
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = T(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1996-01-01")
     )
     li = T(spark, sf_dir, "lineitem")
-    supp = T(spark, sf_dir, "supplier")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = T(spark, sf_dir, "nation")
     region = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     pc = cents("l_extendedprice")
@@ -163,7 +172,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -324,7 +333,7 @@ def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_event_props",
     oracle="""
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type
 """,
@@ -346,9 +355,9 @@ def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT upper(regexp_extract(p_type, '^(\\w+)', 1)) AS type_head,
        COUNT(*) AS n,
-       SUM(CASE WHEN p_size >= 25 THEN 1 ELSE 0 END) AS n_large,
-       MIN(length(p_name)) AS min_name_len,
-       MAX(length(p_name)) AS max_name_len
+       CAST(SUM(CASE WHEN p_size >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+       CAST(MIN(length(p_name)) AS BIGINT) AS min_name_len,
+       CAST(MAX(length(p_name)) AS BIGINT) AS max_name_len
 FROM part
 WHERE p_brand LIKE 'Brand%' AND p_type NOT LIKE '%POLISHED%'
 GROUP BY type_head ORDER BY type_head
@@ -365,9 +374,9 @@ def string_funcs_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_head")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.when(F.col("p_size") >= 25, 1).otherwise(0)).alias("n_large"),
-            F.min(F.length("p_name")).alias("min_name_len"),
-            F.max(F.length("p_name")).alias("max_name_len"),
+            F.sum(F.when(F.col("p_size") >= 25, 1).otherwise(0)).cast("long").alias("n_large"),
+            F.min(F.length("p_name")).cast("long").alias("min_name_len"),
+            F.max(F.length("p_name")).cast("long").alias("max_name_len"),
         )
         .orderBy("type_head")
     )
@@ -419,8 +428,10 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir)
     return (
         ev.withColumn(
+            # integer ns→µs division: a double divide loses ulp≈256ns at 1.7e18
+            # and can mis-bucket events within 1µs of an hour boundary
             "hour",
-            F.date_format(F.timestamp_micros((F.col("ts") / 1000).cast("long")), "yyyy-MM-dd HH:00:00"),
+            F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd HH:00:00"),
         )
         .groupBy("hour", "event_type")
         .agg(
@@ -447,14 +458,19 @@ ORDER BY o_orderkey
     tags=("relational", "agg"),
 )
 def having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join + GROUP BY + HAVING."""
+    """Join + GROUP BY + HAVING. Pre-aggregating lineitem by l_orderkey before
+    the join shrinks the shuffled fact ~6× (vs join-then-aggregate) and the
+    HAVING filter runs before the join touches orders."""
     orders = T(spark, sf_dir, "orders")
-    li = T(spark, sf_dir, "lineitem")
-    return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_totalprice")
+    li_counts = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
         .agg(F.count("*").alias("n_items"))
         .filter(F.col("n_items") >= 6)
+    )
+    return (
+        orders.join(li_counts, orders.o_orderkey == li_counts.l_orderkey)
+        .select("o_orderkey", "o_totalprice", "n_items")
         .orderBy("o_orderkey")
     )
 

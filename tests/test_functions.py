@@ -148,15 +148,13 @@ def test_reverse_complement(spark):
     vals = [r["rc"] for r in out]
     assert vals[0] == "ACGT"
     assert vals[1] == "T"
-    # revcomp of acgtRYSWKMbdhvn.- : complement each then reverse
-    assert vals[2] == "-.nbdhvKMWSRYacgt"[::1] or True  # checked precisely below
+    # revcomp of acgtRYSWKMbdhvn.- : complement each (case-preserving, full
+    # IUPAC, ./- self-map) then reverse
     comp = {"a": "t", "c": "g", "g": "c", "t": "a", "R": "Y", "Y": "R", "S": "S",
             "W": "W", "K": "M", "M": "K", "b": "v", "d": "h", "h": "d", "v": "b",
             "n": "n", ".": ".", "-": "-"}
     expected = "".join(comp[ch] for ch in "acgtRYSWKMbdhvn.-")[::-1]
-    # lowercase iupac complements
-    comp_l = {"r": "y", "y": "r", "s": "s", "w": "w", "k": "m", "m": "k"}
-    assert vals[2] == expected or all(c in comp_l or True for c in vals[2])
+    assert vals[2] == expected
     assert vals[3] == ""
     assert vals[4] is None
 
