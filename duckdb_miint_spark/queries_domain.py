@@ -1,12 +1,540 @@
-"""Layer-B domain-operator correctness queries (SURVEY.md §2.2).
+"""Domain-operator queries for the driver correctness gate (SURVEY.md §2.2).
 
-The driver's oracle only has the ten driver-provided tables, so each domain
-query first derives its bio-shaped input (alignments, intervals, sequences)
-deterministically from those tables with engine-portable SQL/DataFrame
-expressions, then applies the operator under test. The DuckDB oracle applies
-the reference semantics to the identically-derived input.
+The driver tables carry no bio data, so every query here first derives a
+deterministic SAM-shaped relation from ``lineitem``/``part`` using a SQL
+fragment written in the common dialect of Spark SQL and DuckDB (MOD, ``||``,
+CASE, CAST AS STRING/BIGINT, translate) — the SAME string is executed by
+``spark.sql`` on our side and inlined as a CTE in the DuckDB oracle, so any
+value divergence is attributable to the operator under test, not the input.
+
+Spark side: the operator implementations from ``duckdb_miint_spark``
+(flag Column helpers, interval island-merge, woltka, genome_coverage, CIGAR
+pandas UDFs, sequence expressions, parse_gff_attributes).
+Oracle side: the reference's own SQL semantics —
+- woltka macros: src/include/miint_macros.hpp:35-100 (body verbatim, with
+  ``alignment_is_read1`` inlined as ``(flags & 64) != 0`` per
+  src/alignment_flag_functions.cpp:40-43).
+- genome_coverage: miint_macros.hpp:212-243 with compress_intervals replaced
+  by the equivalent window-island SQL idiom.
+- CIGAR/sequence scalars: closed-form expressions over the *generator*
+  columns (we know how each CIGAR/MD/sequence string was constructed, so the
+  oracle computes the expected metric arithmetically — a differential test
+  of the parser against ground truth).
+
+Float discipline: every division is a single int/int divide (bit-exact in
+both engines); woltka's SUM(1/n) is order-sensitive so both sides
+ROUND(..., 6) (inter-engine reorder error ~1e-13, sums are rationals with
+denominator ≤ 12 — never within 1e-7 of a rounding boundary).
 """
 
 from __future__ import annotations
 
-# populated as operators land
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_miint_spark.functions import flags as FL
+from duckdb_miint_spark.functions.cigar import (
+    alignment_query_coverage,
+    alignment_query_length,
+    alignment_seq_identity,
+)
+from duckdb_miint_spark.functions.intervals import compress_intervals_islands
+from duckdb_miint_spark.functions.sequence import (
+    sequence_dna_as_regexp,
+    sequence_dna_reverse_complement,
+)
+from duckdb_miint_spark.operators.coverage import genome_coverage
+from duckdb_miint_spark.operators.gff import parse_gff_attributes
+from duckdb_miint_spark.operators.woltka import woltka_ogu, woltka_ogu_per_sample
+from duckdb_miint_spark.registry import register
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- shared derivation SQL (common Spark/DuckDB dialect) ---------------------
+
+# SAM-shaped alignments from lineitem: multi-line orders become multi-mapped
+# reads; l_linenumber parity splits read1/read2; every flag bit is exercised.
+# MOD(.,97)==0 rows get NULL coordinates and MOD(.,10)==0 rows are inverted
+# (stop < position) to exercise compress_intervals' NULL-skip + swap rules.
+ALN_SQL = """
+SELECT
+  'r' || CAST(l_orderkey AS STRING) AS read_id,
+  's' || CAST(MOD(l_suppkey, 8) AS STRING) AS sample_id,
+  CAST(1
+    + CASE WHEN MOD(l_linenumber, 2) = 1 THEN 64 ELSE 128 END
+    + CASE WHEN MOD(l_partkey, 5) = 0 THEN 2 ELSE 0 END
+    + CASE WHEN MOD(l_partkey, 31) = 0 THEN 4 ELSE 0 END
+    + CASE WHEN MOD(l_orderkey, 29) = 0 THEN 8 ELSE 0 END
+    + CASE WHEN MOD(l_partkey, 2) = 0 THEN 16 ELSE 0 END
+    + CASE WHEN MOD(l_suppkey, 3) = 0 THEN 32 ELSE 0 END
+    + CASE WHEN MOD(l_suppkey, 7) = 0 THEN 256 ELSE 0 END
+    + CASE WHEN MOD(l_suppkey, 11) = 0 THEN 512 ELSE 0 END
+    + CASE WHEN MOD(l_orderkey, 13) = 0 THEN 1024 ELSE 0 END
+    + CASE WHEN MOD(l_orderkey, 17) = 0 THEN 2048 ELSE 0 END
+    AS INT) AS flags,
+  'contig_' || CAST(MOD(l_partkey, 50) AS STRING) AS reference,
+  CASE WHEN MOD(l_orderkey, 97) = 0 THEN CAST(NULL AS BIGINT)
+       WHEN MOD(l_orderkey, 10) = 0
+         THEN CAST(MOD(l_orderkey * 7 + l_linenumber * 13, 100000)
+                   + CAST(l_quantity AS BIGINT) * 10 AS BIGINT)
+       ELSE CAST(MOD(l_orderkey * 7 + l_linenumber * 13, 100000) AS BIGINT)
+  END AS position,
+  CASE WHEN MOD(l_orderkey, 97) = 0 THEN CAST(NULL AS BIGINT)
+       WHEN MOD(l_orderkey, 10) = 0
+         THEN CAST(MOD(l_orderkey * 7 + l_linenumber * 13, 100000) AS BIGINT)
+       ELSE CAST(MOD(l_orderkey * 7 + l_linenumber * 13, 100000)
+                 + CAST(l_quantity AS BIGINT) * 10 AS BIGINT)
+  END AS stop_position
+FROM lineitem
+"""
+
+# contig -> genome dimension + per-genome total lengths, derived from the
+# same MOD(l_partkey, 50) contig universe so the join keys line up.
+CONTIG_MAP_SQL = """
+SELECT DISTINCT
+  'contig_' || CAST(MOD(l_partkey, 50) AS STRING) AS contig_id,
+  'g' || CAST(MOD(MOD(l_partkey, 50), 5) AS STRING) AS genome_id
+FROM lineitem
+"""
+
+GENOME_LEN_SQL = """
+SELECT DISTINCT
+  'g' || CAST(MOD(MOD(l_partkey, 50), 5) AS STRING) AS genome_id,
+  CAST(1000000 + MOD(MOD(l_partkey, 50), 5) * 100000 AS BIGINT) AS total_length
+FROM lineitem
+"""
+
+# CIGAR/MD/NM generator over part (~2k rows at sf0.01): known op counts so the
+# oracle can compute every metric in closed form. Shape: {m}M{i}I{d}D{s}S,
+# MD: {m1}A{m2} (m1+m2 matches, 1 mismatch). NM <= 5 < m, so every metric is
+# in range; gap-open count is exactly 2 (one I run, one D run).
+CIGAR_GEN_SQL = """
+SELECT
+  'p' || CAST(p_partkey AS STRING) AS read_id,
+  CAST(50 + MOD(p_partkey, 50) AS INT) AS n_m,
+  CAST(1 + MOD(p_partkey, 5) AS INT) AS n_i,
+  CAST(1 + MOD(p_partkey, 7) AS INT) AS n_d,
+  CAST(1 + MOD(p_partkey, 3) AS INT) AS n_s,
+  CAST(MOD(p_partkey, 6) AS INT) AS nm,
+  CAST(MOD(p_partkey, 30) AS INT) AS md1,
+  CAST(1 + MOD(p_partkey, 40) AS INT) AS md2,
+  CAST(50 + MOD(p_partkey, 50) AS STRING) || 'M'
+    || CAST(1 + MOD(p_partkey, 5) AS STRING) || 'I'
+    || CAST(1 + MOD(p_partkey, 7) AS STRING) || 'D'
+    || CAST(1 + MOD(p_partkey, 3) AS STRING) || 'S' AS cigar,
+  CAST(MOD(p_partkey, 30) AS STRING) || 'A'
+    || CAST(1 + MOD(p_partkey, 40) AS STRING) AS md
+FROM part
+"""
+
+# DNA generator: digits of p_partkey*p_partkey+p_size mapped to bases; the
+# second variant maps into IUPAC ambiguity codes for the regexp function.
+DNA_GEN_SQL = """
+SELECT
+  'p' || CAST(p_partkey AS STRING) AS read_id,
+  translate(CAST(p_partkey * p_partkey + p_size AS STRING),
+            '0123456789', 'ACGTACGTAC') AS seq,
+  translate(CAST(p_partkey * p_partkey + p_size AS STRING),
+            '0123456789', 'ACGTRYSWKM') AS iupac_seq
+FROM part
+"""
+
+# GFF-style attribute strings from part columns (Name value contains spaces).
+GFF_ATTR_SQL = """
+SELECT
+  p_partkey,
+  'ID=p' || CAST(p_partkey AS STRING)
+    || ';Name=' || p_brand
+    || ';ptype=' || p_type
+    || ';size=' || CAST(p_size AS STRING) AS attributes
+FROM part
+"""
+
+# Window-island interval union in plain SQL — the scale-correct formulation
+# of the reference's compress_intervals aggregate (IntervalCompressor.cpp:5-55)
+# — parameterized over a CTE named `aln`.
+ISLANDS_SQL = """
+ranked AS (
+  SELECT reference,
+         LEAST(position, stop_position) AS s,
+         GREATEST(position, stop_position) AS e
+  FROM aln
+  WHERE position IS NOT NULL AND stop_position IS NOT NULL
+),
+flagged AS (
+  SELECT reference, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY reference ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                THEN 1
+              WHEN s > MAX(e) OVER (PARTITION BY reference ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1
+              ELSE 0 END AS new_island
+  FROM ranked
+),
+islands AS (
+  SELECT reference, s, e,
+         SUM(new_island) OVER (PARTITION BY reference ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+"""
+
+
+def _aln(spark: SparkSession, sf_dir: str) -> DataFrame:
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(ALN_SQL)
+
+
+def _part_view(spark: SparkSession, sf_dir: str) -> None:
+    T(spark, sf_dir, "part").createOrReplaceTempView("part")
+
+
+# --- SAM flags ---------------------------------------------------------------
+
+
+@register(
+    "sam_flags_profile",
+    oracle=f"""
+WITH aln AS ({ALN_SQL})
+SELECT
+  CAST(SUM(CASE WHEN (flags & 1) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_paired,
+  CAST(SUM(CASE WHEN (flags & 2) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_proper,
+  CAST(SUM(CASE WHEN (flags & 4) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unmapped,
+  CAST(SUM(CASE WHEN (flags & 8) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mate_unmapped,
+  CAST(SUM(CASE WHEN (flags & 16) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reverse,
+  CAST(SUM(CASE WHEN (flags & 32) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mate_reverse,
+  CAST(SUM(CASE WHEN (flags & 64) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_read1,
+  CAST(SUM(CASE WHEN (flags & 128) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_read2,
+  CAST(SUM(CASE WHEN (flags & 256) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_secondary,
+  CAST(SUM(CASE WHEN (flags & 512) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_qc_failed,
+  CAST(SUM(CASE WHEN (flags & 1024) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicate,
+  CAST(SUM(CASE WHEN (flags & 2048) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_supplementary,
+  CAST(SUM(CASE WHEN (flags & 2304) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_primary
+FROM aln
+""",
+    tags=("domain", "flags"),
+)
+def sam_flags_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 12 SAM flag bit tests + alignment_is_primary in one profile row.
+
+    Parity: src/alignment_flag_functions.cpp:7-84 (each helper is the
+    ``(flags & mask) != 0`` predicate; primary = neither 0x100 nor 0x800).
+    """
+    aln = _aln(spark, sf_dir)
+    cnt = lambda c, n: F.sum(c.cast("int")).cast("long").alias(n)  # noqa: E731
+    return aln.agg(
+        cnt(FL.alignment_is_paired("flags"), "n_paired"),
+        cnt(FL.alignment_is_proper_pair("flags"), "n_proper"),
+        cnt(FL.alignment_is_unmapped("flags"), "n_unmapped"),
+        cnt(FL.alignment_is_mate_unmapped("flags"), "n_mate_unmapped"),
+        cnt(FL.alignment_is_reverse("flags"), "n_reverse"),
+        cnt(FL.alignment_is_mate_reverse("flags"), "n_mate_reverse"),
+        cnt(FL.alignment_is_read1("flags"), "n_read1"),
+        cnt(FL.alignment_is_read2("flags"), "n_read2"),
+        cnt(FL.alignment_is_secondary("flags"), "n_secondary"),
+        cnt(FL.alignment_is_qc_failed("flags"), "n_qc_failed"),
+        cnt(FL.alignment_is_duplicate("flags"), "n_duplicate"),
+        cnt(FL.alignment_is_supplementary("flags"), "n_supplementary"),
+        cnt(FL.alignment_is_primary("flags"), "n_primary"),
+    )
+
+
+@register(
+    "sam_primary_mapped_by_contig",
+    oracle=f"""
+WITH aln AS ({ALN_SQL})
+SELECT reference, COUNT(*) AS n
+FROM aln
+WHERE (flags & 2304) = 0 AND (flags & 4) = 0
+GROUP BY reference
+ORDER BY reference
+""",
+    tags=("domain", "flags"),
+)
+def sam_primary_mapped_by_contig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag predicates used as filters (the reference's most common idiom)."""
+    aln = _aln(spark, sf_dir)
+    return (
+        aln.filter(FL.alignment_is_primary("flags") & ~FL.alignment_is_unmapped("flags"))
+        .groupBy("reference")
+        .agg(F.count("*").alias("n"))
+        .orderBy("reference")
+    )
+
+
+# --- compress_intervals ------------------------------------------------------
+
+
+@register(
+    "compress_intervals_flat",
+    oracle=f"""
+WITH aln AS ({ALN_SQL}),
+{ISLANDS_SQL}
+SELECT reference, MIN(s) AS start, MAX(e) AS stop
+FROM islands
+GROUP BY reference, island
+ORDER BY reference, start
+""",
+    tags=("domain", "intervals"),
+)
+def compress_intervals_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per contig (flat island form).
+
+    Parity: src/compress_intervals.cpp:52-163 semantics — NULL pairs
+    skipped, inverted pairs swapped, touching intervals merged, sorted by
+    start. The oracle is the identical window-island idiom in DuckDB.
+    """
+    aln = _aln(spark, sf_dir)
+    return compress_intervals_islands(
+        aln, "position", "stop_position", group_cols=["reference"]
+    ).orderBy("reference", "start")
+
+
+# --- woltka ------------------------------------------------------------------
+
+# Oracle = macro body of miint_macros.hpp:35-58 with alignment_is_read1
+# inlined; ROUND(...,6) on both sides for engine-order-independent sums.
+@register(
+    "woltka_ogu_per_sample",
+    oracle=f"""
+WITH aln AS ({ALN_SQL}),
+base AS (
+  SELECT DISTINCT
+    read_id AS query_local_id_field,
+    sample_id AS query_local_sample_id,
+    reference AS feature_id,
+    (flags & 64) != 0 AS is_fwd
+  FROM aln
+),
+with_counts AS (
+  SELECT
+    query_local_sample_id,
+    feature_id,
+    1.0 / COUNT(*) OVER (PARTITION BY query_local_id_field, is_fwd) AS local_value
+  FROM base
+)
+SELECT
+  query_local_sample_id AS sample_id,
+  feature_id,
+  ROUND(SUM(local_value), 6) AS value
+FROM with_counts
+GROUP BY query_local_sample_id, feature_id
+ORDER BY sample_id, feature_id
+""",
+    tags=("domain", "woltka"),
+)
+def q_woltka_ogu_per_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Woltka OGU per-sample counts (miint_macros.hpp:35-58)."""
+    aln = _aln(spark, sf_dir)
+    out = woltka_ogu_per_sample(aln, "sample_id", "read_id")
+    return out.select(
+        "sample_id", "feature_id", F.round("value", 6).alias("value")
+    ).orderBy("sample_id", "feature_id")
+
+
+@register(
+    "woltka_ogu",
+    oracle=f"""
+WITH aln AS ({ALN_SQL}),
+base AS (
+  SELECT DISTINCT
+    read_id AS query_local_id_field,
+    reference AS feature_id,
+    (flags & 64) != 0 AS is_fwd
+  FROM aln
+),
+with_counts AS (
+  SELECT
+    feature_id,
+    1.0 / COUNT(*) OVER (PARTITION BY query_local_id_field, is_fwd) AS local_value
+  FROM base
+)
+SELECT feature_id, ROUND(SUM(local_value), 6) AS value
+FROM with_counts
+GROUP BY feature_id
+ORDER BY feature_id
+""",
+    tags=("domain", "woltka"),
+)
+def q_woltka_ogu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Woltka OGU counts, sample-agnostic (miint_macros.hpp:80-100)."""
+    aln = _aln(spark, sf_dir)
+    out = woltka_ogu(aln, "read_id")
+    return out.select("feature_id", F.round("value", 6).alias("value")).orderBy("feature_id")
+
+
+# --- genome_coverage ---------------------------------------------------------
+
+
+@register(
+    "genome_coverage",
+    oracle=f"""
+WITH aln AS ({ALN_SQL}),
+{ISLANDS_SQL},
+compressed AS (
+  SELECT reference, MIN(s) AS start, MAX(e) AS stop
+  FROM islands GROUP BY reference, island
+),
+sg AS ({CONTIG_MAP_SQL}),
+tl AS ({GENOME_LEN_SQL}),
+internal_coverage AS (
+  SELECT sg.genome_id, SUM(stop - start) AS covered_internal
+  FROM compressed
+  JOIN sg ON reference = sg.contig_id
+  GROUP BY sg.genome_id, reference
+),
+total_coverage AS (
+  SELECT genome_id, SUM(covered_internal) AS covered
+  FROM internal_coverage GROUP BY genome_id
+)
+SELECT tc.genome_id,
+       CAST(tc.covered AS BIGINT) AS covered,
+       CAST(tc.covered AS DOUBLE) / tl.total_length AS proportion_covered
+FROM total_coverage tc
+JOIN tl USING (genome_id)
+ORDER BY genome_id
+""",
+    tags=("domain", "coverage"),
+)
+def q_genome_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """genome_coverage macro (miint_macros.hpp:212-243): interval union →
+    contig→genome rollup → proportion vs total length."""
+    aln = _aln(spark, sf_dir)
+    sg = spark.sql(CONTIG_MAP_SQL)
+    tl = spark.sql(GENOME_LEN_SQL)
+    out = genome_coverage(aln, tl, sg)
+    return out.select(
+        "genome_id", F.col("covered").cast("long").alias("covered"), "proportion_covered"
+    ).orderBy("genome_id")
+
+
+# --- CIGAR analytics ---------------------------------------------------------
+
+
+@register(
+    "cigar_metrics",
+    oracle=f"""
+WITH gen AS ({CIGAR_GEN_SQL})
+SELECT read_id,
+       CAST(n_m + n_i + n_s AS BIGINT) AS qlen,
+       CAST(n_m + n_i AS BIGINT) AS qlen_minus_clips,
+       CAST(n_m AS DOUBLE) / (n_m + n_i + n_s) AS cov_aligned,
+       CAST(n_m + n_i AS DOUBLE) / (n_m + n_i + n_s) AS cov_mapped,
+       CAST(n_m + n_i + n_d - nm AS DOUBLE) / (n_m + n_i + n_d) AS ident_blast,
+       CAST(n_m - nm + n_i + n_d AS DOUBLE) / (n_m + 2) AS ident_gap_compressed,
+       CAST(md1 + md2 AS DOUBLE) / (md1 + md2 + 1) AS ident_gap_excluded
+FROM gen
+ORDER BY read_id
+""",
+    tags=("domain", "cigar"),
+)
+def cigar_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIGAR/MD analytics vs closed-form ground truth.
+
+    Spark parses the generated ``{m}M{i}I{d}D{s}S`` strings with the pandas
+    UDFs (src/alignment_functions.cpp:11-337 parity); the oracle computes
+    each metric arithmetically from the generator columns. H-bearing and
+    malformed-CIGAR goldens live in tests/test_functions.py.
+    """
+    _part_view(spark, sf_dir)
+    gen = spark.sql(CIGAR_GEN_SQL)
+    return gen.select(
+        "read_id",
+        alignment_query_length("cigar", include_hard_clips=True).alias("qlen"),
+        (
+            alignment_query_length("cigar", include_hard_clips=True) - F.col("n_s").cast("long")
+        ).alias("qlen_minus_clips"),
+        alignment_query_coverage("cigar", "aligned").alias("cov_aligned"),
+        alignment_query_coverage("cigar", "mapped").alias("cov_mapped"),
+        alignment_seq_identity("cigar", "nm", "md", "blast").alias("ident_blast"),
+        alignment_seq_identity("cigar", "nm", "md", "gap_compressed").alias(
+            "ident_gap_compressed"
+        ),
+        alignment_seq_identity("cigar", "nm", "md", "gap_excluded").alias(
+            "ident_gap_excluded"
+        ),
+    ).orderBy("read_id")
+
+
+# --- sequence functions ------------------------------------------------------
+
+
+@register(
+    "sequence_revcomp",
+    oracle=f"""
+WITH gen AS ({DNA_GEN_SQL})
+SELECT read_id, seq,
+       reverse(translate(seq, 'ACGT', 'TGCA')) AS revcomp
+FROM gen
+ORDER BY read_id
+""",
+    tags=("domain", "sequence"),
+)
+def q_sequence_revcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DNA reverse-complement (src/sequence_functions.cpp:213-240) on
+    generated uppercase sequences; oracle uses the plain 4-base table
+    (sequences contain only ACGT so IUPAC rows are covered by pytest)."""
+    _part_view(spark, sf_dir)
+    gen = spark.sql(DNA_GEN_SQL)
+    return gen.select(
+        "read_id", "seq", sequence_dna_reverse_complement("seq").alias("revcomp")
+    ).orderBy("read_id")
+
+
+@register(
+    "sequence_as_regexp",
+    oracle=f"""
+WITH gen AS ({DNA_GEN_SQL})
+SELECT read_id, iupac_seq,
+       replace(replace(replace(replace(replace(replace(iupac_seq,
+         'R', '[AG]'), 'Y', '[CT]'), 'S', '[CG]'), 'W', '[AT]'),
+         'K', '[GT]'), 'M', '[AC]') AS as_regexp
+FROM gen
+ORDER BY read_id
+""",
+    tags=("domain", "sequence"),
+)
+def q_sequence_as_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IUPAC → regex expansion (src/sequence_functions.cpp:243-288); the
+    oracle expands the six codes present in the generated alphabet."""
+    _part_view(spark, sf_dir)
+    gen = spark.sql(DNA_GEN_SQL)
+    return gen.select(
+        "read_id", "iupac_seq", sequence_dna_as_regexp("iupac_seq").alias("as_regexp")
+    ).orderBy("read_id")
+
+
+# --- parse_gff_attributes ----------------------------------------------------
+
+
+@register(
+    "gff_attributes_extract",
+    oracle=f"""
+WITH gen AS ({GFF_ATTR_SQL})
+SELECT p_partkey,
+       'p' || CAST(p_partkey AS STRING) AS attr_id,
+       regexp_extract(attributes, 'Name=([^;]*)', 1) AS attr_name,
+       CAST(regexp_extract(attributes, 'size=([^;]*)', 1) AS BIGINT) AS attr_size
+FROM gen
+ORDER BY p_partkey
+""",
+    tags=("domain", "gff"),
+)
+def gff_attributes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_gff_attributes (miint_macros.hpp:102-113): ;/= split → MAP,
+    then key access — the oracle extracts the same values by regex."""
+    _part_view(spark, sf_dir)
+    gen = spark.sql(GFF_ATTR_SQL)
+    parsed = gen.select("p_partkey", parse_gff_attributes(F.col("attributes")).alias("m"))
+    return parsed.select(
+        "p_partkey",
+        F.element_at("m", "ID").alias("attr_id"),
+        F.element_at("m", "Name").alias("attr_name"),
+        F.element_at("m", "size").cast("long").alias("attr_size"),
+    ).orderBy("p_partkey")
