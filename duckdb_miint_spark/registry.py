@@ -43,6 +43,7 @@ def load_all() -> dict[str, QueryDef]:
     """Import every query module (side-effect: fills REGISTRY) and return it."""
     from duckdb_miint_spark import (  # noqa: F401
         queries_relational,
+        queries_relational_ext,
         queries_domain,
         queries_pipeline,
     )
