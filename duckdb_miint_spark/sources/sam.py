@@ -1,0 +1,540 @@
+"""``read_alignments`` / ``read_sam`` / ``read_sequences_sam``: SAM/BAM readers.
+
+Parity target: reference src/read_alignments.cpp:14-278, record decode
+src/include/SAMRecord.hpp:244-358, headerless mode src/SAMReader.cpp:33-120,
+sequence view src/read_sequences_sam.cpp:11-205. Goldens:
+test/sql/read_alignments.test, sam_tag_sentinel.test, read_sequences_sam.test.
+
+No htslib dependency: SAM text is parsed directly; BAM's BGZF container is
+a sequence of concatenated gzip members, which Python's zlib/gzip decodes
+natively, and the record layout is fixed little-endian structs.
+
+Semantics (matching SAMRecord.hpp:244-358 exactly):
+- 21-column schema; flags int (reference USMALLINT), positions BIGINT.
+- position: SAM text POS passthrough (already 1-based; 0 = unmapped).
+- stop_position: 0 when flag 0x4; else position + reference_span(cigar),
+  or position + 1 when the CIGAR consumes no reference (htslib bam_endpos).
+- mate_reference: '=' when equal to reference, '*' when unset.
+- int tags AS/XS/YS/XN/XM/XO/XG/NM → BIGINT, NULL when absent (negative
+  values preserved — sam_tag_sentinel.test); string tags YT/MD/SA → NULL
+  when absent.
+- include_seq_qual adds sequence + qual (0-93 ints); a primary or unmapped
+  record with SEQ='*' is an error.
+- Headerless SAM needs ``reference_lengths`` [(name, length)]; BAM always
+  carries a header so combining it with reference_lengths is an error.
+
+Scale shape: one partition per file (BAM/gzip are not splittable without a
+BGZF index — the reference has the same file-level parallelism).
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import gzip
+import io
+import json
+import os
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from duckdb_miint_spark.functions.cigar import cigar_reference_span
+
+INT_TAGS = ("AS", "XS", "YS", "XN", "XM", "XO", "XG", "NM")
+STR_TAGS = ("YT", "MD", "SA")
+
+
+class SamError(ValueError):
+    pass
+
+
+def alignments_schema(include_seq_qual: bool = False, include_filepath: bool = False) -> StructType:
+    fields = [
+        StructField("read_id", StringType()),
+        StructField("flags", IntegerType()),
+        StructField("reference", StringType()),
+        StructField("position", LongType()),
+        StructField("stop_position", LongType()),
+        StructField("mapq", IntegerType()),
+        StructField("cigar", StringType()),
+        StructField("mate_reference", StringType()),
+        StructField("mate_position", LongType()),
+        StructField("template_length", LongType()),
+    ]
+    fields += [StructField(f"tag_{t.lower()}", LongType()) for t in INT_TAGS]
+    fields += [StructField(f"tag_{t.lower()}", StringType()) for t in STR_TAGS]
+    if include_seq_qual:
+        fields.append(StructField("sequence", StringType()))
+        fields.append(StructField("qual", ArrayType(IntegerType())))
+    if include_filepath:
+        fields.append(StructField("filepath", StringType()))
+    return StructType(fields)
+
+
+# --- record assembly (shared by SAM text and BAM binary) ---------------------
+
+
+def _stop_position(flags: int, position: int, cigar: str) -> int:
+    if flags & 0x4:
+        return 0
+    span = cigar_reference_span(cigar) if cigar and cigar != "*" else 0
+    # htslib bam_endpos: no reference-consuming ops -> pos+1 (0-based excl end)
+    return position + (span if span > 0 else 1)
+
+
+def _finish_row(
+    read_id: str,
+    flags: int,
+    reference: str,
+    position: int,
+    mapq: int,
+    cigar: str,
+    mate_reference: str,
+    mate_position: int,
+    template_length: int,
+    tags: dict,
+    seq: str | None,
+    qual: list[int] | None,
+    include_seq_qual: bool,
+    filepath: str | None,
+) -> tuple:
+    if mate_reference not in ("*", "=") and mate_reference == reference:
+        mate_reference = "="
+    row = [
+        read_id,
+        flags,
+        reference,
+        position,
+        _stop_position(flags, position, cigar),
+        mapq,
+        cigar,
+        mate_reference,
+        mate_position,
+        template_length,
+    ]
+    row += [tags.get(t) for t in INT_TAGS]
+    row += [tags.get(t) for t in STR_TAGS]
+    if include_seq_qual:
+        is_primary = (flags & 0x900) == 0
+        is_unmapped = (flags & 0x4) != 0
+        if (seq is None or seq == "" ) and (is_primary or is_unmapped):
+            raise SamError(f"Primary/unmapped read missing sequence (SEQ='*'): {read_id}")
+        row.append(seq or "")
+        row.append(qual if qual is not None else [])
+    if filepath is not None:
+        row.append(filepath)
+    return tuple(row)
+
+
+# --- SAM text ----------------------------------------------------------------
+
+
+def _open_maybe_gzip(path: str):
+    raw = open(path, "rb")
+    magic = raw.read(2)
+    raw.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=raw)
+    return raw
+
+
+def is_bam(path: str) -> bool:
+    """BAM = BGZF-compressed 'BAM\\1' magic."""
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic != b"\x1f\x8b":
+        return False
+    with gzip.open(path, "rb") as g:
+        return g.read(4) == b"BAM\x01"
+
+
+def sam_header_refs(path: str) -> tuple[list[tuple[str, int]], bool]:
+    """(reference (name, length) list, has_any_header_line) from SAM text."""
+    refs: list[tuple[str, int]] = []
+    has_header = False
+    with _open_maybe_gzip(path) as f:
+        t = io.TextIOWrapper(f, encoding="utf-8")
+        for line in t:
+            if not line.startswith("@"):
+                break
+            has_header = True
+            if line.startswith("@SQ"):
+                name, length = None, None
+                for field in line.rstrip("\n").split("\t")[1:]:
+                    if field.startswith("SN:"):
+                        name = field[3:]
+                    elif field.startswith("LN:"):
+                        length = int(field[3:])
+                if name is not None:
+                    refs.append((name, length or 0))
+    return refs, has_header
+
+
+def _parse_sam_tags(fields: list[str]) -> dict:
+    tags: dict = {}
+    for field in fields:
+        parts = field.split(":", 2)
+        if len(parts) != 3:
+            continue
+        tag, typ, val = parts
+        if tag in INT_TAGS and typ == "i":
+            tags[tag] = int(val)
+        elif tag in STR_TAGS and typ == "Z":
+            tags[tag] = val
+    return tags
+
+
+def read_sam_text(
+    path: str,
+    known_refs: set[str],
+    include_seq_qual: bool,
+    filepath: str | None,
+) -> Iterator[tuple]:
+    with _open_maybe_gzip(path) as f:
+        t = io.TextIOWrapper(f, encoding="utf-8")
+        for line in t:
+            if line.startswith("@"):
+                continue
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            fields = line.split("\t")
+            if len(fields) < 11:
+                raise SamError(f"Malformed SAM record ({len(fields)} fields): {line[:60]}")
+            (qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen, seq, qual) = fields[:11]
+            flags = int(flag)
+            if rname != "*" and known_refs and rname not in known_refs:
+                raise SamError(f"Reference name not found in header: {rname}")
+            seq_out = None if seq == "*" else seq
+            qual_out: list[int] | None
+            if qual == "*":
+                qual_out = [] if seq_out else None
+            else:
+                qual_out = [ord(c) - 33 for c in qual]
+            yield _finish_row(
+                qname,
+                flags,
+                rname,
+                int(pos),
+                int(mapq),
+                cigar,
+                rnext,
+                int(pnext),
+                int(tlen),
+                _parse_sam_tags(fields[11:]),
+                seq_out,
+                qual_out,
+                include_seq_qual,
+                filepath,
+            )
+
+
+# --- BAM binary --------------------------------------------------------------
+
+_SEQ_NT16 = "=ACMGRSVTWYHKDBN"
+
+
+def _bam_stream(path: str):
+    """BGZF = concatenated gzip members; gzip.open handles multi-member."""
+    return gzip.open(path, "rb")
+
+
+def _read_bam_header(g) -> list[str]:
+    if g.read(4) != b"BAM\x01":
+        raise SamError("Not a BAM file")
+    (l_text,) = struct.unpack("<i", g.read(4))
+    g.read(l_text)  # header text (refs come from the binary list)
+    (n_ref,) = struct.unpack("<i", g.read(4))
+    names = []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack("<i", g.read(4))
+        name = g.read(l_name)[:-1].decode()
+        g.read(4)  # l_ref
+        names.append(name)
+    return names
+
+
+def _parse_bam_tags(data: bytes) -> dict:
+    tags: dict = {}
+    i = 0
+    n = len(data)
+    while i + 3 <= n:
+        tag = data[i : i + 2].decode()
+        typ = chr(data[i + 2])
+        i += 3
+        if typ == "A":
+            val = chr(data[i]); i += 1
+        elif typ == "c":
+            (val,) = struct.unpack_from("<b", data, i); i += 1
+        elif typ == "C":
+            (val,) = struct.unpack_from("<B", data, i); i += 1
+        elif typ == "s":
+            (val,) = struct.unpack_from("<h", data, i); i += 2
+        elif typ == "S":
+            (val,) = struct.unpack_from("<H", data, i); i += 2
+        elif typ == "i":
+            (val,) = struct.unpack_from("<i", data, i); i += 4
+        elif typ == "I":
+            (val,) = struct.unpack_from("<I", data, i); i += 4
+        elif typ == "f":
+            (val,) = struct.unpack_from("<f", data, i); i += 4
+        elif typ in ("Z", "H"):
+            end = data.index(b"\x00", i)
+            val = data[i:end].decode()
+            i = end + 1
+        elif typ == "B":
+            sub = chr(data[i])
+            (cnt,) = struct.unpack_from("<i", data, i + 1)
+            size = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}[sub]
+            i += 5 + cnt * size
+            continue
+        else:
+            raise SamError(f"Unknown BAM tag type: {typ}")
+        if tag in INT_TAGS and isinstance(val, int):
+            tags[tag] = val
+        elif tag in STR_TAGS and typ == "Z":
+            tags[tag] = val
+    return tags
+
+
+_CIGAR_OPS = "MIDNSHP=X"
+
+
+def read_bam(path: str, include_seq_qual: bool, filepath: str | None) -> Iterator[tuple]:
+    with _bam_stream(path) as g:
+        ref_names = _read_bam_header(g)
+        while True:
+            head = g.read(4)
+            if len(head) < 4:
+                break
+            (block_size,) = struct.unpack("<i", head)
+            rec = g.read(block_size)
+            (
+                ref_id,
+                pos,
+                l_read_name,
+                mapq,
+                _bin,
+                n_cigar_op,
+                flag,
+                l_seq,
+                next_ref_id,
+                next_pos,
+                tlen,
+            ) = struct.unpack_from("<iiBBHHHiiii", rec, 0)
+            off = 32
+            read_id = rec[off : off + l_read_name - 1].decode()
+            off += l_read_name
+            cigar_ops = struct.unpack_from(f"<{n_cigar_op}I", rec, off)
+            off += 4 * n_cigar_op
+            seq_bytes = rec[off : off + (l_seq + 1) // 2]
+            off += (l_seq + 1) // 2
+            qual_bytes = rec[off : off + l_seq]
+            off += l_seq
+            tags = _parse_bam_tags(rec[off:])
+
+            cigar = (
+                "".join(f"{op >> 4}{_CIGAR_OPS[op & 0xF]}" for op in cigar_ops)
+                if n_cigar_op
+                else "*"
+            )
+            reference = ref_names[ref_id] if ref_id >= 0 else "*"
+            if next_ref_id >= 0:
+                mate_reference = "=" if next_ref_id == ref_id else ref_names[next_ref_id]
+            else:
+                mate_reference = "*"
+            seq = None
+            qual: list[int] | None = None
+            if l_seq > 0:
+                seq = "".join(
+                    _SEQ_NT16[(seq_bytes[i >> 1] >> (4 if i % 2 == 0 else 0)) & 0xF]
+                    for i in range(l_seq)
+                )
+                qual = [] if qual_bytes[:1] == b"\xff" else list(qual_bytes)
+            yield _finish_row(
+                read_id,
+                flag,
+                reference,
+                pos + 1 if pos >= 0 else 0,
+                mapq,
+                cigar,
+                mate_reference,
+                next_pos + 1 if next_pos >= 0 else 0,
+                tlen,
+                tags,
+                seq,
+                qual,
+                include_seq_qual,
+                filepath,
+            )
+
+
+# --- planning + DataSource ---------------------------------------------------
+
+
+def resolve_sam_files(filename: str | list[str]) -> list[str]:
+    if isinstance(filename, str):
+        if any(c in filename for c in "*?["):
+            files = sorted(globmod.glob(filename))
+            if not files:
+                raise SamError(f"File not found: {filename}")
+            return files
+        files = [filename]
+    else:
+        files = list(filename)
+    if not files:
+        raise SamError("at least one file path must be provided")
+    for f in files:
+        if not os.path.exists(f):
+            raise SamError(f"File not found: {f}")
+    return files
+
+
+def plan_sam_scan(
+    files: list[str], reference_lengths: list[tuple[str, int]] | None
+) -> list[tuple[str, bool, list[str]]]:
+    """Bind-time validation: per-file (path, is_bam, known_ref_names).
+
+    Mirrors read_alignments.cpp:107-174 — BAM may not combine with
+    reference_lengths; headerless SAM requires it; @SQ sets must be
+    consistent across files.
+    """
+    plans = []
+    sq_sets: list[list[tuple[str, int]]] = []
+    for f in files:
+        if is_bam(f):
+            if reference_lengths:
+                raise SamError(f"BAM file has header, reference_lengths not allowed: {f}")
+            plans.append((f, True, []))
+            continue
+        refs, _has_header = sam_header_refs(f)
+        if not refs and not reference_lengths:
+            # uBAM-style files (all records unmapped, rname '*') still parse;
+            # mapped records will fail the known-refs check at read time.
+            plans.append((f, False, []))
+            continue
+        known = [r[0] for r in refs] + [r[0] for r in (reference_lengths or [])]
+        if refs:
+            sq_sets.append(refs)
+        plans.append((f, False, known))
+    if len({tuple(s) for s in sq_sets}) > 1:
+        raise SamError("Inconsistent headers across input files")
+    return plans
+
+
+class SamPartition(InputPartition):
+    def __init__(self, path: str, bam: bool, known_refs: list[str]):
+        self.path = path
+        self.bam = bam
+        self.known_refs = known_refs
+
+
+class SamReader(DataSourceReader):
+    def __init__(self, plans, include_seq_qual: bool, include_filepath: bool):
+        self.plans = plans
+        self.include_seq_qual = include_seq_qual
+        self.include_filepath = include_filepath
+
+    def partitions(self):
+        return [SamPartition(p, b, k) for p, b, k in self.plans]
+
+    def read(self, partition: SamPartition):
+        fp = partition.path if self.include_filepath else None
+        if partition.bam:
+            yield from read_bam(partition.path, self.include_seq_qual, fp)
+        else:
+            yield from read_sam_text(
+                partition.path, set(partition.known_refs), self.include_seq_qual, fp
+            )
+
+
+class SamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sam_alignments"
+
+    def schema(self) -> StructType:
+        return alignments_schema(
+            self.options.get("include_seq_qual", "false") == "true",
+            self.options.get("include_filepath", "false") == "true",
+        )
+
+    def reader(self, schema: StructType) -> SamReader:
+        opts = self.options
+        files = json.loads(opts["files"])
+        ref_lengths = json.loads(opts.get("reference_lengths", "null"))
+        if ref_lengths is not None:
+            ref_lengths = [tuple(r) for r in ref_lengths]
+        plans = plan_sam_scan(files, ref_lengths)
+        return SamReader(
+            plans,
+            opts.get("include_seq_qual", "false") == "true",
+            opts.get("include_filepath", "false") == "true",
+        )
+
+
+def read_alignments(
+    spark: SparkSession,
+    filename: str | list[str],
+    reference_lengths: DataFrame | list[tuple[str, int]] | None = None,
+    include_filepath: bool = False,
+    include_seq_qual: bool = False,
+) -> DataFrame:
+    """The reference's ``read_alignments``/``read_sam`` table function.
+
+    ``reference_lengths`` may be a small DataFrame with (name, length) —
+    collected at plan time, exactly as the reference materializes the
+    catalog table at bind (read_alignments.cpp:107-174).
+    """
+    files = resolve_sam_files(filename)
+    if isinstance(reference_lengths, DataFrame):
+        reference_lengths = [(r[0], int(r[1])) for r in reference_lengths.collect()]
+    plan_sam_scan(files, reference_lengths)  # eager bind-time validation
+    spark.dataSource.register(SamDataSource)
+    return (
+        spark.read.format("sam_alignments")
+        .option("files", json.dumps(files))
+        .option("reference_lengths", json.dumps(reference_lengths))
+        .option("include_seq_qual", "true" if include_seq_qual else "false")
+        .option("include_filepath", "true" if include_filepath else "false")
+        .load()
+    )
+
+
+read_sam = read_alignments  # reference alias (miint_extension.cpp)
+
+
+def read_sequences_sam(
+    spark: SparkSession, filename: str | list[str], include_filepath: bool = False
+) -> DataFrame:
+    """Sequence view of SAM/BAM in the read_fastx schema
+    (src/read_sequences_sam.cpp:11-205): per-file 1-based sequence_index,
+    comment/sequence2/qual2 always NULL, qual NULL when absent ('*')."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    aln = read_alignments(
+        spark, filename, include_filepath=True, include_seq_qual=True
+    )
+    w = W.partitionBy("filepath").orderBy(F.monotonically_increasing_id())
+    out = aln.withColumn("sequence_index", F.row_number().over(w).cast("long")).select(
+        "sequence_index",
+        "read_id",
+        F.lit(None).cast("string").alias("comment"),
+        F.when(F.col("sequence") == "", None).otherwise(F.col("sequence")).alias("sequence1"),
+        F.lit(None).cast("string").alias("sequence2"),
+        F.when(F.size("qual") == 0, None).otherwise(F.col("qual")).alias("qual1"),
+        F.lit(None).cast("array<int>").alias("qual2"),
+        "filepath",
+    )
+    return out if include_filepath else out.drop("filepath")
