@@ -1,0 +1,223 @@
+"""Driver-gate queries for the file-format sources (SURVEY.md §2.2.1).
+
+DuckDB can't read FASTQ/SAM/SFF/Newick, so the oracle for each source query
+is a literal VALUES relation holding the reference implementation's golden
+output (from the reference's own test/sql suite) — the driver's comparison
+then verifies our reader reproduces the reference's rows bit-for-bit.
+GFF and jplace get *computed* oracles (DuckDB reads the same file with its
+own CSV/JSON readers).
+
+Inputs are the reference's data fixtures (read-only), so these queries are
+sf-independent — correctness of the parse, not of scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_miint_spark.registry import register
+from duckdb_miint_spark.sources.fastx import read_fastx
+from duckdb_miint_spark.sources.gff import read_gff
+from duckdb_miint_spark.sources.jplace import read_jplace
+from duckdb_miint_spark.sources.newick import read_newick
+from duckdb_miint_spark.sources.sam import read_alignments
+from duckdb_miint_spark.sources.sff import read_sequences_sff
+
+DATA = "/root/reference/data"
+
+
+@register(
+    "read_fastx_paired",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'foo1', 'comment-1', 'ATGC', 'TGCAT',
+   [40, 39, 38, 37], [36, 35, 34, 33, 32]),
+  (CAST(2 AS BIGINT), 'foo2', 'comment-2', 'ATGCT', 'TGCATC',
+   [40, 39, 38, 37, 36], [36, 35, 34, 33, 32, 31])
+) AS t(sequence_index, read_id, comment, sequence1, sequence2, qual1, qual2)
+ORDER BY sequence_index
+""",
+    tags=("source", "fastx"),
+)
+def q_read_fastx_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired-end gzip FASTQ vs the reference golden (read_fastx.test:23-27)."""
+    df = read_fastx(
+        spark, f"{DATA}/fastq/foo.r1.fastq.gz", sequence2=f"{DATA}/fastq/foo.r2.fastq.gz"
+    )
+    return df.orderBy("sequence_index")
+
+
+@register(
+    "read_fastx_multifile",
+    oracle=f"""
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'read_a1', 'AAAA', [40, 40, 40, 40], '{DATA}/fastq/small_a.fq'),
+  (CAST(2 AS BIGINT), 'read_a2', 'TTTT', [39, 39, 39, 39], '{DATA}/fastq/small_a.fq'),
+  (CAST(1 AS BIGINT), 'read_b1', 'GGGG', [38, 38, 38, 38], '{DATA}/fastq/small_b.fq'),
+  (CAST(2 AS BIGINT), 'read_b2', 'CCCC', [37, 37, 37, 37], '{DATA}/fastq/small_b.fq')
+) AS t(sequence_index, read_id, sequence1, qual1, filepath)
+ORDER BY filepath, sequence_index
+""",
+    tags=("source", "fastx"),
+)
+def q_read_fastx_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file sequence_index + filepath (read_fastx.test:77-86)."""
+    df = read_fastx(
+        spark,
+        [f"{DATA}/fastq/small_a.fq", f"{DATA}/fastq/small_b.fq"],
+        include_filepath=True,
+    )
+    return df.select("sequence_index", "read_id", "sequence1", "qual1", "filepath").orderBy(
+        "filepath", "sequence_index"
+    )
+
+
+@register(
+    "read_alignments_sam",
+    oracle="""
+SELECT * FROM (VALUES
+  ('foo-1', 0, 'G1234', CAST(2 AS BIGINT), CAST(12 AS BIGINT), 60, '10M', '*',
+   CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+  ('foo-2', 0, 'G1234', CAST(2 AS BIGINT), CAST(12 AS BIGINT), 60, '10M', '*',
+   CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+  ('foo-3', 99, 'G000144735', CAST(76020 AS BIGINT), CAST(76170 AS BIGINT), 1, '150M', '=',
+   CAST(76146 AS BIGINT), CAST(276 AS BIGINT)),
+  ('foo-3', 147, 'G000144735', CAST(76146 AS BIGINT), CAST(76296 AS BIGINT), 1, '150M', '=',
+   CAST(76020 AS BIGINT), CAST(-276 AS BIGINT))
+) AS t(read_id, flags, reference, position, stop_position, mapq, cigar,
+       mate_reference, mate_position, template_length)
+ORDER BY read_id, flags
+""",
+    tags=("source", "sam"),
+)
+def q_read_alignments_sam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAM text reader vs read_alignments.test:24-33 goldens (+ computed
+    stop_position = position + CIGAR reference span)."""
+    df = read_alignments(spark, f"{DATA}/sam/foo_has_header.sam")
+    return df.select(
+        "read_id", "flags", "reference", "position", "stop_position", "mapq",
+        "cigar", "mate_reference", "mate_position", "template_length",
+    ).orderBy("read_id", "flags")
+
+
+@register(
+    "read_alignments_bam_tags",
+    oracle="""
+SELECT * FROM (VALUES
+  ('tagged-1', CAST(100 AS BIGINT), CAST(90 AS BIGINT), CAST(NULL AS BIGINT),
+   CAST(5 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+   CAST(4 AS BIGINT), 'CP', '10A5T20', CAST(NULL AS VARCHAR)),
+  ('tagged-2', CAST(200 AS BIGINT), CAST(180 AS BIGINT), CAST(150 AS BIGINT),
+   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+   CAST(10 AS BIGINT), 'UU', CAST(NULL AS VARCHAR), 'chr1,1234,+,50M,60,5;')
+) AS t(read_id, tag_as, tag_xs, tag_ys, tag_xn, tag_xm, tag_xo, tag_xg,
+       tag_nm, tag_yt, tag_md, tag_sa)
+ORDER BY read_id
+""",
+    tags=("source", "sam"),
+)
+def q_read_alignments_bam_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAM binary reader tag decode vs foo_with_tags goldens — exercises the
+    BGZF + binary record path end-to-end."""
+    df = read_alignments(spark, f"{DATA}/sam/foo_with_tags.bam")
+    return df.select(
+        "read_id", "tag_as", "tag_xs", "tag_ys", "tag_xn", "tag_xm", "tag_xo",
+        "tag_xg", "tag_nm", "tag_yt", "tag_md", "tag_sa",
+    ).orderBy("read_id")
+
+
+@register(
+    "read_sequences_sff_trimmed",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'TRIM_READ_1', 'TCAGATTGCAGG',
+   [30, 30, 25, 35, 40, 38, 36, 30, 28, 25, 20, 15]),
+  (CAST(2 AS BIGINT), 'TRIM_READ_2', 'CAGCCTAAGT',
+   [30, 35, 30, 40, 38, 33, 30, 28, 35, 30])
+) AS t(sequence_index, read_id, sequence1, qual1)
+ORDER BY sequence_index
+""",
+    tags=("source", "sff"),
+)
+def q_read_sequences_sff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFF binary reader with clip trimming (read_sequences_sff.test)."""
+    df = read_sequences_sff(spark, f"{DATA}/sff/trimmed.sff")
+    return df.select("sequence_index", "read_id", "sequence1", "qual1").orderBy("sequence_index")
+
+
+@register(
+    "read_gff_file",
+    oracle=f"""
+SELECT column0 AS seqid, column1 AS source, column2 AS type,
+       CAST(column3 AS INTEGER) AS position,
+       CAST(column4 AS INTEGER) AS stop_position,
+       CASE WHEN column5 = '.' THEN NULL ELSE CAST(column5 AS DOUBLE) END AS score,
+       CASE WHEN column6 = '.' THEN NULL ELSE column6 END AS strand,
+       CASE WHEN column7 = '.' THEN NULL ELSE CAST(column7 AS INTEGER) END AS phase,
+       regexp_extract(column8, 'ID=([^;]*)', 1) AS feature_id
+FROM read_csv('{DATA}/gff/test.gff',
+  delim = '\t', header = false, auto_detect = false,
+  columns = {{'column0':'VARCHAR','column1':'VARCHAR','column2':'VARCHAR',
+             'column3':'VARCHAR','column4':'VARCHAR','column5':'VARCHAR',
+             'column6':'VARCHAR','column7':'VARCHAR','column8':'VARCHAR'}},
+  null_padding = true)
+WHERE column0 NOT LIKE '#%'
+ORDER BY seqid, position, type, stop_position
+""",
+    tags=("source", "gff"),
+)
+def q_read_gff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_gff (miint_macros.hpp:115-154): both engines parse the same
+    file; the attributes MAP is projected via key access."""
+    df = read_gff(spark, f"{DATA}/gff/test.gff")
+    return df.select(
+        "seqid", "source", "type", "position", "stop_position", "score", "strand",
+        "phase", F.element_at("attributes", "ID").alias("feature_id"),
+    ).orderBy("seqid", "position", "type", "stop_position")
+
+
+@register(
+    "read_jplace_file",
+    oracle="""
+SELECT fragment, edge_num,
+       CAST(likelihood AS DOUBLE) AS likelihood,
+       CAST(like_weight_ratio AS DOUBLE) AS like_weight_ratio,
+       CAST(distal_length AS DOUBLE) AS distal_length,
+       CAST(pendant_length AS DOUBLE) AS pendant_length
+FROM (VALUES
+  ('fragment1', 0, -1234.56, 0.95, 0.05, 0.001),
+  ('fragment2', 1, -2000.00, 0.80, 0.15, 0.003),
+  ('fragment3', 2, -1500.50, 0.70, 0.20, 0.004)
+) AS t(fragment, edge_num, likelihood, like_weight_ratio, distal_length, pendant_length)
+ORDER BY fragment
+""",
+    tags=("source", "jplace"),
+)
+def q_read_jplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_jplace best-placement extraction (miint_macros.hpp:178-194)."""
+    df = read_jplace(spark, f"{DATA}/jplace/test.jplace")
+    return df.drop("filepath").orderBy("fragment")
+
+
+@register(
+    "read_newick_file",
+    oracle="""
+SELECT node_index, name, CAST(branch_length AS DOUBLE) AS branch_length,
+       edge_id, parent_index, is_tip
+FROM (VALUES
+  (CAST(0 AS BIGINT), 'A', 0.1, CAST(0 AS BIGINT), CAST(2 AS BIGINT), true),
+  (CAST(1 AS BIGINT), 'B', 0.2, CAST(1 AS BIGINT), CAST(2 AS BIGINT), true),
+  (CAST(2 AS BIGINT), '', 0.3, CAST(2 AS BIGINT), CAST(4 AS BIGINT), false),
+  (CAST(3 AS BIGINT), 'C', 0.4, CAST(3 AS BIGINT), CAST(4 AS BIGINT), true),
+  (CAST(4 AS BIGINT), '', 0.0, CAST(4 AS BIGINT), CAST(NULL AS BIGINT), false)
+) AS t(node_index, name, branch_length, edge_id, parent_index, is_tip)
+ORDER BY node_index
+""",
+    tags=("source", "newick"),
+)
+def q_read_newick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newick parse with jplace edge ids: post-order node indices, root
+    last with NULL parent (NewickTree.cpp:102-155)."""
+    df = read_newick(spark, f"{DATA}/newick/with_edge_ids.nwk")
+    return df.orderBy("node_index")

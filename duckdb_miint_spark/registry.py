@@ -45,6 +45,7 @@ def load_all() -> dict[str, QueryDef]:
         queries_relational,
         queries_relational_ext,
         queries_domain,
+        queries_sources,
         queries_pipeline,
     )
 
