@@ -1,0 +1,126 @@
+"""Text analysis: token counting, quality scoring, language ID,
+document fingerprinting. All but language-ID are pure Catalyst
+expressions with exact DuckDB-oracle equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-alnum marks
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("a", "an", "the", "and", "or", "of", "to", "in", "is", "it")
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_ws_tokens, n_re_tokens, n_chars_tok, avg_token_len)."""
+    t = F.col(text_col)
+    ws = F.filter(F.split(t, " "), lambda w: w != "")
+    re_toks = F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)
+    tok_chars = F.aggregate(ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.size(re_toks).cast("long").alias("n_re_tokens"),
+        tok_chars.alias("n_chars_tok"),
+        (tok_chars.cast("double") / F.size(ws)).alias("avg_token_len"),
+    )
+
+
+def quality_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals per document. score ∈ [0,1]: penalizes
+    extreme length, low alpha ratio, high stopword share, short tokens —
+    the standard pre-training corpus filters, each an exact expression."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    ws = F.filter(F.split(t, " "), lambda w: w != "")
+    n_words = F.size(ws)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    alpha_ratio = alpha.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_words
+    avg_wlen = (n_chars - (n_words - 1)).cast("double") / n_words
+    length_ok = (n_chars >= 20) & (n_chars <= 100000)
+    score = F.round(
+        (
+            F.when(length_ok, 0.25).otherwise(0.0)
+            + F.least(alpha_ratio, F.lit(0.95)) / 0.95 * 0.25
+            + (1.0 - F.least(stop_ratio, F.lit(1.0))) * 0.25
+            + F.when((avg_wlen >= 2.0) & (avg_wlen <= 12.0), 0.25).otherwise(0.0)
+        ),
+        6,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def bottomk_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n: int = 3,
+) -> DataFrame:
+    """Bottom-k sketch: the k smallest md5 hashes of the document's word
+    n-gram shingles — a fixed-size fingerprint whose overlap estimates
+    Jaccard (min-wise sampling). (id, fingerprint array<string>)."""
+    from duckdb_miint_spark.pipeline.dedup import shingles
+
+    sh = shingles(df, id_col, text_col, n)
+    return (
+        sh.withColumn("h", F.md5("s"))
+        .groupBy("id")
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("fingerprint"))
+    )
+
+
+# --- language ID -------------------------------------------------------------
+
+# Tiny marker-word profiles (top function words per language). Real systems
+# use char n-gram models; the operator shape (per-language score columns +
+# argmax) is identical, and the profiles are swappable.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "with", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "es", "una", "por"),
+    "fr": ("le", "la", "les", "de", "et", "est", "un", "une", "dans", "pour"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+
+def language_scores(text_col: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts (zh matches characters, not words)."""
+    words = F.filter(F.split(F.lower(text_col), r"[\s\.,;:!\?]+"), lambda w: w != "")
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        if lang == "zh":
+            hits = [F.size(F.split(text_col, m)) - 1 for m in markers]
+            out[lang] = sum(hits[1:], hits[0])
+        else:
+            arr = F.array(*[F.lit(m) for m in markers])
+            out[lang] = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+    return out
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, predicted_lang, lang_score) — argmax of marker profiles;
+    'und' (undetermined) when no marker hits at all."""
+    scores = language_scores(F.col(text_col))
+    pairs = F.array(
+        *[F.struct(c.cast("long").alias("score"), F.lit(lang).alias("lang")) for lang, c in scores.items()]
+    )
+    best = F.array_max(pairs)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("predicted_lang"),
+        best["score"].alias("lang_score"),
+    )

@@ -1,7 +1,321 @@
-"""Training-data-pipeline operator queries: dedup, similarity search,
-text analysis, multimodal plumbing — over `documents` and `embeddings`.
+"""LLM-data-pipeline queries for the driver correctness gate.
+
+Every deterministic operator pairs with a DuckDB oracle that replicates the
+exact arithmetic (portable md5 hashing, int/int divisions, fixed fold
+order + ROUND(6) for float sums). The two approximate operators (LSH-ANN,
+language-ID on synthetic text) are rows-only here and quality-asserted in
+pytest (recall vs brute force; golden predictions on real phrases).
+
+The LSH near-dup oracle is the *all-pairs* Jaccard — fine for DuckDB at
+sf0.01, exactly what the banded-LSH Spark plan must reproduce without ever
+building the quadratic pair set (b=16 single-row bands ⇒ miss probability
+(1-s)^16 ≤ 4e-23 for the planted s≥0.96 duplicates).
 """
 
 from __future__ import annotations
 
-# populated as operators land
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_miint_spark.pipeline.dedup import (
+    exact_dedup_groups,
+    minhash_signatures,
+    near_dup_pairs,
+    simhash32,
+)
+from duckdb_miint_spark.pipeline.multimodal import (
+    attach_binary_column,
+    fake_decode_image_features,
+)
+from duckdb_miint_spark.pipeline.similarity import cosine_topk, lsh_ann_topk
+from duckdb_miint_spark.pipeline.text import (
+    bottomk_fingerprint,
+    language_id,
+    quality_stats,
+    token_stats,
+)
+from duckdb_miint_spark.registry import register
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# Shared DuckDB CTE: distinct word-3-gram shingles per doc (1-based lists).
+SHINGLES_CTE = """
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM words WHERE len(w) >= 3
+)
+"""
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY content_hash
+""",
+    tags=("pipeline", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: content-hash → canonical id + multiplicity."""
+    docs = T(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs).orderBy("content_hash")
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+WITH {SHINGLES_CTE}
+SELECT doc_id,
+       MIN(substr(md5('0:' || s), 1, 8)) AS m0,
+       MIN(substr(md5('5:' || s), 1, 8)) AS m5,
+       MIN(substr(md5('10:' || s), 1, 8)) AS m10,
+       MIN(substr(md5('15:' || s), 1, 8)) AS m15
+FROM sh GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("pipeline", "dedup"),
+)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (engine-portable md5 minima over shingles)."""
+    docs = T(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    return sigs.select(
+        F.col("id").alias("doc_id"), "m0", "m5", "m10", "m15"
+    ).orderBy("doc_id")
+
+
+@register(
+    "lsh_near_dup_pairs",
+    oracle=f"""
+WITH {SHINGLES_CTE},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id1, id2, ROUND(i * 1.0 / (c1.n + c2.n - i), 6) AS jaccard
+FROM inter
+JOIN cnt c1 ON id1 = c1.doc_id
+JOIN cnt c2 ON id2 = c2.doc_id
+WHERE i * 1.0 / (c1.n + c2.n - i) >= 0.9
+ORDER BY id1, id2
+""",
+    tags=("pipeline", "dedup"),
+)
+def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH near-duplicate pairs, verified with exact Jaccard ≥ 0.9.
+    The oracle computes the ground-truth all-pairs answer; the Spark plan
+    must find the same pairs through buckets only."""
+    docs = T(spark, sf_dir, "documents")
+    out = near_dup_pairs(docs, threshold=0.9)
+    return out.select("id1", "id2", F.round("jaccard", 6).alias("jaccard")).orderBy("id1", "id2")
+
+
+_SIMHASH_ORACLE_BITS = ",\n".join(
+    f"SUM(cnt * CASE WHEN substr(h, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(32)
+)
+_SIMHASH_ORACLE_CONCAT = " || ".join(
+    f"CASE WHEN b{j} > 0 THEN '1' ELSE '0' END" for j in range(32)
+)
+
+
+@register(
+    "simhash_signatures",
+    oracle=f"""
+WITH tokens AS (
+  SELECT doc_id, t, COUNT(*) AS cnt, md5(t) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+  GROUP BY doc_id, t
+),
+bits AS (
+  SELECT doc_id, {_SIMHASH_ORACLE_BITS}
+  FROM tokens GROUP BY doc_id
+)
+SELECT doc_id, {_SIMHASH_ORACLE_CONCAT} AS simhash
+FROM bits ORDER BY doc_id
+""",
+    tags=("pipeline", "dedup"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures (count-weighted ±1 votes per md5 bit)."""
+    docs = T(spark, sf_dir, "documents")
+    return simhash32(docs).select(F.col("id").alias("doc_id"), "simhash").orderBy("doc_id")
+
+
+@register(
+    "token_stats",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_re_tokens,
+       CAST(list_sum(list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                                    x -> length(x))) AS BIGINT) AS n_chars_tok,
+       CAST(list_sum(list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                                    x -> length(x))) AS DOUBLE)
+         / len(list_filter(string_split(text, ' '), x -> x <> '')) AS avg_token_len
+FROM documents ORDER BY doc_id
+""",
+    tags=("pipeline", "text"),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    docs = T(spark, sf_dir, "documents")
+    return token_stats(docs).select(
+        F.col("id").alias("doc_id"), "n_ws_tokens", "n_re_tokens", "n_chars_tok", "avg_token_len"
+    ).orderBy("doc_id")
+
+
+_STOP_LIST = "['a','an','the','and','or','of','to','in','is','it']"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+             x -> x <> '' AND list_contains({_STOP_LIST}, lower(x)))) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(CAST(alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio,
+       ROUND(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
+       ROUND(
+         (CASE WHEN n_chars >= 20 AND n_chars <= 100000 THEN 0.25 ELSE 0.0 END)
+         + LEAST(CAST(alpha AS DOUBLE) / n_chars, 0.95) / 0.95 * 0.25
+         + (1.0 - LEAST(CAST(n_stop AS DOUBLE) / n_words, 1.0)) * 0.25
+         + (CASE WHEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words >= 2.0
+                  AND CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words <= 12.0
+             THEN 0.25 ELSE 0.0 END),
+       6) AS quality_score
+FROM base ORDER BY doc_id
+""",
+    tags=("pipeline", "text"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality filters (length / alpha-ratio / stopword / word-len)."""
+    docs = T(spark, sf_dir, "documents")
+    return quality_stats(docs).select(
+        F.col("id").alias("doc_id"), "n_chars", "n_words", "alpha_ratio", "stop_ratio", "quality_score"
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprint_bottomk",
+    oracle=f"""
+WITH {SHINGLES_CTE}
+SELECT doc_id, list_sort(list(DISTINCT md5(s)))[1:5] AS fingerprint
+FROM sh GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("pipeline", "text"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k min-wise fingerprint (5 smallest shingle hashes)."""
+    docs = T(spark, sf_dir, "documents")
+    return bottomk_fingerprint(docs, k=5).select(
+        F.col("id").alias("doc_id"), "fingerprint"
+    ).orderBy("doc_id")
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+""",
+    tags=("pipeline", "similarity"),
+)
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (the exact baseline
+    the LSH path is measured against)."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate: recall vs brute force asserted in pytest
+    tags=("pipeline", "similarity"),
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-10 (bucketed candidates only)."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_ann_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+@register(
+    "language_id_distribution",
+    oracle=None,  # heuristic over synthetic text; goldens live in pytest
+    tags=("pipeline", "text"),
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted-language distribution over documents."""
+    docs = T(spark, sf_dir, "documents")
+    return (
+        language_id(docs)
+        .groupBy("predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("predicted_lang")
+    )
+
+
+@register(
+    "multimodal_image_features",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(32 + 16 * (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) AS INTEGER) AS width,
+       CAST(32 + 16 * (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS INTEGER) AS height,
+       CASE WHEN (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) % 2 = 0
+            THEN 'RGB' ELSE 'L' END AS mode,
+       md5(text) AS content_hash
+FROM documents ORDER BY doc_id
+""",
+    tags=("pipeline", "multimodal"),
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload bytes → Arrow-batched Python decode
+    (deterministic fake) — the oracle recomputes the md5-derived header."""
+    docs = T(spark, sf_dir, "documents")
+    binary = attach_binary_column(docs)
+    return fake_decode_image_features(binary).select(
+        F.col("id").alias("doc_id"), "n_bytes", "width", "height", "mode", "content_hash"
+    ).orderBy("doc_id")

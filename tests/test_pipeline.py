@@ -1,0 +1,91 @@
+"""Quality assertions for the approximate pipeline operators (the exact
+ones are covered by the oracle harness in test_oracle.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_miint_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures, near_dup_pairs
+from duckdb_miint_spark.pipeline.multimodal import attach_binary_column, decode_image, fake_decode_image_features
+from duckdb_miint_spark.pipeline.similarity import cosine_topk, lsh_ann_topk
+from duckdb_miint_spark.pipeline.text import language_id
+
+SF = "/root/testdata/sf0.01"
+
+
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_lsh_no_cartesian_product(spark):
+    """The near-dup plan must never materialize the quadratic pair space."""
+    plan = near_dup_pairs(docs(spark), threshold=0.9)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_candidates_superset_of_true_pairs(spark):
+    """Planted near-dups (jaccard >= 0.9) must all appear as candidates."""
+    d = docs(spark)
+    cand = {
+        (r["id1"], r["id2"])
+        for r in lsh_candidate_pairs(minhash_signatures(d)).collect()
+    }
+    verified = {(r["id1"], r["id2"]) for r in near_dup_pairs(d, threshold=0.9).collect()}
+    assert verified, "expected planted near-duplicates in the synthetic corpus"
+    assert verified <= cand
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    e = emb(spark)
+    queries = e.filter(F.col("vec_id") < 5)
+    truth = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(e, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"]) for r in lsh_ann_topk(e, queries, k=10).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    # 8 bands x 2 rows on this data measures 0.94; chance would be ~0.02
+    assert recall >= 0.6, f"LSH-ANN recall {recall:.2f} below floor"
+
+
+def test_language_id_goldens(spark):
+    rows = [
+        (1, "the cat sat on the mat and it is happy"),
+        (2, "der Hund ist nicht auf der Straße und das ist gut"),
+        (3, "el perro está en la casa y es una maravilla por la mañana"),
+        (4, "le chat est dans la maison et les enfants sont pour une surprise"),
+        (5, "我在这里的时候就有人说了不少的话"),
+        (6, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r["predicted_lang"] for r in language_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "es"
+    assert out[4] == "fr"
+    assert out[5] == "zh"
+    assert out[6] == "und"
+
+
+def test_multimodal_fake_decode_shape(spark):
+    d = docs(spark).limit(20)
+    feats = fake_decode_image_features(attach_binary_column(d))
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 32 <= r["width"] <= 32 + 16 * 15
+        assert r["mode"] in ("RGB", "L")
+        assert len(r["content_hash"]) == 32
+
+
+def test_multimodal_real_decoder_is_gated(spark):
+    d = attach_binary_column(docs(spark).limit(1))
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image(d)
