@@ -13,6 +13,8 @@ sf-independent — correctness of the parse, not of scale.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -221,3 +223,74 @@ def q_read_newick(spark: SparkSession, sf_dir: str) -> DataFrame:
     last with NULL parent (NewickTree.cpp:102-155)."""
     df = read_newick(spark, f"{DATA}/newick/with_edge_ids.nwk")
     return df.orderBy("node_index")
+
+
+# --- sink round-trips (SURVEY §2.2.6) ---------------------------------------
+
+
+@register(
+    "copy_fastq_roundtrip",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'pair_a1', 'AAAA', 'TTTT',
+   [40, 40, 40, 40], [39, 39, 39, 39])
+) AS t(sequence_index, read_id, sequence1, sequence2, qual1, qual2)
+ORDER BY sequence_index
+""",
+    tags=("sink", "fastq"),
+)
+def q_copy_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FASTQ sink → reader round-trip with {ORIENTATION} split
+    (copy_fastq.cpp:47-368): write paired R1/R2, read back, match the
+    reference's golden for the source file."""
+    import tempfile
+
+    from duckdb_miint_spark.sinks import copy_fastq
+
+    src = read_fastx(
+        spark, f"{DATA}/fastq/small_a_r1.fq", sequence2=f"{DATA}/fastq/small_a_r2.fq"
+    )
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_rt.{ORIENTATION}.fq.gz")
+    copy_fastq(src, out, interleave=False)
+    back = read_fastx(
+        spark,
+        out.replace("{ORIENTATION}", "R1"),
+        sequence2=out.replace("{ORIENTATION}", "R2"),
+    )
+    return back.select(
+        "sequence_index", "read_id", "sequence1", "sequence2", "qual1", "qual2"
+    ).orderBy("sequence_index")
+
+
+@register(
+    "copy_sam_roundtrip",
+    oracle="""
+SELECT * FROM (VALUES
+  ('tagged-1', 0, 'G1234', CAST(10 AS BIGINT), CAST(60 AS BIGINT), '50M',
+   CAST(100 AS BIGINT), CAST(4 AS BIGINT), '10A5T20'),
+  ('tagged-2', 99, 'G000144735', CAST(1000 AS BIGINT), CAST(1100 AS BIGINT), '100M',
+   CAST(200 AS BIGINT), CAST(10 AS BIGINT), CAST(NULL AS VARCHAR))
+) AS t(read_id, flags, reference, position, stop_position, cigar, tag_as, tag_nm, tag_md)
+ORDER BY read_id
+""",
+    tags=("sink", "sam"),
+)
+def q_copy_sam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAM sink → reader round-trip with @SQ header from reference_lengths
+    (copy_sam.cpp:129-757), tags preserved through write+read."""
+    import tempfile
+
+    from duckdb_miint_spark.sinks import copy_sam
+
+    src = read_alignments(spark, f"{DATA}/sam/foo_with_tags.sam")
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_rt.sam")
+    copy_sam(
+        src.orderBy("read_id"),
+        out,
+        reference_lengths=[("G1234", 1000), ("G000144735", 100000)],
+    )
+    back = read_alignments(spark, out)
+    return back.select(
+        "read_id", "flags", "reference", "position", "stop_position", "cigar",
+        "tag_as", "tag_nm", "tag_md",
+    ).orderBy("read_id")
