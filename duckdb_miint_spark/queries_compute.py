@@ -1,0 +1,167 @@
+"""Driver-gate queries for the compute operators (SURVEY.md §2.2.2/2.2.3):
+pairwise alignment, RYpe extraction/classification, aligner plumbing.
+
+Oracles: align_pairwise and rype_classify carry the reference's own test
+goldens as VALUES (test/sql/align_pairwise.test, rype_classify.test).
+The minimap2-shaped plumbing query pairs the deterministic ExactMatch
+backend with a DuckDB oracle that *specifies the same semantics in SQL*
+(all substring occurrences, primary-first) — a true differential check of
+the broadcast + mapInPandas + routing machinery. rype_extract is gated
+rows-only here; its bit-exact parity against the Rust-built index is
+asserted in tests/test_compute.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_miint_spark.functions.pairwise import (
+    align_pairwise_cigar,
+    align_pairwise_score,
+)
+from duckdb_miint_spark.operators.aligners import ExactMatchBackend, align_minimap2
+from duckdb_miint_spark.operators.rype import rype_classify, rype_extract_minimizer_set
+from duckdb_miint_spark.registry import register
+
+RYXDI = "/root/reference/data/rype/test.ryxdi"
+
+_PAIRS = [
+    ("s1", "ACGT", "ACGT"),
+    ("s2", "ACGT", "ACAT"),
+    ("s3", "ACGT", ""),
+    ("s4", "", "ACGT"),
+    ("s5", "ACGT", "AGT"),
+    ("s6", "AAAAAAAA", "AAAA"),
+]
+
+_RYPE_SEQS = [
+    ("seq1", "ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT"),
+    ("seq2", "TGCATGCATGCATGCATGCATGCATGCATGCATGCATGCATGCATGCATGCA"),
+    ("seq3", "GGGGCCCCGGGGCCCCGGGGCCCCGGGGCCCCGGGGCCCCGGGGCCCCGGGG"),
+]
+
+
+@register(
+    "align_pairwise",
+    oracle="""
+SELECT * FROM (VALUES
+  ('s1', 0, '4='),
+  ('s2', 4, '2=1X1='),
+  ('s3', 14, '4I'),
+  ('s4', 14, '4D'),
+  ('s5', 8, '1=1I2='),
+  ('s6', 14, '4I4=')
+) AS t(name, score, cigar)
+ORDER BY name
+""",
+    tags=("compute", "pairwise"),
+)
+def q_align_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-affine pairwise score + extended CIGAR (WFA2 semantics, defaults
+    4/6/2) vs align_pairwise.test goldens."""
+    df = spark.createDataFrame(_PAIRS, ["name", "query", "subject"])
+    r = align_pairwise_cigar("query", "subject")
+    return df.select(
+        "name",
+        align_pairwise_score("query", "subject").alias("score"),
+        r["cigar"].alias("cigar"),
+    ).orderBy("name")
+
+
+@register(
+    "rype_classify",
+    oracle="""
+SELECT * FROM (VALUES
+  ('seq1', 'bucket_alpha', CAST(1.0 AS DOUBLE)),
+  ('seq1', 'bucket_beta', CAST(1.0 AS DOUBLE)),
+  ('seq1', 'bucket_gamma', CAST(1.0 AS DOUBLE)),
+  ('seq2', 'bucket_alpha', CAST(1.0 AS DOUBLE)),
+  ('seq2', 'bucket_beta', CAST(1.0 AS DOUBLE)),
+  ('seq2', 'bucket_gamma', CAST(1.0 AS DOUBLE)),
+  ('seq3', 'bucket_alpha', CAST(1.0 AS DOUBLE)),
+  ('seq3', 'bucket_gamma', CAST(1.0 AS DOUBLE))
+) AS t(read_id, bucket_name, score)
+ORDER BY read_id, bucket_name
+""",
+    tags=("compute", "rype"),
+)
+def q_rype_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimizer classification against the Rust-built .ryxdi parquet index
+    (rype_classify.test:104-116 hit pattern; all scores 1.0)."""
+    df = spark.createDataFrame(_RYPE_SEQS, ["read_id", "sequence1"])
+    out = rype_classify(spark, RYXDI, df, threshold=0.05)
+    return out.select("read_id", "bucket_name", "score").orderBy("read_id", "bucket_name")
+
+
+@register(
+    "rype_extract_sets",
+    oracle=None,  # bit-exact parity vs the Rust index in tests/test_compute.py
+    tags=("compute", "rype"),
+)
+def q_rype_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimizer-set extraction shape (sorted dedup per strand)."""
+    df = spark.createDataFrame(_RYPE_SEQS, ["read_id", "sequence1"])
+    out = rype_extract_minimizer_set(df, 16, 8)
+    return out.select(
+        "read_id",
+        F.size("fwd_set").alias("n_fwd"),
+        F.size("rc_set").alias("n_rc"),
+        F.element_at("fwd_set", 1).alias("min_fwd"),
+    ).orderBy("read_id")
+
+
+@register(
+    "align_plumbing_exact",
+    oracle="""
+WITH queries AS (
+  SELECT * FROM (VALUES ('q1', 'ACGTACGT'), ('q2', 'TTTTT'), ('q3', 'NNNNN'))
+  AS t(read_id, sequence1)
+),
+subjects AS (
+  SELECT * FROM (VALUES (1, 'ref1', 'AAAACGTACGTTTTT'), (2, 'ref2', 'GGGGACGTACGTCCCC'))
+  AS t(ord, name, seq)
+),
+hits AS (
+  SELECT q.read_id, s.ord, s.name AS reference, gs.i AS position,
+         gs.i + length(q.sequence1) AS stop_position,
+         length(q.sequence1) AS qlen
+  FROM queries q
+  JOIN subjects s ON TRUE
+  JOIN LATERAL (
+    SELECT CAST(unnest(range(1, length(s.seq) + 1)) AS BIGINT) AS i
+  ) gs ON substr(s.seq, CAST(gs.i AS INTEGER), length(q.sequence1)) = q.sequence1
+),
+ranked AS (
+  SELECT read_id, reference, position, stop_position, qlen,
+         ROW_NUMBER() OVER (PARTITION BY read_id ORDER BY ord, position) AS rn
+  FROM hits
+)
+SELECT read_id,
+       CASE WHEN rn = 1 THEN 0 ELSE 256 END AS flags,
+       reference, position, stop_position,
+       CAST(qlen AS STRING) || 'M' AS cigar
+FROM ranked
+UNION ALL
+SELECT q.read_id, 4 AS flags, '*' AS reference, CAST(0 AS BIGINT), CAST(0 AS BIGINT), '*'
+FROM queries q
+WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.read_id = q.read_id)
+ORDER BY read_id, flags, reference, position
+""",
+    tags=("compute", "aligner"),
+)
+def q_align_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """align_minimap2's Spark plumbing (subject broadcast + Arrow-batched
+    mapInPandas) with the deterministic exact-substring backend; the oracle
+    states the identical semantics in SQL."""
+    q = spark.createDataFrame(
+        [("q1", "ACGTACGT"), ("q2", "TTTTT"), ("q3", "NNNNN")], ["read_id", "sequence1"]
+    )
+    s = spark.createDataFrame(
+        [("ref1", "AAAACGTACGTTTTT"), ("ref2", "GGGGACGTACGTCCCC")], ["read_id", "sequence1"]
+    )
+    out = align_minimap2(spark, q, subject_table=s, backend_factory=ExactMatchBackend)
+    return out.select(
+        "read_id", F.col("flags").cast("int").alias("flags"), "reference",
+        "position", "stop_position", "cigar",
+    ).orderBy("read_id", "flags", "reference", "position")

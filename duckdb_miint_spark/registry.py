@@ -46,6 +46,7 @@ def load_all() -> dict[str, QueryDef]:
         queries_relational_ext,
         queries_domain,
         queries_sources,
+        queries_compute,
         queries_pipeline,
     )
 
