@@ -28,9 +28,12 @@ DEFAULT_SHINGLE = 3
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = DEFAULT_SHINGLE) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, s)."""
     words = F.split(F.col(text_col), " ")
+    # element_at indexing (no per-shingle array allocation, unlike slice())
     sh = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + k).cast("int")) for k in range(n)]
+        ),
     )
     return (
         df.filter(F.size(words) >= n)
@@ -49,47 +52,97 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def minhash_long(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    n: int = DEFAULT_SHINGLE,
+    _shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(id, band, v) — one MinHash row per (doc, permutation).
+
+    Long form keeps the generated code tiny (one md5 in a transform + a
+    single MIN aggregate) — a wide 16-aggregate formulation compiles to a
+    huge Janino method with pathological first-compile latency."""
+    sh = _shingles if _shingles is not None else shingles(df, id_col, text_col, n)
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda p: F.struct(
+            p.cast("int").alias("band"),
+            F.substring(F.md5(F.concat(p.cast("string"), F.lit(":"), F.col("s"))), 1, 8).alias("v"),
+        ),
+    )
+    return (
+        sh.select("id", F.explode(hashes).alias("h"))
+        .groupBy("id", F.col("h.band").alias("band"))
+        .agg(F.min("h.v").alias("v"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_perm: int = DEFAULT_NUM_PERM,
     n: int = DEFAULT_SHINGLE,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, m0..m{num_perm-1}) — 8-hex-char MinHash per permutation."""
-    sh = shingles(df, id_col, text_col, n)
+    """(id, m0..m{num_perm-1}) — wide MinHash signature (pivot of the long
+    form; each output column is a trivial min-of-filtered aggregate)."""
+    long = minhash_long(df, id_col, text_col, num_perm, n, _shingles)
     aggs = [
-        F.min(F.substring(F.md5(F.concat(F.lit(f"{p}:"), F.col("s"))), 1, 8)).alias(f"m{p}")
+        F.min(F.when(F.col("band") == p, F.col("v"))).alias(f"m{p}")
         for p in range(num_perm)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return long.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, num_perm: int = DEFAULT_NUM_PERM, max_bucket: int = 1000
+    sigs: DataFrame, num_perm: int = DEFAULT_NUM_PERM, max_bucket: int = 64
 ) -> DataFrame:
     """Candidate (id1, id2) pairs: docs sharing ANY of the ``num_perm``
     single-row bands (b=num_perm, r=1 — recall 1-(1-s)^b).
 
     Plan: unpivot to (band, value, id) → shuffle on (band, value) →
-    within-bucket self-join. ``max_bucket`` drops degenerate buckets
-    (skew guard for the 1000-executor case).
+    within-bucket pairing. ``max_bucket`` drops degenerate buckets — a
+    bucket far larger than any plausible duplicate cluster is a hash
+    artifact of common shingles, and with b single-row bands a true
+    near-dup pair collides in almost every band, so dropping one bloated
+    bucket costs no recall while preventing quadratic pair blowup (the
+    skew guard the 1000-executor case needs).
     """
     bands = F.array(*[F.struct(F.lit(p).alias("band"), F.col(f"m{p}").alias("v")) for p in range(num_perm)])
     flat = sigs.select("id", F.explode(bands).alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.v").alias("v")
     )
-    sizes = flat.groupBy("band", "v").agg(F.count("*").alias("n"))
-    flat = flat.join(
-        sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket)).select("band", "v"),
-        ["band", "v"],
+    return lsh_candidate_pairs_long(flat, max_bucket)
+
+
+def lsh_candidate_pairs_long(flat: DataFrame, max_bucket: int = 64) -> DataFrame:
+    """Candidate pairs from the long (id, band, v) form.
+
+    ONE shuffle: group each bucket, drop singletons/degenerate buckets,
+    emit the within-bucket pairs from the grouped array (all JVM-side) —
+    strictly cheaper than a sizes-join + self-join formulation.
+    """
+    buckets = (
+        flat.groupBy("band", "v")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
-    a = flat.select(F.col("band"), F.col("v"), F.col("id").alias("id1"))
-    b = flat.select(F.col("band"), F.col("v"), F.col("id").alias("id2"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "v"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .distinct()
     )
 
@@ -104,13 +157,17 @@ def near_dup_pairs(
 ) -> DataFrame:
     """(id1, id2, jaccard) — LSH candidates verified with exact Jaccard ≥
     threshold. jaccard = |∩| / (|s1|+|s2|−|∩|), an exact int/int divide."""
+    # one explode, cached, shared by signatures AND verification
     sh = shingles(df, id_col, text_col, n).cache()
-    cand = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col, num_perm, n), num_perm)
+    cand = lsh_candidate_pairs_long(
+        minhash_long(df, id_col, text_col, num_perm, n, _shingles=sh)
+    )
     counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # equi-join on (id, shingle) BOTH times: |result| = |actual overlaps|,
+    # never candidate-count × shingle-count (the quadratic trap)
     inter = (
         cand.join(sh.select(F.col("id").alias("id1"), "s"), "id1")
-        .join(sh.select(F.col("id").alias("id2"), F.col("s").alias("s2")), "id2")
-        .filter(F.col("s") == F.col("s2"))
+        .join(sh.select(F.col("id").alias("id2"), "s"), ["id2", "s"])
         .groupBy("id1", "id2")
         .agg(F.count("*").alias("i"))
     )

@@ -33,15 +33,31 @@ TABLES = (
 )
 
 
-def get_spark(app_name: str = "duckdb_miint_spark", cpus: int | None = None) -> SparkSession:
-    """Build (or reuse) a session with scale-appropriate defaults."""
+def get_spark(
+    app_name: str = "duckdb_miint_spark",
+    cpus: int | None = None,
+    aqe: bool | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a session with scale-appropriate defaults.
+
+    AQE defaults ON (runtime coalescing + skew splitting is the right call
+    on a real cluster). ``aqe=False`` / SPARK_GRAFT_AQE=0 exists for
+    small-scale benchmarking, where AQE's per-stage re-planning round-trips
+    cost more than they save — a latency/throughput trade, not a semantics
+    change.
+    """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if aqe is None:
+        aqe = os.environ.get("SPARK_GRAFT_AQE", "1") not in ("0", "false")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or max(cpus, 8)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
