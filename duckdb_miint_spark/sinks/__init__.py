@@ -11,5 +11,7 @@ Spark's text sink. Two output modes:
   written fully distributed with optional gzip codec — the 100 TB shape.
 """
 
+from duckdb_miint_spark.sinks.bam_sink import copy_bam  # noqa: F401
 from duckdb_miint_spark.sinks.fastx_sink import copy_fasta, copy_fastq  # noqa: F401
+from duckdb_miint_spark.sinks.newick_sink import copy_newick  # noqa: F401
 from duckdb_miint_spark.sinks.sam_sink import copy_sam  # noqa: F401

@@ -155,3 +155,132 @@ def test_sam_errors(spark, tmp_path):
         copy_sam(src.drop("flags"), str(tmp_path / "e.sam"), reference_lengths=[])
     with pytest.raises(CopyError, match="REFERENCE_LENGTHS"):
         copy_sam(src, str(tmp_path / "e2.sam"))
+
+
+# --- NEWICK sink -------------------------------------------------------------
+
+
+def test_newick_roundtrip_simple(spark, tmp_path):
+    from duckdb_miint_spark.sinks import copy_newick
+    from duckdb_miint_spark.sources.newick import read_newick
+
+    src = read_newick(spark, f"{DATA}/newick/simple.nwk")
+    out = str(tmp_path / "tree.nwk")
+    copy_newick(src, out)
+    with open(out) as f:
+        assert f.read().strip() == "((A:0.1,B:0.2):0.3,C:0.4);"
+    back = read_newick(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_newick_edge_ids_roundtrip(spark, tmp_path):
+    from duckdb_miint_spark.sinks import copy_newick
+    from duckdb_miint_spark.sources.newick import read_newick
+
+    src = read_newick(spark, f"{DATA}/newick/with_edge_ids.nwk")
+    out = str(tmp_path / "edges.nwk")
+    copy_newick(src, out)  # EDGE_IDS auto-on (edge_id column present)
+    back = read_newick(spark, out)
+    assert back.filter("edge_id IS NOT NULL").count() == 5
+    out2 = str(tmp_path / "noedges.nwk")
+    copy_newick(src, out2, edge_ids=False)
+    assert read_newick(spark, out2).filter("edge_id IS NOT NULL").count() == 0
+
+
+def test_newick_quoted_label_and_gzip(spark, tmp_path):
+    from duckdb_miint_spark.sinks import copy_newick
+    from duckdb_miint_spark.sinks.newick_sink import NewickBuildError
+    from duckdb_miint_spark.sources.newick import read_newick
+
+    rows = [
+        (0, "a b", 1.0, None, 2, True),
+        (1, "it's", 2.0, None, 2, True),
+        (2, "root", None, None, None, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "node_index long, name string, branch_length double, edge_id long, parent_index long, is_tip boolean"
+    )
+    out = str(tmp_path / "quoted.nwk.gz")
+    copy_newick(df, out)
+    back = read_newick(spark, out)
+    names = sorted(r["name"] for r in back.collect())
+    assert names == ["a b", "it's", "root"]
+    # validation taxonomy
+    with pytest.raises(NewickBuildError, match="Multiple roots"):
+        copy_newick(
+            spark.createDataFrame(
+                [(0, None), (1, None)], "node_index long, parent_index long"
+            ),
+            str(tmp_path / "e.nwk"),
+        )
+    with pytest.raises(NewickBuildError, match="non-existent parent"):
+        copy_newick(
+            spark.createDataFrame([(0, 99)], "node_index long, parent_index long"),
+            str(tmp_path / "e2.nwk"),
+        )
+
+
+def test_newick_placements(spark, tmp_path):
+    from duckdb_miint_spark.sinks import copy_newick
+    from duckdb_miint_spark.sources.newick import read_newick
+
+    src = read_newick(spark, f"{DATA}/newick/with_edge_ids.nwk")
+    placements = spark.createDataFrame(
+        [
+            ("frag1", 0, 0.9, 0.05, 0.01),
+            ("frag1", 1, 0.5, 0.05, 0.01),  # lower lwr -> deduped away
+            ("frag2", 3, 0.8, 0.1, 0.02),
+        ],
+        "fragment_id string, edge_id long, like_weight_ratio double, distal_length double, pendant_length double",
+    )
+    out = str(tmp_path / "placed.nwk")
+    copy_newick(src, out, placements=placements)
+    back = read_newick(spark, out)
+    names = {r["name"] for r in back.collect()}
+    assert "frag1" in names and "frag2" in names
+    # each placement adds internal + fragment node
+    assert back.count() == 5 + 2 * 2
+    fr1 = {r["name"]: r for r in back.collect()}["frag1"]
+    assert abs(fr1["branch_length"] - 0.01) < 1e-12
+
+
+# --- BAM sink ----------------------------------------------------------------
+
+
+def test_bam_roundtrip(spark, tmp_path):
+    from duckdb_miint_spark.sinks import copy_bam
+
+    src = read_alignments(spark, f"{DATA}/sam/foo_with_tags.sam")
+    out = str(tmp_path / "out.bam")
+    refs = [("G1234", 1000), ("G000144735", 100000)]
+    copy_bam(src.orderBy("read_id"), out, reference_lengths=refs)
+    with open(out, "rb") as f:
+        assert f.read(4)[:2] == b"\x1f\x8b"  # BGZF = gzip members
+    back = read_alignments(spark, out)
+    cols = src.columns
+    assert sorted(map(tuple, back.select(cols).collect())) == sorted(
+        map(tuple, src.select(cols).collect())
+    )
+
+
+def test_bam_matches_reference_bam(spark, tmp_path):
+    """Write BAM from the reference SAM, compare against the reference's
+    own BAM of the same data."""
+    from duckdb_miint_spark.sinks import copy_bam
+
+    src = read_alignments(spark, f"{DATA}/sam/foo_has_header.sam")
+    out = str(tmp_path / "foo.bam")
+    copy_bam(src, out, reference_lengths=[("G1234", 1000), ("G000144735", 100000)])
+    ours = read_alignments(spark, out)
+    theirs = read_alignments(spark, f"{DATA}/sam/foo_has_header.bam")
+    assert sorted(map(tuple, ours.collect())) == sorted(map(tuple, theirs.collect()))
+
+
+def test_bam_errors(spark, tmp_path):
+    from duckdb_miint_spark.sinks import copy_bam
+
+    src = read_alignments(spark, f"{DATA}/sam/foo_has_header.sam")
+    with pytest.raises(CopyError, match="COMPRESSION_LEVEL"):
+        copy_bam(src, str(tmp_path / "e.bam"), reference_lengths=[], compression_level=10)
+    with pytest.raises(CopyError, match="Reference not in REFERENCE_LENGTHS"):
+        copy_bam(src, str(tmp_path / "e2.bam"), reference_lengths=[("other", 10)])
