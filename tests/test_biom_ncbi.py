@@ -1,0 +1,105 @@
+"""Offline tests for the BIOM sparse-matrix core and the NCBI parser —
+the I/O boundaries (h5py, network) are environment-gated and asserted as
+such."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from duckdb_miint_spark.sinks.biom_sink import prepare_biom_coo
+from duckdb_miint_spark.sources.biom import (
+    compress_coo,
+    csc_to_coo,
+    read_biom,
+    unique_ids_in_order,
+)
+from duckdb_miint_spark.sources.ncbi import parse_genbank_xml, parse_update_date
+
+
+def test_csc_to_coo_matches_reference_loop():
+    # 3 samples (cols), entries: col0 -> features 0,2; col1 -> none; col2 -> 1
+    indptr = [0, 2, 2, 3]
+    indices = [0, 2, 1]
+    samples, features = csc_to_coo(indptr, indices)
+    assert samples == [0, 0, 2]
+    assert features == [0, 2, 1]
+
+
+def test_compress_coo_dedupe_and_epsilon():
+    s = [1, 0, 1, 0, 2]
+    f = [1, 0, 1, 0, 2]
+    v = [2.0, 1.0, 3.0, 0.5, 1e-12]
+    cs, cf, cv = compress_coo(s, f, v)
+    # (0,0) summed to 1.5; (1,1) summed to 5.0; (2,2) dropped (<= 1e-10)
+    assert list(zip(cs, cf, cv)) == [(0, 0, 1.5), (1, 1, 5.0)]
+
+
+def test_unique_ids_first_occurrence_order():
+    assert unique_ids_in_order(["b", "a", "b", "c", "a"]) == ["b", "a", "c"]
+
+
+def test_prepare_biom_coo_spark_side(spark):
+    df = spark.createDataFrame(
+        [
+            ("f1", "s1", 1.0),
+            ("f1", "s1", 2.0),
+            ("f2", "s1", 1e-12),
+            ("f2", "s2", 4.0),
+        ],
+        "feature_id string, sample_id string, value double",
+    )
+    rows = sorted(map(tuple, prepare_biom_coo(df).collect()))
+    assert rows == [("f1", "s1", 3.0), ("f2", "s2", 4.0)]
+
+
+def test_read_biom_gated(spark):
+    with pytest.raises(NotImplementedError, match="h5py"):
+        read_biom(spark, "/root/reference/data/biom/test.biom")
+
+
+# --- NCBI --------------------------------------------------------------------
+
+GBSEQ_XML = """
+<GBSet><GBSeq>
+  <GBSeq_locus>NC_000001</GBSeq_locus>
+  <GBSeq_length>248956422</GBSeq_length>
+  <GBSeq_moltype>DNA</GBSeq_moltype>
+  <GBSeq_update-date>15-AUG-2024</GBSeq_update-date>
+  <GBSeq_definition>Homo sapiens chromosome 1, GRCh38 reference assembly</GBSeq_definition>
+  <GBSeq_primary-accession>NC_000001</GBSeq_primary-accession>
+  <GBSeq_accession-version>NC_000001.11</GBSeq_accession-version>
+  <GBSeq_organism>Homo sapiens</GBSeq_organism>
+  <GBSeq_feature-table><GBFeature><GBQualifier>
+    <GBQualifier_name>db_xref</GBQualifier_name>
+    <GBQualifier_value>taxon:9606</GBQualifier_value>
+  </GBQualifier></GBFeature></GBSeq_feature-table>
+</GBSeq></GBSet>
+"""
+
+
+def test_parse_genbank_xml():
+    row = parse_genbank_xml(GBSEQ_XML)
+    assert row == (
+        "NC_000001.11",
+        11,
+        "Homo sapiens chromosome 1, GRCh38 reference assembly",
+        "Homo sapiens",
+        9606,
+        248956422,
+        "DNA",
+        datetime.date(2024, 8, 15),
+    )
+
+
+def test_parse_update_date():
+    assert parse_update_date("1-JAN-2020") == datetime.date(2020, 1, 1)
+    assert parse_update_date("31-DEC-1999") == datetime.date(1999, 12, 31)
+    assert parse_update_date("32-JAN-2020") is None
+    assert parse_update_date("garbage") is None
+    assert parse_update_date("") is None
+
+
+def test_parse_genbank_empty():
+    assert parse_genbank_xml("") is None
