@@ -48,6 +48,7 @@ def load_all() -> dict[str, QueryDef]:
         queries_sources,
         queries_compute,
         queries_pipeline,
+        queries_streaming,
     )
 
     return REGISTRY
