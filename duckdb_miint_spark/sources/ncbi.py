@@ -191,3 +191,161 @@ def read_ncbi_fasta(
             else:
                 seq_parts.append(line.strip())
     return spark.createDataFrame(rows, fastx_schema(include_filepath))
+
+
+# --- read_ncbi_annotation ----------------------------------------------------
+
+ANNOTATION_SCHEMA = StructType(
+    [
+        StructField("seqid", StringType()),
+        StructField("source", StringType()),
+        StructField("type", StringType()),
+        StructField("position", LongType()),
+        StructField("stop_position", LongType()),
+        StructField("score", StringType()),
+        StructField("strand", StringType()),
+        StructField("phase", IntegerType()),
+        StructField("attributes", StringType()),
+    ]
+)
+
+_REFSEQ_PREFIXES = (
+    "NC_", "NM_", "NP_", "NR_", "XM_", "XP_", "XR_", "NG_", "NT_", "NW_", "NZ_",
+)
+
+
+def _detect_source(seqid: str) -> str:
+    if not seqid:
+        return "unknown"
+    if any(seqid.startswith(p) for p in _REFSEQ_PREFIXES):
+        return "RefSeq"
+    return "GenBank"
+
+
+def _parse_simple_position(s: str) -> int:
+    """Strip partial indicators (< >) and non-digit suffixes
+    (ncbi_parser.cpp:364-383)."""
+    if s and s[0] in "<>":
+        s = s[1:]
+    m = re.match(r"\d+", s)
+    return int(m.group(0)) if m else 0
+
+
+def parse_feature_table(text: str, warn=None) -> list[tuple]:
+    """INSDC feature table → GFF-compatible rows
+    (ncbi_parser.cpp:385-552): complement strand from reversed positions,
+    codon_start→phase (1→0, 2→2, 3→1) for CDS, complex locations
+    (join/complement/order) reduced to outer bounds with a warning.
+
+    attributes are emitted as a ';'-joined k=v string (parse with
+    parse_gff_attributes for the MAP form)."""
+    rows: list[tuple] = []
+    seqid = ""
+    source = "unknown"
+    current: dict | None = None
+    warned_complex = False
+
+    def _warn(msg: str) -> None:
+        if warn:
+            warn(msg)
+
+    def _flush() -> None:
+        nonlocal current
+        if current is not None:
+            rows.append(
+                (
+                    current["seqid"], current["source"], current["type"],
+                    current["position"], current["stop_position"], None,
+                    current["strand"],
+                    current["phase"] if current["phase"] >= 0 else None,
+                    ";".join(f"{k}={v}" for k, v in current["attrs"]),
+                )
+            )
+            current = None
+
+    for line in (text or "").splitlines():
+        line = line.rstrip("\r ")
+        if not line:
+            continue
+        if line.startswith(">"):
+            if line.startswith(">Feature"):
+                _flush()
+                header = line[len(">Feature") + 1 :].lstrip(" \t") if len(line) > 9 else ""
+                for prefix in ("ref|", "gb|", "emb|", "dbj|"):
+                    if header.startswith(prefix):
+                        header = header[len(prefix):]
+                        bar = header.find("|")
+                        if bar >= 0:
+                            header = header[:bar]
+                        break
+                seqid = header
+                source = _detect_source(seqid)
+            continue
+        if line.startswith("\t"):
+            if current is None:
+                continue
+            tabs = len(line) - len(line.lstrip("\t"))
+            if tabs != 3:
+                _warn(f"Unexpected indentation ({tabs} tabs) in feature table, expected 3")
+            qual = line[tabs:]
+            key, _, value = qual.partition("\t")
+            current["attrs"].append((key, value))
+            if current["type"] == "CDS" and key == "codon_start":
+                try:
+                    cs = int(value)
+                    current["phase"] = {1: 0, 2: 2, 3: 1}.get(cs, current["phase"])
+                except ValueError:
+                    pass
+            continue
+        parts = line.split()
+        if len(parts) < 3:
+            continue
+        start_str, stop_str, ftype = parts[0], parts[1], parts[2]
+        if not warned_complex and any(
+            tok in s for s in (start_str, stop_str)
+            for tok in ("join", "order", "complement", "..", ",")
+        ):
+            _warn(
+                "Complex feature location detected (join/complement/order). "
+                "Using outer bounds only. For full location support, use "
+                "GenBank flat file format."
+            )
+            warned_complex = True
+        _flush()
+        pos1 = _parse_simple_position(start_str)
+        pos2 = _parse_simple_position(stop_str)
+        if pos1 > pos2:
+            position, stop, strand = pos2, pos1, "-"
+        else:
+            position, stop, strand = pos1, pos2, "+"
+        current = {
+            "seqid": seqid,
+            "source": source,
+            "type": ftype,
+            "position": position,
+            "stop_position": stop,
+            "strand": strand,
+            "phase": 0 if ftype == "CDS" else -1,
+            "attrs": [],
+        }
+    _flush()
+    return rows
+
+
+def read_ncbi_annotation(
+    spark: SparkSession,
+    accession: str | list[str],
+    api_key: str | None = None,
+    include_filepath: bool = False,
+) -> DataFrame:
+    """INSDC feature table → GFF-compatible DataFrame
+    (read_ncbi_annotation.cpp:1-250); network fetch driver-side."""
+    accs = [accession] if isinstance(accession, str) else list(accession)
+    if not accs:
+        raise NcbiError("at least one accession must be provided")
+    limiter = RateLimiter(api_key)
+    rows = []
+    for a in accs:
+        text = _fetch(a, api_key, "ft", limiter)
+        rows.extend(parse_feature_table(text))
+    return spark.createDataFrame(rows, ANNOTATION_SCHEMA)

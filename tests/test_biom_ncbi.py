@@ -103,3 +103,54 @@ def test_parse_update_date():
 
 def test_parse_genbank_empty():
     assert parse_genbank_xml("") is None
+
+
+FEATURE_TABLE = """>Feature ref|NC_001416.1|
+190\t255\tgene
+\t\t\tgene\tnu1
+\t\t\tlocus_tag\tlambdap01
+190\t255\tCDS
+\t\t\tproduct\tDNA packaging protein
+\t\t\tcodon_start\t2
+500\t300\tgene
+\t\t\tgene\trev
+<100\t>200\tmisc_feature
+"""
+
+
+def test_parse_feature_table():
+    from duckdb_miint_spark.sources.ncbi import parse_feature_table
+
+    warnings = []
+    rows = parse_feature_table(FEATURE_TABLE, warn=warnings.append)
+    assert len(rows) == 4
+    gene = rows[0]
+    assert gene[:5] == ("NC_001416.1", "RefSeq", "gene", 190, 255)
+    assert gene[6] == "+" and gene[7] is None
+    assert "gene=nu1" in gene[8] and "locus_tag=lambdap01" in gene[8]
+    cds = rows[1]
+    # codon_start 2 -> phase 2
+    assert cds[2] == "CDS" and cds[7] == 2
+    rev = rows[2]
+    # reversed positions -> complement strand, outer bounds normalized
+    assert rev[3:5] == (300, 500) and rev[6] == "-"
+    partial = rows[3]
+    # partial indicators stripped
+    assert partial[3:5] == (100, 200)
+
+
+def test_parse_feature_table_complex_location_warns():
+    from duckdb_miint_spark.sources.ncbi import parse_feature_table
+
+    warnings = []
+    rows = parse_feature_table(
+        ">Feature gb|AB123456|\njoin(1..3)\t500\tCDS\n", warn=warnings.append
+    )
+    assert rows[0][0] == "AB123456" and rows[0][1] == "GenBank"
+    assert any("Complex feature location" in w for w in warnings)
+
+
+def test_parse_feature_table_empty():
+    from duckdb_miint_spark.sources.ncbi import parse_feature_table
+
+    assert parse_feature_table("") == []
