@@ -62,14 +62,25 @@ def compress_intervals(
     stop_col: str = "stop",
     group_cols: list[str] | tuple = (),
     out_col: str = "intervals",
+    emit_null_groups: bool = False,
 ) -> DataFrame:
     """Reference-shaped output: array<struct<start,stop>> per group, sorted by
-    start. Groups with only NULL pairs don't appear (reference returns NULL)."""
+    start. ``emit_null_groups=True`` reproduces the reference exactly for
+    groups whose pairs are all NULL (the aggregate's Finalize emits the
+    group with a NULL list, compress_intervals.cpp:153-163) via a right
+    join back to the distinct group keys; the default drops them, which is
+    what the genome_coverage pipeline consumes."""
     group_cols = list(group_cols)
     islands = compress_intervals_islands(df, start_col, stop_col, group_cols)
-    return islands.groupBy(*group_cols).agg(
+    agg = islands.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list(F.struct("start", "stop"))).alias(out_col)
     )
+    if not emit_null_groups:
+        return agg
+    if not group_cols:
+        return agg  # global aggregate always yields exactly one row
+    keys = df.select(*group_cols).distinct()
+    return keys.join(agg, group_cols, "left")
 
 
 def merge_intervals_py(pairs) -> list[tuple[int, int]]:

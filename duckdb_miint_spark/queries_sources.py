@@ -294,3 +294,46 @@ def q_copy_sam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "read_id", "flags", "reference", "position", "stop_position", "cigar",
         "tag_as", "tag_nm", "tag_md",
     ).orderBy("read_id")
+
+
+@register(
+    "gff_parent_child_join",
+    oracle=f"""
+WITH g AS (
+  SELECT column2 AS type,
+         regexp_extract(column8, 'ID=([^;]*)', 1) AS id,
+         CASE WHEN column8 LIKE '%Parent=%'
+              THEN regexp_extract(column8, 'Parent=([^;]*)', 1) END AS parent
+  FROM read_csv('{DATA}/gff/test.gff',
+    delim = '\t', header = false, auto_detect = false,
+    columns = {{'column0':'VARCHAR','column1':'VARCHAR','column2':'VARCHAR',
+               'column3':'VARCHAR','column4':'VARCHAR','column5':'VARCHAR',
+               'column6':'VARCHAR','column7':'VARCHAR','column8':'VARCHAR'}},
+    null_padding = true)
+  WHERE column0 NOT LIKE '#%'
+)
+SELECT p.id AS parent_id, p.type AS parent_type, c.id AS child_id, c.type AS child_type
+FROM g p JOIN g c ON c.parent = p.id
+ORDER BY parent_id, child_id
+""",
+    tags=("source", "gff", "join"),
+)
+def q_gff_parent_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join on MAP values (README.md:638-645 GFF parent-child idiom):
+    child.attributes['Parent'] = parent.attributes['ID']."""
+    g = read_gff(spark, f"{DATA}/gff/test.gff").select(
+        "type",
+        F.element_at("attributes", "ID").alias("id"),
+        F.element_at("attributes", "Parent").alias("parent"),
+    )
+    p, c = g.alias("p"), g.alias("c")
+    return (
+        p.join(c, F.col("c.parent") == F.col("p.id"))
+        .select(
+            F.col("p.id").alias("parent_id"),
+            F.col("p.type").alias("parent_type"),
+            F.col("c.id").alias("child_id"),
+            F.col("c.type").alias("child_type"),
+        )
+        .orderBy("parent_id", "child_id")
+    )

@@ -245,3 +245,60 @@ def test_woltka_goldens(spark):
     assert got_ps[("foo", "H000000556")] == 1.417
     assert got_ps[("bar", "G016766915")] == 58452.652
     assert len(got_ps) == 19
+
+
+# --- SQL surface registration (reference names callable from spark.sql) ------
+
+
+def test_sql_surface(spark):
+    from duckdb_miint_spark.functions.sql_registry import register_all_sql_functions
+
+    register_all_sql_functions(spark)
+    spark.createDataFrame(
+        [(99, "ACGT", "10M2I3S", 1, "8A1")],
+        "flags int, seq string, cigar string, nm long, md string",
+    ).createOrReplaceTempView("sql_surface_t")
+    row = spark.sql("""
+        SELECT alignment_is_paired(flags) AS p,
+               is_read1(flags) AS r1,
+               alignment_is_primary(flags) AS prim,
+               sequence_dna_reverse_complement(seq) AS rc,
+               sequence_dna_as_regexp('RN') AS rx,
+               alignment_seq_identity(cigar, nm, md, 'blast') AS ident,
+               alignment_query_length(cigar, true) AS qlen,
+               alignment_query_coverage(cigar, 'aligned') AS cov,
+               align_pairwise_score(seq, 'ACAT') AS score,
+               miint_version() AS v
+        FROM sql_surface_t
+    """).collect()[0]
+    assert row["p"] is True and row["r1"] is True and row["prim"] is True
+    assert row["rc"] == "ACGT"
+    assert row["rx"] == "[AG][ACGT]"
+    assert row["ident"] == (12 - 1) / 12  # columns=M+I=12, nm=1
+    assert row["qlen"] == 15  # 10M + 2I + 3S
+    assert row["cov"] == 10 / 15
+    assert row["score"] == 4  # one mismatch at default penalties
+    assert row["v"].startswith("0.")
+
+
+def test_sql_surface_error_parity(spark):
+    from duckdb_miint_spark.functions.sql_registry import register_all_sql_functions
+
+    register_all_sql_functions(spark)
+    with pytest.raises(Exception, match="Invalid DNA base"):
+        spark.sql("SELECT sequence_dna_reverse_complement('ACGU')").collect()
+
+
+def test_compress_intervals_null_group_parity(spark):
+    from duckdb_miint_spark.functions.intervals import compress_intervals
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 4, 9), ("b", None, None)],
+        "g string, start long, stop long",
+    )
+    default = compress_intervals(df, "start", "stop", ["g"])
+    assert {r["g"] for r in default.collect()} == {"a"}
+    exact = compress_intervals(df, "start", "stop", ["g"], emit_null_groups=True)
+    rows = {r["g"]: r["intervals"] for r in exact.collect()}
+    assert [ (i["start"], i["stop"]) for i in rows["a"] ] == [(1, 9)]
+    assert rows["b"] is None  # reference: all-NULL group -> NULL list

@@ -366,3 +366,25 @@ def test_newick_parser_quoting_and_comments():
         parse_newick("(A,B)")
     with pytest.raises(NewickError, match="Unclosed quote"):
         parse_newick("('abc;")
+
+
+def test_fastx_glob_patterns(spark):
+    """glob_read_fastx.test shape: glob expansion + alphabetical order."""
+    df = read_fastx(spark, f"{DATA}/fastq/glob_single*.fq", include_filepath=True)
+    files = sorted({r["filepath"] for r in df.collect()})
+    assert [f.rsplit("/", 1)[1] for f in files] == [
+        "glob_single1.fq", "glob_single2.fq", "glob_single3.fq",
+    ]
+    # paired glob: R1 and R2 globs expand in parallel, sorted
+    paired = read_fastx(
+        spark,
+        f"{DATA}/fastq/glob_sample*_R1.fq",
+        sequence2=f"{DATA}/fastq/glob_sample*_R2.fq",
+        include_filepath=True,
+    )
+    assert paired.filter("sequence2 IS NOT NULL").count() == paired.count() > 0
+
+
+def test_sam_glob(spark):
+    df = read_alignments(spark, f"{DATA}/sam/foo_has_header?.sam".replace("?", ""))
+    assert df.count() == 4
