@@ -337,3 +337,35 @@ def q_gff_parent_child(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("parent_id", "child_id")
     )
+
+
+@register(
+    "read_biom_file",
+    oracle="""
+SELECT * FROM (VALUES
+  ('Sample1', 'GG_OTU_2', CAST(5.0 AS DOUBLE)),
+  ('Sample1', 'GG_OTU_4', CAST(2.0 AS DOUBLE)),
+  ('Sample2', 'GG_OTU_2', CAST(1.0 AS DOUBLE)),
+  ('Sample2', 'GG_OTU_4', CAST(1.0 AS DOUBLE)),
+  ('Sample2', 'GG_OTU_5', CAST(1.0 AS DOUBLE)),
+  ('Sample3', 'GG_OTU_1', CAST(1.0 AS DOUBLE)),
+  ('Sample3', 'GG_OTU_3', CAST(1.0 AS DOUBLE)),
+  ('Sample3', 'GG_OTU_4', CAST(1.0 AS DOUBLE)),
+  ('Sample3', 'GG_OTU_5', CAST(1.0 AS DOUBLE)),
+  ('Sample4', 'GG_OTU_2', CAST(2.0 AS DOUBLE)),
+  ('Sample4', 'GG_OTU_3', CAST(4.0 AS DOUBLE)),
+  ('Sample5', 'GG_OTU_2', CAST(3.0 AS DOUBLE)),
+  ('Sample6', 'GG_OTU_2', CAST(1.0 AS DOUBLE)),
+  ('Sample6', 'GG_OTU_3', CAST(2.0 AS DOUBLE)),
+  ('Sample6', 'GG_OTU_4', CAST(1.0 AS DOUBLE))
+) AS t(sample_id, feature_id, value)
+ORDER BY sample_id, feature_id
+""",
+    tags=("source", "biom"),
+)
+def q_read_biom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIOM v2.1 HDF5 → COO rows via the bundled minimal HDF5 reader
+    (read_biom.test:31-47 golden table)."""
+    from duckdb_miint_spark.sources.biom import read_biom
+
+    return read_biom(spark, f"{DATA}/biom/test.biom").orderBy("sample_id", "feature_id")

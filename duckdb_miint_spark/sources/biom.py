@@ -91,19 +91,21 @@ BIOM_SCHEMA = StructType(
 
 
 def _read_biom_file(path: str) -> list[tuple[str, str, float]]:
+    """BIOM v2.1 HDF5 → (sample_id, feature_id, value) triples, using the
+    bundled minimal HDF5 reader (sources/hdf5_mini.py) — no h5py needed."""
+    from duckdb_miint_spark.sources.hdf5_mini import Hdf5Error, Hdf5File
+
     try:
-        import h5py
-    except ImportError as e:
-        raise NotImplementedError(
-            "read_biom requires h5py (not available in this container); the "
-            "CSC->COO conversion it feeds is pure Python and tested directly"
-        ) from e
-    with h5py.File(path, "r") as f:  # pragma: no cover - no h5py here
-        data = [float(x) for x in f["sample/matrix/data"][:]]
-        indices = [int(x) for x in f["sample/matrix/indices"][:]]
-        indptr = [int(x) for x in f["sample/matrix/indptr"][:]]
-        sample_ids = [x.decode() for x in f["sample/ids"][:]]
-        feature_ids = [x.decode() for x in f["observation/ids"][:]]
+        f = Hdf5File(path)
+    except Hdf5Error as e:
+        raise BiomError(f"File is not a BIOM file: {path}") from e
+    if not (f.exists("sample/matrix") and f.exists("observation/ids")):
+        raise BiomError(f"File is not a BIOM file: {path}")
+    data = [float(x) for x in f.read("sample/matrix/data")]
+    indices = [int(x) for x in f.read("sample/matrix/indices")]
+    indptr = [int(x) for x in f.read("sample/matrix/indptr")]
+    sample_ids = [str(x) for x in f.read("sample/ids")]
+    feature_ids = [str(x) for x in f.read("observation/ids")]
     s_idx, f_idx = csc_to_coo(indptr, indices)
     return [
         (sample_ids[s], feature_ids[ft], v) for s, ft, v in zip(s_idx, f_idx, data)

@@ -54,9 +54,58 @@ def test_prepare_biom_coo_spark_side(spark):
     assert rows == [("f1", "s1", 3.0), ("f2", "s2", 4.0)]
 
 
-def test_read_biom_gated(spark):
-    with pytest.raises(NotImplementedError, match="h5py"):
-        read_biom(spark, "/root/reference/data/biom/test.biom")
+def test_read_biom_goldens(spark):
+    """read_biom.test:31-47 — full golden table from the reference."""
+    df = read_biom(spark, "/root/reference/data/biom/test.biom")
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [
+        ("Sample1", "GG_OTU_2", 5.0),
+        ("Sample1", "GG_OTU_4", 2.0),
+        ("Sample2", "GG_OTU_2", 1.0),
+        ("Sample2", "GG_OTU_4", 1.0),
+        ("Sample2", "GG_OTU_5", 1.0),
+        ("Sample3", "GG_OTU_1", 1.0),
+        ("Sample3", "GG_OTU_3", 1.0),
+        ("Sample3", "GG_OTU_4", 1.0),
+        ("Sample3", "GG_OTU_5", 1.0),
+        ("Sample4", "GG_OTU_2", 2.0),
+        ("Sample4", "GG_OTU_3", 4.0),
+        ("Sample5", "GG_OTU_2", 3.0),
+        ("Sample6", "GG_OTU_2", 1.0),
+        ("Sample6", "GG_OTU_3", 2.0),
+        ("Sample6", "GG_OTU_4", 1.0),
+    ]
+
+
+def test_read_biom_multifile_and_filepath(spark):
+    """read_biom.test:49-60 — multi-file concat + filepath column."""
+    df = read_biom(
+        spark,
+        ["/root/reference/data/biom/file1.biom", "/root/reference/data/biom/file2.biom"],
+    )
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [
+        ("S1", "O2", 3.0), ("S2", "O1", 1.0), ("S2", "O2", 4.0),
+        ("S3", "O1", 2.0), ("S3", "O2", 5.0), ("S4", "O2", 6.0),
+        ("S5", "O1", 2.0), ("S5", "O2", 8.0), ("S6", "O1", 4.0),
+        ("S6", "O2", 10.0),
+    ]
+    with_fp = read_biom(spark, "/root/reference/data/biom/test.biom", include_filepath=True)
+    assert with_fp.columns == ["sample_id", "feature_id", "value", "filepath"]
+    assert all(r["filepath"].endswith("test.biom") for r in with_fp.collect())
+
+
+def test_read_biom_errors(spark):
+    from duckdb_miint_spark.sources.biom import BiomError
+
+    with pytest.raises(BiomError, match="File not found"):
+        read_biom(spark, "missing.biom")
+    with pytest.raises(BiomError, match="not a BIOM file"):
+        read_biom(spark, "/root/reference/data/biom/notbiom.h5")
+
+
+def test_read_biom_empty(spark):
+    assert read_biom(spark, "/root/reference/data/biom/empty.biom").count() == 0
 
 
 # --- NCBI --------------------------------------------------------------------
