@@ -6,8 +6,9 @@ Parity target: reference src/copy_biom.cpp:18-560 — required columns
 occurrence, CSR+CSC HDF5 layout.
 
 The aggregation happens IN SPARK (groupBy — distributed); only the final
-HDF5 serialization is driver-side and h5py-gated (single-writer format,
-exactly like the reference's blocking Finalize).
+HDF5 serialization is driver-side, using the bundled minimal HDF5 writer
+(sources/hdf5_mini.py) — a single-writer format, exactly like the
+reference's blocking Finalize.
 """
 
 from __future__ import annotations
@@ -39,53 +40,42 @@ def copy_biom(
     generated_by: str = "duckdb_miint_spark",
     compression: str | None = None,
 ) -> None:
-    """COPY (df) TO path (FORMAT BIOM, ...) — needs h5py for the HDF5
-    write; everything before the serialization boundary runs in Spark."""
+    """COPY (df) TO path (FORMAT BIOM, ...); everything before the
+    single-writer HDF5 serialization boundary runs in Spark."""
+    from duckdb_miint_spark.sources.hdf5_mini import Hdf5Writer
+
     agg = prepare_biom_coo(df)
     rows = agg.collect()
     feature_ids = unique_ids_in_order([r["feature_id"] for r in rows])
     sample_ids = unique_ids_in_order([r["sample_id"] for r in rows])
-    try:
-        import h5py  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "copy_biom requires h5py for the HDF5 v2.1 write (not available "
-            "in this container); the Spark-side aggregation/ordering half is "
-            "tested via prepare_biom_coo + unique_ids_in_order"
-        ) from e
-    # pragma: no cover — h5py absent here; layout per BIOMTable.cpp:388-462
-    import numpy as np
-
     f_index = {f: i for i, f in enumerate(feature_ids)}
     s_index = {s: i for i, s in enumerate(sample_ids)}
     triples = sorted(
         (f_index[r["feature_id"]], s_index[r["sample_id"]], float(r["value"])) for r in rows
     )
-    with h5py.File(path, "w") as h5:
-        h5.attrs["id"] = table_id
-        h5.attrs["generated-by"] = generated_by
-        h5.attrs["format-version"] = [2, 1]
-        obs = h5.create_group("observation")
-        smp = h5.create_group("sample")
-        obs.create_dataset("ids", data=[f.encode() for f in feature_ids])
-        smp.create_dataset("ids", data=[s.encode() for s in sample_ids])
-        # CSR (observation-major)
-        data = np.array([v for _f, _s, v in triples])
-        indices = np.array([s for _f, s, _v in triples])
-        indptr = np.zeros(len(feature_ids) + 1, dtype=np.int64)
-        for fi, _s, _v in triples:
-            indptr[fi + 1] += 1
-        indptr = np.cumsum(indptr)
-        om = obs.create_group("matrix")
-        om.create_dataset("data", data=data)
-        om.create_dataset("indices", data=indices)
-        om.create_dataset("indptr", data=indptr)
-        # CSC (sample-major)
-        striples = sorted((s, f, v) for f, s, v in triples)
-        sm = smp.create_group("matrix")
-        sm.create_dataset("data", data=np.array([v for _s, _f, v in striples]))
-        sm.create_dataset("indices", data=np.array([f for _s, f, _v in striples]))
-        sindptr = np.zeros(len(sample_ids) + 1, dtype=np.int64)
-        for si, _f, _v in striples:
-            sindptr[si + 1] += 1
-        sm.create_dataset("indptr", data=np.cumsum(sindptr))
+
+    def _ptrs(major_counts: list[int]) -> list[int]:
+        out = [0]
+        for c in major_counts:
+            out.append(out[-1] + c)
+        return out
+
+    w = Hdf5Writer()
+    w.add_dataset("observation/ids", feature_ids, "string")
+    w.add_dataset("sample/ids", sample_ids, "string")
+    # CSR (observation-major) — BIOMTable.cpp:388-430
+    counts = [0] * len(feature_ids)
+    for fi, _s, _v in triples:
+        counts[fi] += 1
+    w.add_dataset("observation/matrix/data", [v for _f, _s, v in triples], "float")
+    w.add_dataset("observation/matrix/indices", [s for _f, s, _v in triples], "int")
+    w.add_dataset("observation/matrix/indptr", _ptrs(counts), "int")
+    # CSC (sample-major) — BIOMTable.cpp:432-462
+    striples = sorted((s, f, v) for f, s, v in triples)
+    scounts = [0] * len(sample_ids)
+    for si, _f, _v in striples:
+        scounts[si] += 1
+    w.add_dataset("sample/matrix/data", [v for _s, _f, v in striples], "float")
+    w.add_dataset("sample/matrix/indices", [f for _s, f, _v in striples], "int")
+    w.add_dataset("sample/matrix/indptr", _ptrs(scounts), "int")
+    w.save(path)

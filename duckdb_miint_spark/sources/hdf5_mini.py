@@ -374,3 +374,151 @@ class Hdf5File:
             return True
         except Hdf5Error:
             return False
+
+
+# ============================================================================
+# Minimal writer — enough to emit a BIOM v2.1-shaped HDF5 file that this
+# module's reader (and standard tools) can open: superblock v0, v1 object
+# headers, symbol-table groups, contiguous datasets (int64/float64/fixed
+# strings). No filters, no attributes.
+# ============================================================================
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * ((8 - len(b) % 8) % 8)
+
+
+def _dtype_message(kind: str, size: int) -> bytes:
+    if kind == "int":
+        # class 0 v1, signed, LE; properties: bit offset 0, precision
+        body = bytes([0x10, 0x08, 0x00, 0x00]) + struct.pack("<I", size)
+        body += struct.pack("<HH", 0, size * 8)
+        return body
+    if kind == "float":
+        # class 1 v1, IEEE F64LE properties
+        body = bytes([0x11, 0x20, 0x3F, 0x00]) + struct.pack("<I", size)
+        body += struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+        return body
+    if kind == "string":
+        # class 3 v1, null-terminated ASCII
+        body = bytes([0x13, 0x00, 0x00, 0x00]) + struct.pack("<I", size)
+        return body
+    raise Hdf5Error(f"writer: unsupported kind {kind}")
+
+
+class Hdf5Writer:
+    """Assemble a small HDF5 file: ``add_dataset('grp/sub/name', values,
+    kind)`` with kind in {'int','float','string'}, then ``save(path)``."""
+
+    def __init__(self):
+        self.datasets: dict[str, tuple[list, str]] = {}
+
+    def add_dataset(self, path: str, values: list, kind: str) -> None:
+        self.datasets[path] = (values, kind)
+
+    def save(self, path: str) -> None:
+        buf = bytearray(b"\x00" * 96)  # superblock reserved
+        UNDEF8 = b"\xff" * 8
+
+        def append(data: bytes) -> int:
+            addr = len(buf)
+            buf.extend(data)
+            return addr
+
+        def object_header(messages: list[tuple[int, bytes]]) -> int:
+            bodies = [(t, _pad8(b)) for t, b in messages]
+            total = sum(8 + len(b) for _t, b in bodies)
+            hdr = struct.pack("<BBHII", 1, 0, len(bodies), 1, total) + b"\x00" * 4
+            for t, b in bodies:
+                hdr += struct.pack("<HHB3x", t, len(b), 0) + b
+            return append(hdr)
+
+        def dataset_header(values: list, kind: str) -> int:
+            if kind == "string":
+                width = max((len(v.encode()) for v in values), default=0) + 1
+                raw = b"".join(v.encode().ljust(width, b"\x00") for v in values)
+                elem = width
+            elif kind == "int":
+                raw = struct.pack(f"<{len(values)}q", *[int(v) for v in values])
+                elem = 8
+            else:
+                raw = struct.pack(f"<{len(values)}d", *[float(v) for v in values])
+                elem = 8
+            data_addr = append(raw)
+            buf.extend(b"\x00" * ((8 - len(buf) % 8) % 8))
+            dataspace = struct.pack("<BB6x", 1, 1) + struct.pack("<Q", len(values))
+            layout = struct.pack("<BB", 3, 1) + struct.pack("<QQ", data_addr, len(raw))
+            return object_header(
+                [
+                    (0x0001, dataspace),
+                    (0x0003, _dtype_message(kind, elem)),
+                    (0x0008, layout),
+                ]
+            )
+
+        def group_header(children: dict[str, int]) -> int:
+            # local heap with child names
+            names = sorted(children)
+            offsets = {}
+            heap_data = bytearray()
+            for n in names:
+                offsets[n] = len(heap_data)
+                heap_data.extend(n.encode() + b"\x00")
+                heap_data.extend(b"\x00" * ((8 - len(heap_data) % 8) % 8))
+            heap_data_addr_pos = None
+            heap = bytearray(b"HEAP" + bytes([0, 0, 0, 0]))
+            heap += struct.pack("<Q", len(heap_data))
+            heap += UNDEF8  # no free list
+            heap_addr = len(buf)
+            heap += struct.pack("<Q", heap_addr + 32)  # data right after header
+            buf.extend(heap)
+            buf.extend(heap_data)
+            # SNOD with all entries (names sorted)
+            snod = bytearray(b"SNOD" + bytes([1, 0]) + struct.pack("<H", len(names)))
+            for n in names:
+                snod += struct.pack("<QQ", offsets[n], children[n])
+                snod += struct.pack("<I4x16x", 0)
+            snod_addr = append(bytes(snod))
+            # B-tree: single leaf pointing at the SNOD
+            btree = bytearray(b"TREE" + bytes([0, 0]) + struct.pack("<H", 1))
+            btree += UNDEF8 + UNDEF8  # siblings
+            btree += struct.pack("<Q", 0)  # key 0
+            btree += struct.pack("<Q", snod_addr)
+            btree += struct.pack("<Q", offsets[names[-1]] if names else 0)  # key 1
+            btree_addr = append(bytes(btree))
+            symtab = struct.pack("<QQ", btree_addr, heap_addr)
+            return object_header([(0x0011, symtab)])
+
+        # build the tree bottom-up
+        tree: dict = {}
+        for dpath, (values, kind) in self.datasets.items():
+            parts = dpath.split("/")
+            node = tree
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = (values, kind)
+
+        def emit(node: dict) -> int:
+            children = {}
+            for name, sub in node.items():
+                if isinstance(sub, dict):
+                    children[name] = emit(sub)
+                else:
+                    children[name] = dataset_header(*sub)
+            return group_header(children)
+
+        root_addr = emit(tree)
+        # superblock v0
+        sb = bytearray(SIG)
+        sb += bytes([0, 0, 0, 0, 0, 8, 8, 0])
+        sb += struct.pack("<HH", 4, 16)  # leaf k, internal k
+        sb += struct.pack("<I", 0)  # consistency flags
+        sb += struct.pack("<Q", 0)  # base address
+        sb += UNDEF8  # free space
+        sb += struct.pack("<Q", len(buf))  # EOF
+        sb += UNDEF8  # driver info
+        # root symbol table entry: name offset 0, header addr, no cache
+        sb += struct.pack("<QQ", 0, root_addr) + struct.pack("<I4x16x", 0)
+        buf[: len(sb)] = sb
+        with open(path, "wb") as f:
+            f.write(bytes(buf))

@@ -203,3 +203,26 @@ def test_parse_feature_table_empty():
     from duckdb_miint_spark.sources.ncbi import parse_feature_table
 
     assert parse_feature_table("") == []
+
+
+def test_copy_biom_roundtrip(spark, tmp_path):
+    from duckdb_miint_spark.sinks.biom_sink import copy_biom
+
+    src = read_biom(spark, "/root/reference/data/biom/test.biom")
+    out = str(tmp_path / "rt.biom")
+    copy_biom(src.select("feature_id", "sample_id", "value"), out)
+    back = read_biom(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_copy_biom_dedupe_epsilon(spark, tmp_path):
+    from duckdb_miint_spark.sinks.biom_sink import copy_biom
+
+    df = spark.createDataFrame(
+        [("f1", "s1", 1.0), ("f1", "s1", 2.5), ("f2", "s2", 1e-12)],
+        "feature_id string, sample_id string, value double",
+    )
+    out = str(tmp_path / "dedupe.biom")
+    copy_biom(df, out)
+    rows = sorted(map(tuple, read_biom(spark, out).collect()))
+    assert rows == [("s1", "f1", 3.5)]
