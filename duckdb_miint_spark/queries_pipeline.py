@@ -319,3 +319,28 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fake_decode_image_features(binary).select(
         F.col("id").alias("doc_id"), "n_bytes", "width", "height", "mode", "content_hash"
     ).orderBy("doc_id")
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+ORDER BY id1, id2
+""",
+    tags=("pipeline", "similarity"),
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates through LSH buckets; the oracle is
+    the all-pairs ground truth the bucketed plan must reproduce."""
+    from duckdb_miint_spark.pipeline.similarity import embedding_near_dup_pairs
+
+    emb = T(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.45).orderBy("id1", "id2")
