@@ -165,3 +165,85 @@ def q_align_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "read_id", F.col("flags").cast("int").alias("flags"), "reference",
         "position", "stop_position", "cigar",
     ).orderBy("read_id", "flags", "reference", "position")
+
+
+@register(
+    "align_sharded_routing",
+    oracle="""
+WITH queries AS (
+  SELECT * FROM (VALUES ('q1', 'ACGTACGT'), ('q2', 'TTTTT'), ('q3', 'NNNNN'))
+  AS t(read_id, sequence1)
+),
+routing AS (
+  SELECT * FROM (VALUES ('q1', 'shard_a'), ('q2', 'shard_b'), ('q3', 'shard_a'))
+  AS t(read_id, shard_name)
+),
+shards AS (
+  SELECT * FROM (VALUES ('shard_a', 'ref2', 'GGGGACGTACGTCCCC'),
+                        ('shard_b', 'ref1', 'AAAACGTACGTTTTT'))
+  AS t(shard_name, ref_name, ref_seq)
+),
+hits AS (
+  SELECT q.read_id, s.ref_name AS reference, gs.i AS position,
+         gs.i + length(q.sequence1) AS stop_position
+  FROM queries q
+  JOIN routing r ON q.read_id = r.read_id
+  JOIN shards s ON s.shard_name = r.shard_name
+  JOIN LATERAL (
+    SELECT CAST(unnest(range(1, length(s.ref_seq) + 1)) AS BIGINT) AS i
+  ) gs ON substr(s.ref_seq, CAST(gs.i AS INTEGER), length(q.sequence1)) = q.sequence1
+)
+SELECT read_id, reference, position, stop_position
+FROM hits
+ORDER BY read_id, position
+""",
+    tags=("compute", "aligner"),
+)
+def q_align_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-aligner routing (align_minimap2_sharded): queries join their
+    shard assignment, shuffle on shard_name co-locates each shard's reads,
+    unmapped filtered out — oracle states the same routing + exact-match
+    semantics in SQL."""
+    from duckdb_miint_spark.operators.aligners import (
+        ExactMatchBackend,
+        align_minimap2_sharded,
+    )
+
+    q = spark.createDataFrame(
+        [("q1", "ACGTACGT"), ("q2", "TTTTT"), ("q3", "NNNNN")], ["read_id", "sequence1"]
+    )
+    routing = spark.createDataFrame(
+        [("q1", "shard_a"), ("q2", "shard_b"), ("q3", "shard_a")],
+        ["read_id", "shard_name"],
+    )
+    shard_subjects = {
+        "shard_a": [("ref2", "GGGGACGTACGTCCCC")],
+        "shard_b": [("ref1", "AAAACGTACGTTTTT")],
+    }
+    out = align_minimap2_sharded(
+        spark, q, "/unused", routing,
+        backend_factory=ExactMatchBackend, shard_subjects=shard_subjects,
+    )
+    return out.select("read_id", "reference", "position", "stop_position").orderBy(
+        "read_id", "position"
+    )
+
+
+@register(
+    "rype_strand_minimizers",
+    oracle=None,  # positional variant: structure asserted in tests; hash
+    # semantics are bit-parity-tested against the Rust index
+    tags=("compute", "rype"),
+)
+def q_rype_strand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional minimizers (duplicates kept, len(hashes)==len(positions))."""
+    from duckdb_miint_spark.operators.rype import rype_extract_strand_minimizers
+
+    df = spark.createDataFrame(_RYPE_SEQS, ["read_id", "sequence1"])
+    out = rype_extract_strand_minimizers(df, 16, 8)
+    return out.select(
+        "read_id",
+        F.size("fwd_hashes").alias("n_fwd"),
+        F.size("fwd_positions").alias("n_fwd_pos"),
+        F.element_at("fwd_hashes", 1).alias("first_hash"),
+    ).orderBy("read_id")

@@ -369,3 +369,125 @@ def q_read_biom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_miint_spark.sources.biom import read_biom
 
     return read_biom(spark, f"{DATA}/biom/test.biom").orderBy("sample_id", "feature_id")
+
+
+@register(
+    "read_sequences_sam_view",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'read1', CAST(NULL AS VARCHAR), 'ACGTACGTACGTACGT', CAST(NULL AS VARCHAR)),
+  (CAST(2 AS BIGINT), 'read2', CAST(NULL AS VARCHAR), 'TGCATGCATGCA', CAST(NULL AS VARCHAR)),
+  (CAST(3 AS BIGINT), 'read3', CAST(NULL AS VARCHAR), 'NNNNNN', CAST(NULL AS VARCHAR))
+) AS t(sequence_index, read_id, comment, sequence1, sequence2)
+ORDER BY sequence_index
+""",
+    tags=("source", "sam"),
+)
+def q_read_sequences_sam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence view of a uBAM-style SAM in the fastx schema
+    (read_sequences_sam.test:43-70 goldens)."""
+    from duckdb_miint_spark.sources.sam import read_sequences_sam
+
+    df = read_sequences_sam(spark, f"{DATA}/sam/ubam_no_sq.sam")
+    return df.select(
+        "sequence_index", "read_id", "comment", "sequence1", "sequence2"
+    ).orderBy("sequence_index")
+
+
+@register(
+    "copy_newick_roundtrip",
+    oracle="""
+SELECT node_index, name, CAST(branch_length AS DOUBLE) AS branch_length,
+       parent_index, is_tip
+FROM (VALUES
+  (CAST(0 AS BIGINT), 'A', 0.1, CAST(2 AS BIGINT), true),
+  (CAST(1 AS BIGINT), 'B', 0.2, CAST(2 AS BIGINT), true),
+  (CAST(2 AS BIGINT), '', 0.3, CAST(4 AS BIGINT), false),
+  (CAST(3 AS BIGINT), 'C', 0.4, CAST(4 AS BIGINT), true),
+  (CAST(4 AS BIGINT), '', CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), false)
+) AS t(node_index, name, branch_length, parent_index, is_tip)
+ORDER BY node_index
+""",
+    tags=("sink", "newick"),
+)
+def q_copy_newick_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWICK sink → reader round-trip (copy_newick.test basic shape):
+    serialize simple.nwk's node table, re-parse, node structure invariant."""
+    import tempfile
+
+    from duckdb_miint_spark.sinks import copy_newick
+
+    src = read_newick(spark, f"{DATA}/newick/simple.nwk")
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_rt.nwk")
+    copy_newick(src, out)
+    back = read_newick(spark, out)
+    return back.select(
+        "node_index", "name", "branch_length", "parent_index", "is_tip"
+    ).orderBy("node_index")
+
+
+@register(
+    "copy_bam_roundtrip",
+    oracle="""
+SELECT * FROM (VALUES
+  ('foo-1', 0, 'G1234', CAST(2 AS BIGINT), CAST(12 AS BIGINT), '10M'),
+  ('foo-2', 0, 'G1234', CAST(2 AS BIGINT), CAST(12 AS BIGINT), '10M'),
+  ('foo-3', 99, 'G000144735', CAST(76020 AS BIGINT), CAST(76170 AS BIGINT), '150M'),
+  ('foo-3', 147, 'G000144735', CAST(76146 AS BIGINT), CAST(76296 AS BIGINT), '150M')
+) AS t(read_id, flags, reference, position, stop_position, cigar)
+ORDER BY read_id, flags
+""",
+    tags=("sink", "bam"),
+)
+def q_copy_bam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAM sink (pure-Python BGZF) → BAM reader round-trip
+    (copy_bam.test shape)."""
+    import tempfile
+
+    from duckdb_miint_spark.sinks import copy_bam
+
+    src = read_alignments(spark, f"{DATA}/sam/foo_has_header.sam")
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_rt.bam")
+    copy_bam(src, out, reference_lengths=[("G1234", 1000), ("G000144735", 100000)])
+    back = read_alignments(spark, out)
+    return back.select(
+        "read_id", "flags", "reference", "position", "stop_position", "cigar"
+    ).orderBy("read_id", "flags")
+
+
+@register(
+    "copy_biom_roundtrip",
+    oracle="""
+SELECT * FROM (VALUES
+  ('Sample1', 'GG_OTU_2', CAST(5.0 AS DOUBLE)),
+  ('Sample1', 'GG_OTU_4', CAST(2.0 AS DOUBLE)),
+  ('Sample2', 'GG_OTU_2', CAST(1.0 AS DOUBLE)),
+  ('Sample2', 'GG_OTU_4', CAST(1.0 AS DOUBLE)),
+  ('Sample2', 'GG_OTU_5', CAST(1.0 AS DOUBLE)),
+  ('Sample3', 'GG_OTU_1', CAST(1.0 AS DOUBLE)),
+  ('Sample3', 'GG_OTU_3', CAST(1.0 AS DOUBLE)),
+  ('Sample3', 'GG_OTU_4', CAST(1.0 AS DOUBLE)),
+  ('Sample3', 'GG_OTU_5', CAST(1.0 AS DOUBLE)),
+  ('Sample4', 'GG_OTU_2', CAST(2.0 AS DOUBLE)),
+  ('Sample4', 'GG_OTU_3', CAST(4.0 AS DOUBLE)),
+  ('Sample5', 'GG_OTU_2', CAST(3.0 AS DOUBLE)),
+  ('Sample6', 'GG_OTU_2', CAST(1.0 AS DOUBLE)),
+  ('Sample6', 'GG_OTU_3', CAST(2.0 AS DOUBLE)),
+  ('Sample6', 'GG_OTU_4', CAST(1.0 AS DOUBLE))
+) AS t(sample_id, feature_id, value)
+ORDER BY sample_id, feature_id
+""",
+    tags=("sink", "biom"),
+)
+def q_copy_biom_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIOM sink (minimal HDF5 writer, CSR+CSC v2.1 layout) → reader
+    round-trip on the reference golden table."""
+    import tempfile
+
+    from duckdb_miint_spark.sinks.biom_sink import copy_biom
+    from duckdb_miint_spark.sources.biom import read_biom
+
+    src = read_biom(spark, f"{DATA}/biom/test.biom")
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_rt.biom")
+    copy_biom(src.select("feature_id", "sample_id", "value"), out)
+    return read_biom(spark, out).orderBy("sample_id", "feature_id")
