@@ -1,0 +1,74 @@
+"""Physical-plan assertions: the properties that make these queries scale
+(pushdown, broadcast discipline, partition counts) — checked explicitly so
+a regression in plan shape fails loudly, not just slowly."""
+
+from __future__ import annotations
+
+from duckdb_miint_spark.registry import load_all
+from duckdb_miint_spark.sources.fastx import read_fastx
+
+SF = "/root/testdata/sf0.01"
+DATA = "/root/reference/data"
+REG = load_all()
+
+
+def plan_of(spark, name: str) -> str:
+    df = REG[name].spark_fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q3_q5_no_fact_broadcast_hint(spark):
+    """Round-1 regression: customer/supplier scale with SF and must never
+    carry a broadcast HINT (the size-based planner may still broadcast
+    them at small SF — that's correct adaptive behavior); only the true
+    dims nation/region are hinted."""
+    for name in ("q3_shipping_priority", "q5_local_supplier_volume"):
+        df = REG[name].spark_fn(spark, SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        for seg in analyzed.split("ResolvedHint")[1:]:
+            hinted = seg.split("Join")[0]
+            assert "customer" not in hinted, name
+            assert "supplier" not in hinted, name
+
+
+def test_having_big_orders_preaggregates(spark):
+    """lineitem must aggregate BEFORE joining orders (shuffle shrink)."""
+    df = REG["having_big_orders"].spark_fn(spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    join_pos = plan.find("Join")
+    agg_pos = plan.find("Aggregate", join_pos)
+    assert join_pos != -1 and agg_pos != -1, plan
+    # the aggregate appears below (after, in tree print) the join — i.e. as
+    # a join child — rather than consuming the join output
+    assert "count(1)" in plan[agg_pos : agg_pos + 400]
+
+
+def test_dedup_and_ann_no_cartesian(spark):
+    for name in ("lsh_near_dup_pairs", "ann_lsh_topk", "embedding_near_dup_pairs"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_fastx_one_partition_per_file(spark):
+    df = read_fastx(
+        spark,
+        [f"{DATA}/fastq/small_a.fq", f"{DATA}/fastq/small_b.fq", f"{DATA}/fastq/small_c.fq"],
+    )
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_woltka_exchange_budget(spark):
+    """The woltka plan should shuffle at most 3 times (dedup, window,
+    final aggregate) — a 4th exchange means a regression."""
+    plan = plan_of(spark, "woltka_ogu_per_sample")
+    # subtract AQE wrappers; count actual shuffle exchanges
+    n_exchanges = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_exchanges <= 4, f"{n_exchanges} exchanges:\n{plan[:2000]}"
