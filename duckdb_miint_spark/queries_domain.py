@@ -538,3 +538,34 @@ def gff_attributes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("m", "Name").alias("attr_name"),
         F.element_at("m", "size").cast("long").alias("attr_size"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "woltka_real_alignments",
+    oracle="""
+SELECT sample_id, feature_id, CAST(v AS DOUBLE) AS value FROM (VALUES
+  ('bar', 'H000003450', 477.800), ('bar', 'H000000556', 847.669),
+  ('bar', 'G002234575', 1302.833), ('bar', 'H000003668', 1468.333),
+  ('bar', 'H000000425', 2163.086), ('bar', 'H000000962', 6507.302),
+  ('bar', 'G012273055', 6633.619), ('bar', 'H000001008', 15730.569),
+  ('bar', 'G025152275', 17768.333), ('bar', 'G000156075', 30901.802),
+  ('bar', 'G016766915', 58452.652),
+  ('foo', 'H000000556', 1.417), ('foo', 'H000000425', 1.917),
+  ('foo', 'G025152275', 2.000), ('foo', 'H000000962', 2.667),
+  ('foo', 'G012273055', 4.750), ('foo', 'G000156075', 9.500),
+  ('foo', 'H000001008', 13.250), ('foo', 'G016766915', 15.500)
+) AS t(sample_id, feature_id, v)
+ORDER BY sample_id, feature_id
+""",
+    tags=("domain", "woltka"),
+)
+def woltka_real_alignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """woltka_ogu_per_sample over the reference's REAL alignment parquet,
+    matching the output of the actual Woltka tool run with
+    ``--no-demux --digits 10`` (test/sql/woltka.test:42-60) — externally
+    validated goldens, rounded to 3 decimals as the reference test does."""
+    sam = spark.read.parquet("/root/reference/data/sam/miint-woltka-test.parquet")
+    out = woltka_ogu_per_sample(sam, "common_sample_name", "read_id")
+    return out.select(
+        "sample_id", "feature_id", F.round("value", 3).alias("value")
+    ).orderBy("sample_id", "feature_id")

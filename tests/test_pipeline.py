@@ -89,3 +89,41 @@ def test_multimodal_real_decoder_is_gated(spark):
     d = attach_binary_column(docs(spark).limit(1))
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image(d)
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from duckdb_miint_spark.pipeline.skew import salted_aggregate
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plain = {
+        r["l_returnflag"]: (r["n"], r["s"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (r["n"], r["s"])
+        for r in salted_aggregate(
+            li,
+            ["l_returnflag"],
+            partial_aggs=[F.count("*").alias("pn"), F.sum("l_quantity").alias("ps")],
+            final_aggs=[F.sum("pn").alias("n"), F.sum("ps").alias("s")],
+            n_salts=8,
+            unique_col="l_orderkey",
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    from duckdb_miint_spark.pipeline.skew import salted_join
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_suppkey", "l_quantity")
+    supp = spark.read.parquet(f"{SF}/supplier.parquet").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    plain = li.join(supp, "l_suppkey").groupBy("s_nationkey").count()
+    salted = salted_join(li, supp, "l_suppkey", n_salts=4, unique_col="l_orderkey").groupBy(
+        "s_nationkey"
+    ).count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
