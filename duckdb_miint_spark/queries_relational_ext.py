@@ -398,3 +398,68 @@ def copy_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         [StructField("n_name", StringType()), StructField("n_cust", LongType())]
     )
     return spark.read.csv(out, header=True, schema=schema).orderBy("n_name")
+
+
+@register(
+    "semi_join_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("relational", "join"),
+)
+def semi_join_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS correlated subquery ≡ LEFT SEMI join (TPC-H Q4 shape)."""
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    ).select("l_orderkey").distinct()
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "scalar_subquery_small_quantity",
+    oracle="""
+SELECT l_partkey,
+       COUNT(*) AS n_small,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem l1
+WHERE l_quantity < (
+  SELECT 0.5 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+)
+GROUP BY l_partkey
+ORDER BY l_partkey
+LIMIT 100
+""",
+    tags=("relational", "subquery"),
+)
+def scalar_subquery_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape) ≡ join against the
+    per-key aggregate — the decorrelated plan Catalyst would produce."""
+    li = T(spark, sf_dir, "lineitem")
+    avgs = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(avgs, li.l_partkey == avgs.pk)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("l_partkey")
+        .limit(100)
+    )
