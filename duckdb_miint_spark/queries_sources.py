@@ -491,3 +491,68 @@ def q_copy_biom_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), "spark_graft_rt.biom")
     copy_biom(src.select("feature_id", "sample_id", "value"), out)
     return read_biom(spark, out).orderBy("sample_id", "feature_id")
+
+
+@register(
+    "sequence_schema_union",
+    oracle="""
+SELECT * FROM (VALUES
+  ('fastx', CAST(1 AS BIGINT), 'read_a1', 'AAAA'),
+  ('fastx', CAST(2 AS BIGINT), 'read_a2', 'TTTT'),
+  ('sam', CAST(1 AS BIGINT), 'read1', 'ACGTACGTACGTACGT'),
+  ('sam', CAST(2 AS BIGINT), 'read2', 'TGCATGCATGCA'),
+  ('sam', CAST(3 AS BIGINT), 'read3', 'NNNNNN'),
+  ('sff', CAST(1 AS BIGINT), 'READ_1', 'TCAGATTGCAGG'),
+  ('sff', CAST(2 AS BIGINT), 'READ_2', 'TCAGCCTAAGTC')
+) AS t(source, sequence_index, read_id, sequence1)
+ORDER BY source, sequence_index
+""",
+    tags=("source", "union"),
+)
+def q_sequence_schema_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared fastx schema across read_fastx / read_sequences_sam /
+    read_sequences_sff makes UNION ALL across sources valid — the design
+    property the reference enforces (read_sequences_sff.hpp:27-29,
+    read_sequences_sam.hpp:28-30)."""
+    from pyspark.sql import functions as FN
+
+    from duckdb_miint_spark.sources.sam import read_sequences_sam
+    from duckdb_miint_spark.sources.sff import read_sequences_sff
+
+    fastx = read_fastx(spark, f"{DATA}/fastq/small_a.fq").withColumn("source", FN.lit("fastx"))
+    sam = read_sequences_sam(spark, f"{DATA}/sam/ubam_no_sq.sam").withColumn("source", FN.lit("sam"))
+    sff = read_sequences_sff(spark, f"{DATA}/sff/basic_2reads.sff").withColumn("source", FN.lit("sff"))
+    u = fastx.unionByName(sam).unionByName(sff)
+    return u.select("source", "sequence_index", "read_id", "sequence1").orderBy(
+        "source", "sequence_index"
+    )
+
+
+@register(
+    "copy_fasta_roundtrip",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'seq1', 'test sequence 1', 'ATGCATGCATGC'),
+  (CAST(2 AS BIGINT), 'seq2', CAST(NULL AS VARCHAR), 'GGCCGGCCGGCC')
+) AS t(sequence_index, read_id, comment, sequence1)
+ORDER BY sequence_index
+""",
+    tags=("sink", "fasta"),
+)
+def q_copy_fasta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FASTA sink → reader round-trip with comments (copy_fasta.test)."""
+    import tempfile
+
+    from duckdb_miint_spark.sinks import copy_fasta
+
+    src = read_fastx(spark, f"{DATA}/fastq/test.fa")
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_rt.fa")
+    copy_fasta(
+        src.orderBy("sequence_index").select("read_id", "comment", "sequence1"),
+        out,
+        include_comment=True,
+    )
+    back = read_fastx(spark, out)
+    return back.select("sequence_index", "read_id", "comment", "sequence1").orderBy(
+        "sequence_index"
+    )
