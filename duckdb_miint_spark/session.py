@@ -53,6 +53,16 @@ def get_spark(
         aqe = os.environ.get("SPARK_GRAFT_AQE", "1") not in ("0", "false")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or max(cpus, 8)
+    # Executor Python workers must be able to import this package no matter
+    # the caller's cwd: Python DataSources and pandas UDFs deserialize by
+    # module reference. PYTHONPATH is read by the launched python workers
+    # (local mode) and spark.executorEnv covers cluster executors.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -66,6 +76,7 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS); read as long, convert explicitly
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
