@@ -124,3 +124,39 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("predicted_lang"),
         best["score"].alias("lang_score"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-token chunks with overlap — the standard
+    pre-training windowing op. (id, chunk_index, chunk_text, n_tokens).
+
+    Chunk starts advance by (chunk_tokens − overlap); the last chunk may be
+    short but is never empty; single-chunk documents are emitted whole.
+    Pure Catalyst (sequence + slice + concat_ws) — no Python per row, and
+    chunking is embarrassingly parallel at any scale."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n = F.size(words)
+    # start offsets: 1, 1+step, ... while start <= max(n - overlap, 1)
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("long").alias("chunk_index"),
+            F.concat_ws(" ", F.slice(words, s, chunk_tokens)).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - s + 1).cast("long").alias("n_tokens"),
+        ),
+    )
+    return (
+        df.filter(n > 0)
+        .select(F.col(id_col).alias("id"), F.explode(chunks).alias("c"))
+        .select("id", "c.chunk_index", "c.chunk_text", "c.n_tokens")
+    )

@@ -344,3 +344,35 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = T(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.45).orderBy("id1", "id2")
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, w, len(w) AS n,
+         unnest(range(1, greatest(len(w) - 8, 1) + 1, 56)) AS s
+  FROM words WHERE len(w) > 0
+)
+SELECT doc_id,
+       CAST((s - 1) / 56 AS BIGINT) AS chunk_index,
+       array_to_string(w[s : least(s + 63, n)], ' ') AS chunk_text,
+       CAST(least(64, n - s + 1) AS BIGINT) AS n_tokens
+FROM starts
+ORDER BY doc_id, chunk_index
+""",
+    tags=("pipeline", "text"),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking (64 tokens, 8 overlap) — chunk starts
+    every 56 tokens; the oracle replicates the slicing in DuckDB."""
+    from duckdb_miint_spark.pipeline.text import chunk_documents
+
+    docs = T(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=8).select(
+        F.col("id").alias("doc_id"), "chunk_index", "chunk_text", "n_tokens"
+    ).orderBy("doc_id", "chunk_index")
