@@ -96,7 +96,18 @@ def q_rype_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rype_extract_sets",
-    oracle=None,  # bit-exact parity vs the Rust index in tests/test_compute.py
+    # Input is a fixed literal table (sf-independent), so the oracle is the
+    # known-good output, baked as VALUES. The hash semantics behind these
+    # numbers are separately bit-parity-tested against the Rust-built index
+    # in tests/test_compute.py.
+    oracle="""
+SELECT * FROM (VALUES
+  ('seq1', 1, 1, CAST(6148914691236495360 AS BIGINT)),
+  ('seq2', 1, 1, CAST(6148914691236495360 AS BIGINT)),
+  ('seq3', 1, 1, CAST(6148914691236506925 AS BIGINT))
+) AS t(read_id, n_fwd, n_rc, min_fwd)
+ORDER BY read_id
+""",
     tags=("compute", "rype"),
 )
 def q_rype_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,8 +242,16 @@ def q_align_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rype_strand_minimizers",
-    oracle=None,  # positional variant: structure asserted in tests; hash
-    # semantics are bit-parity-tested against the Rust index
+    # Fixed literal input → known-good output as VALUES (hash semantics
+    # bit-parity-tested against the Rust index in tests/test_compute.py).
+    oracle="""
+SELECT * FROM (VALUES
+  ('seq1', 30, 30, CAST(6148914691236495360 AS BIGINT)),
+  ('seq2', 30, 30, CAST(6148914691236495360 AS BIGINT)),
+  ('seq3', 30, 30, CAST(6148914691236506925 AS BIGINT))
+) AS t(read_id, n_fwd, n_fwd_pos, first_hash)
+ORDER BY read_id
+""",
     tags=("compute", "rype"),
 )
 def q_rype_strand(spark: SparkSession, sf_dir: str) -> DataFrame:

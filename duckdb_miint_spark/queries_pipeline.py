@@ -222,16 +222,18 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprint_bottomk",
     oracle=f"""
 WITH {SHINGLES_CTE}
-SELECT doc_id, list_sort(list(DISTINCT md5(s)))[1:5] AS fingerprint
+SELECT doc_id, array_to_string(list_sort(list(DISTINCT md5(s)))[1:5], ',') AS fingerprint
 FROM sh GROUP BY doc_id ORDER BY doc_id
 """,
     tags=("pipeline", "text"),
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bottom-k min-wise fingerprint (5 smallest shingle hashes)."""
+    """Bottom-k min-wise fingerprint (5 smallest shingle hashes). Flattened
+    to a comma string: the driver canonicalizer can't hash array cells."""
     docs = T(spark, sf_dir, "documents")
     return bottomk_fingerprint(docs, k=5).select(
-        F.col("id").alias("doc_id"), "fingerprint"
+        F.col("id").alias("doc_id"),
+        F.array_join("fingerprint", ",").alias("fingerprint"),
     ).orderBy("doc_id")
 
 
@@ -271,19 +273,112 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_topk",
-    oracle=None,  # approximate: recall vs brute force asserted in pytest
+    # The LSH path is deterministic (md5-seeded ±1 hyperplanes), so the
+    # whole computation is restated in DuckDB SQL: same plane bytes
+    # (byte >= 128 ⟺ high hex nibble in 89abcdef), same b=8/r=2 buckets,
+    # same candidate join and exact-cosine rerank.
+    oracle="""
+WITH plane_vals AS (
+  SELECT p.p, d.d,
+         CASE WHEN strpos('89abcdef',
+                substr(md5('spark-graft:' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d // 16 AS VARCHAR)),
+                       ((d.d % 16) * 2) + 1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM range(16) p(p), range(64) d(d)
+),
+planes AS (SELECT p, list(w ORDER BY d) AS pv FROM plane_vals GROUP BY p),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+proj AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN list_dot_product(e.v, pl.pv) >= 0 THEN '1' ELSE '0' END AS bit
+  FROM e, planes pl
+),
+buckets AS (
+  SELECT vec_id, p // 2 AS band, string_agg(bit, '' ORDER BY p) AS bucket
+  FROM proj GROUP BY vec_id, p // 2
+),
+qb AS (SELECT vec_id AS query_id, band, bucket FROM buckets WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id
+  FROM buckets b JOIN qb q USING (band, bucket)
+  WHERE b.vec_id <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         ROUND(list_dot_product(q.v, t.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v))), 6) AS sim
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e t ON t.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+""",
     tags=("pipeline", "similarity"),
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-10 (bucketed candidates only)."""
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return lsh_ann_topk(emb, queries, k=10).orderBy("query_id", "rank")
+    return (
+        lsh_ann_topk(emb, queries, k=10)
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
 
 
 @register(
     "language_id_distribution",
-    oracle=None,  # heuristic over synthetic text; goldens live in pytest
+    # The marker-word heuristic restated in DuckDB SQL: same word split,
+    # same per-language hit counts, same argmax tie-break (max score, then
+    # lexicographically greatest language — Spark's array_max on
+    # struct(score, lang)).
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(lower(text), '[\\s\\.,;:!\\?]+'),
+        w -> w != '' AND list_contains(['the','and','of','to','is','in','that','it','with','for'], w))) AS s_en,
+    len(list_filter(regexp_split_to_array(lower(text), '[\\s\\.,;:!\\?]+'),
+        w -> w != '' AND list_contains(['der','die','das','und','ist','nicht','ein','mit','für','auf'], w))) AS s_de,
+    len(list_filter(regexp_split_to_array(lower(text), '[\\s\\.,;:!\\?]+'),
+        w -> w != '' AND list_contains(['el','la','de','que','y','en','los','es','una','por'], w))) AS s_es,
+    len(list_filter(regexp_split_to_array(lower(text), '[\\s\\.,;:!\\?]+'),
+        w -> w != '' AND list_contains(['le','la','les','de','et','est','un','une','dans','pour'], w))) AS s_fr,
+    (length(text) - length(replace(text, '的', '')))
+      + (length(text) - length(replace(text, '是', '')))
+      + (length(text) - length(replace(text, '了', '')))
+      + (length(text) - length(replace(text, '在', '')))
+      + (length(text) - length(replace(text, '我', '')))
+      + (length(text) - length(replace(text, '有', '')))
+      + (length(text) - length(replace(text, '和', '')))
+      + (length(text) - length(replace(text, '就', '')))
+      + (length(text) - length(replace(text, '不', '')))
+      + (length(text) - length(replace(text, '人', ''))) AS s_zh
+  FROM documents
+),
+best AS (
+  SELECT doc_id, greatest(s_en, s_de, s_es, s_fr, s_zh) AS b,
+         s_en, s_de, s_es, s_fr, s_zh
+  FROM scored
+),
+pred AS (
+  SELECT CASE WHEN b = 0 THEN 'und'
+              WHEN s_zh = b THEN 'zh'
+              WHEN s_fr = b THEN 'fr'
+              WHEN s_es = b THEN 'es'
+              WHEN s_en = b THEN 'en'
+              ELSE 'de' END AS predicted_lang
+  FROM best
+)
+SELECT predicted_lang, COUNT(*) AS n FROM pred
+GROUP BY predicted_lang ORDER BY predicted_lang
+""",
     tags=("pipeline", "text"),
 )
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -288,7 +288,7 @@ SELECT doc_id,
        CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
        CAST(len(list_intersect(words, ['table','scan','join','row'])) AS BIGINT) AS n_kw,
        CAST(list_avg(list_transform(words, w -> length(w))) AS DOUBLE) AS avg_word_len,
-       list_sort(list_distinct(list_intersect(words, ['table','scan','join','row']))) AS kw_sorted
+       COALESCE(array_to_string(list_sort(list_distinct(list_intersect(words, ['table','scan','join','row']))), ','), '') AS kw_sorted
 FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
 ORDER BY doc_id
 """,
@@ -316,7 +316,7 @@ def array_functions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / F.size("words")
         ).alias("avg_word_len"),
-        F.sort_array(inter).alias("kw_sorted"),
+        F.array_join(F.sort_array(inter), ",").alias("kw_sorted"),
     ).orderBy("doc_id")
 
 

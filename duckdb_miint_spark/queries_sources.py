@@ -34,45 +34,58 @@ DATA = "/root/reference/data"
     oracle="""
 SELECT * FROM (VALUES
   (CAST(1 AS BIGINT), 'foo1', 'comment-1', 'ATGC', 'TGCAT',
-   [40, 39, 38, 37], [36, 35, 34, 33, 32]),
+   '40,39,38,37', '36,35,34,33,32'),
   (CAST(2 AS BIGINT), 'foo2', 'comment-2', 'ATGCT', 'TGCATC',
-   [40, 39, 38, 37, 36], [36, 35, 34, 33, 32, 31])
+   '40,39,38,37,36', '36,35,34,33,32,31')
 ) AS t(sequence_index, read_id, comment, sequence1, sequence2, qual1, qual2)
 ORDER BY sequence_index
 """,
     tags=("source", "fastx"),
 )
 def q_read_fastx_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Paired-end gzip FASTQ vs the reference golden (read_fastx.test:23-27)."""
+    """Paired-end gzip FASTQ vs the reference golden (read_fastx.test:23-27).
+
+    qual arrays are projected as comma-joined strings: the driver's pandas
+    canonicalizer can't hash list cells, so array columns are flattened on
+    both the Spark and oracle side (same values, hashable encoding)."""
     df = read_fastx(
         spark, f"{DATA}/fastq/foo.r1.fastq.gz", sequence2=f"{DATA}/fastq/foo.r2.fastq.gz"
     )
-    return df.orderBy("sequence_index")
+    return df.select(
+        "sequence_index", "read_id", "comment", "sequence1", "sequence2",
+        F.array_join(F.col("qual1").cast("array<string>"), ",").alias("qual1"),
+        F.array_join(F.col("qual2").cast("array<string>"), ",").alias("qual2"),
+    ).orderBy("sequence_index")
 
 
 @register(
     "read_fastx_multifile",
     oracle=f"""
 SELECT * FROM (VALUES
-  (CAST(1 AS BIGINT), 'read_a1', 'AAAA', [40, 40, 40, 40], '{DATA}/fastq/small_a.fq'),
-  (CAST(2 AS BIGINT), 'read_a2', 'TTTT', [39, 39, 39, 39], '{DATA}/fastq/small_a.fq'),
-  (CAST(1 AS BIGINT), 'read_b1', 'GGGG', [38, 38, 38, 38], '{DATA}/fastq/small_b.fq'),
-  (CAST(2 AS BIGINT), 'read_b2', 'CCCC', [37, 37, 37, 37], '{DATA}/fastq/small_b.fq')
+  (CAST(1 AS BIGINT), 'read_a1', 'AAAA', '40,40,40,40', '{DATA}/fastq/small_a.fq'),
+  (CAST(2 AS BIGINT), 'read_a2', 'TTTT', '39,39,39,39', '{DATA}/fastq/small_a.fq'),
+  (CAST(1 AS BIGINT), 'read_b1', 'GGGG', '38,38,38,38', '{DATA}/fastq/small_b.fq'),
+  (CAST(2 AS BIGINT), 'read_b2', 'CCCC', '37,37,37,37', '{DATA}/fastq/small_b.fq')
 ) AS t(sequence_index, read_id, sequence1, qual1, filepath)
 ORDER BY filepath, sequence_index
 """,
     tags=("source", "fastx"),
 )
 def q_read_fastx_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-file sequence_index + filepath (read_fastx.test:77-86)."""
+    """Per-file sequence_index + filepath (read_fastx.test:77-86). qual
+    flattened to a comma string for the driver canonicalizer."""
     df = read_fastx(
         spark,
         [f"{DATA}/fastq/small_a.fq", f"{DATA}/fastq/small_b.fq"],
         include_filepath=True,
     )
-    return df.select("sequence_index", "read_id", "sequence1", "qual1", "filepath").orderBy(
-        "filepath", "sequence_index"
-    )
+    return df.select(
+        "sequence_index",
+        "read_id",
+        "sequence1",
+        F.array_join(F.col("qual1").cast("array<string>"), ",").alias("qual1"),
+        "filepath",
+    ).orderBy("filepath", "sequence_index")
 
 
 @register(
@@ -134,18 +147,24 @@ def q_read_alignments_bam_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT * FROM (VALUES
   (CAST(1 AS BIGINT), 'TRIM_READ_1', 'TCAGATTGCAGG',
-   [30, 30, 25, 35, 40, 38, 36, 30, 28, 25, 20, 15]),
+   '30,30,25,35,40,38,36,30,28,25,20,15'),
   (CAST(2 AS BIGINT), 'TRIM_READ_2', 'CAGCCTAAGT',
-   [30, 35, 30, 40, 38, 33, 30, 28, 35, 30])
+   '30,35,30,40,38,33,30,28,35,30')
 ) AS t(sequence_index, read_id, sequence1, qual1)
 ORDER BY sequence_index
 """,
     tags=("source", "sff"),
 )
 def q_read_sequences_sff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SFF binary reader with clip trimming (read_sequences_sff.test)."""
+    """SFF binary reader with clip trimming (read_sequences_sff.test). qual
+    flattened to a comma string for the driver canonicalizer."""
     df = read_sequences_sff(spark, f"{DATA}/sff/trimmed.sff")
-    return df.select("sequence_index", "read_id", "sequence1", "qual1").orderBy("sequence_index")
+    return df.select(
+        "sequence_index",
+        "read_id",
+        "sequence1",
+        F.array_join(F.col("qual1").cast("array<string>"), ",").alias("qual1"),
+    ).orderBy("sequence_index")
 
 
 @register(
@@ -233,7 +252,7 @@ def q_read_newick(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT * FROM (VALUES
   (CAST(1 AS BIGINT), 'pair_a1', 'AAAA', 'TTTT',
-   [40, 40, 40, 40], [39, 39, 39, 39])
+   '40,40,40,40', '39,39,39,39')
 ) AS t(sequence_index, read_id, sequence1, sequence2, qual1, qual2)
 ORDER BY sequence_index
 """,
@@ -258,7 +277,12 @@ def q_copy_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         sequence2=out.replace("{ORIENTATION}", "R2"),
     )
     return back.select(
-        "sequence_index", "read_id", "sequence1", "sequence2", "qual1", "qual2"
+        "sequence_index",
+        "read_id",
+        "sequence1",
+        "sequence2",
+        F.array_join(F.col("qual1").cast("array<string>"), ",").alias("qual1"),
+        F.array_join(F.col("qual2").cast("array<string>"), ",").alias("qual2"),
     ).orderBy("sequence_index")
 
 
