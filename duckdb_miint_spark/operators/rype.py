@@ -204,6 +204,26 @@ def load_ryxdi_manifest(index_path: str) -> dict:
     return out
 
 
+def _dir_bytes(path: str) -> int:
+    """Total on-disk size of the parquet files under ``path``."""
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+    except OSError:
+        return 1 << 62  # unknown size: assume big, never force-broadcast
+    return total
+
+
+# Above this compressed size the inverted posting list is NOT broadcast:
+# a RefSeq-scale .ryxdi is many GB and would OOM every executor. The join
+# then shuffles on the minimizer key (inverted-index lookup expressed
+# relationally) — the scan of the posting list stays pruned to the join.
+BROADCAST_INDEX_MAX_BYTES = 256 << 20
+
+
 def rype_classify(
     spark: SparkSession,
     index_path: str,
@@ -211,6 +231,7 @@ def rype_classify(
     id_column: str = "read_id",
     threshold: float = 0.1,
     negative_index: str | None = None,
+    broadcast_index_max_bytes: int = BROADCAST_INDEX_MAX_BYTES,
 ) -> DataFrame:
     """(read_id, bucket_id, bucket_name, score) per read×bucket with
     score ≥ threshold (rype_classify.cpp:72-392).
@@ -218,6 +239,11 @@ def rype_classify(
     score = |read minimizers ∩ bucket posting list| / |read minimizers|,
     with read minimizers = fwd ∪ rc sets (paired mates both contribute).
     A negative index removes its minimizers from the reads before scoring.
+
+    The posting list is broadcast only while its on-disk size is under
+    ``broadcast_index_max_bytes``; larger indexes join shuffled on the
+    minimizer key (AQE may still pick a runtime broadcast if the pruned
+    scan turns out small).
     """
     if not (0.0 <= threshold <= 1.0):
         raise RypeError("threshold must be between 0.0 and 1.0")
@@ -262,9 +288,12 @@ def rype_classify(
         )
         mins = mins.join(neg, "minimizer", "left_anti")
 
+    small_index = _dir_bytes(os.path.join(index_path, "inverted")) <= broadcast_index_max_bytes
+    inv_side = F.broadcast(inverted) if small_index else inverted
+
     totals = mins.groupBy("read_id").agg(F.count("*").alias("n_total"))
     hits = (
-        mins.join(F.broadcast(inverted), "minimizer")
+        mins.join(inv_side, "minimizer")
         .groupBy("read_id", "bucket_id")
         .agg(F.count("*").alias("n_hit"))
     )

@@ -63,6 +63,36 @@ def test_fastx_one_partition_per_file(spark):
     assert df.rdd.getNumPartitions() == 3
 
 
+def test_rype_classify_broadcast_branches_on_index_size(spark):
+    """Small index → posting list carries a broadcast hint; index above the
+    size cap → no hint on the inverted side (the join shuffles on the
+    minimizer key; a RefSeq-scale posting list must never be forced into
+    executor memory)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_miint_spark.operators.rype import rype_classify
+
+    reads = spark.createDataFrame(
+        [("r1", "ACGTACGTACGTACGTACGTACGTACGTACGT")], ["read_id", "sequence1"]
+    )
+    ryxdi = "/root/reference/data/rype/test.ryxdi"
+
+    def hinted_relations(df):
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        return [seg.split("Join")[0] for seg in analyzed.split("ResolvedHint")[1:]]
+
+    small = rype_classify(spark, ryxdi, reads, threshold=0.0)
+    assert any("minimizer" in h for h in hinted_relations(small))
+
+    big = rype_classify(spark, ryxdi, reads, threshold=0.0, broadcast_index_max_bytes=0)
+    assert not any("minimizer" in h for h in hinted_relations(big))
+    # and the result is identical either way
+    cols = ["read_id", "bucket_name", "score"]
+    assert sorted(map(tuple, small.select(*cols).collect())) == sorted(
+        map(tuple, big.select(*cols).collect())
+    )
+
+
 def test_woltka_exchange_budget(spark):
     """The woltka plan should shuffle at most 3 times (dedup, window,
     final aggregate) — a 4th exchange means a regression."""
