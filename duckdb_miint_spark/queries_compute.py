@@ -20,11 +20,48 @@ from duckdb_miint_spark.functions.pairwise import (
     align_pairwise_cigar,
     align_pairwise_score,
 )
-from duckdb_miint_spark.operators.aligners import ExactMatchBackend, align_minimap2
+from duckdb_miint_spark.operators.aligners import (
+    Bowtie2Runner,
+    EqxExactBackend,
+    ExactMatchBackend,
+    align_minimap2,
+)
 from duckdb_miint_spark.operators.rype import rype_classify, rype_extract_minimizer_set
 from duckdb_miint_spark.registry import register
 
 RYXDI = "/root/reference/data/rype/test.ryxdi"
+
+# The reference's own aligner test fixture (test/sql/align_minimap2.test:10-22,
+# align_bowtie2.test:12-24)
+_REF_SUBJECTS = [
+    ("ref1", "ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT"
+             "GGCCTTAAGGCCTTAAGGCCTTAAGGCCTTAAGGCCTTAAGGCCTTAAGGCC"),
+    ("ref2", "TGCATGCATGCATGCATGCATGCATGCATGCATGCATGCATGCATGCATGCA"
+             "AATTAATTAATTAATTAATTAATTAATTAATTAATTAATTAATTAATTAA"),
+]
+_REF_QUERIES = [
+    ("query1", "ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT"),
+    ("query2", "TGCATGCATGCATGCATGCATGCATGCATGCATGCATGCATGCATGCATGCA"),
+]
+
+
+def _fake_bowtie2_runner(**kw):
+    """Bowtie2Runner on the deterministic stand-in binaries (fixtures.BIN_DIR)
+    — the complete subprocess path (index build, pipes, writer thread, SAM
+    parse) with exact-substring semantics, so the gate is reproducible in a
+    container without the real tool."""
+    import os
+
+    from duckdb_miint_spark.fixtures import BIN_DIR
+
+    def factory():
+        return Bowtie2Runner(
+            bowtie2_path=os.path.join(BIN_DIR, "bowtie2"),
+            bowtie2_build_path=os.path.join(BIN_DIR, "bowtie2-build"),
+            **kw,
+        )
+
+    return factory
 
 _PAIRS = [
     ("s1", "ACGT", "ACGT"),
@@ -266,3 +303,148 @@ def q_rype_strand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fwd_positions").alias("n_fwd_pos"),
         F.element_at("fwd_hashes", 1).alias("first_hash"),
     ).orderBy("read_id")
+
+
+# --- aligner golden gates (reference test/sql fixtures) ----------------------
+
+
+@register(
+    "align_minimap2_golden",
+    # align_minimap2.test:24-68 observables on the reference's own fixture,
+    # through the FULL align_minimap2 path (collect+broadcast subjects,
+    # Arrow-batched mapInPandas) with the minimap2-faithful EqxExactBackend:
+    # eqx CIGAR, r_en stop, reg_to_sam-shaped tags, no unmapped rows.
+    oracle="""
+SELECT * FROM (VALUES
+  ('query1', 0, 'ref1', CAST(1 AS BIGINT), CAST(52 AS BIGINT), 60, '52=',
+   CAST(52 AS BIGINT), CAST(0 AS BIGINT), 'UU', '52'),
+  ('query2', 0, 'ref2', CAST(1 AS BIGINT), CAST(52 AS BIGINT), 60, '52=',
+   CAST(52 AS BIGINT), CAST(0 AS BIGINT), 'UU', '52')
+) AS t(read_id, flags, reference, position, stop_position, mapq, cigar,
+       tag_as, tag_nm, tag_yt, tag_md)
+ORDER BY read_id
+""",
+    tags=("compute", "aligner"),
+)
+def q_align_minimap2_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimap2 golden-path gate (Minimap2Aligner.cpp:214-263 semantics via
+    the injected-but-faithful backend; real mappy backend is import-gated)."""
+    q = spark.createDataFrame(_REF_QUERIES, ["read_id", "sequence1"])
+    s = spark.createDataFrame(_REF_SUBJECTS, ["read_id", "sequence1"])
+    out = align_minimap2(
+        spark, q, subject_table=s, max_secondary=0,
+        backend_factory=lambda subs: EqxExactBackend(subs, max_secondary=0),
+    )
+    return out.select(
+        "read_id", F.col("flags").cast("int").alias("flags"), "reference",
+        "position", "stop_position", "mapq", "cigar", "tag_as", "tag_nm",
+        "tag_yt", "tag_md",
+    ).orderBy("read_id")
+
+
+@register(
+    "align_bowtie2_golden",
+    # align_bowtie2.test:27-59 observables through the COMPLETE subprocess
+    # path: per-task bowtie2-build index, piped bowtie2 (-x/-f/-k argv),
+    # writer thread, SAM-stdout parse. stop = position + CIGAR span
+    # (htslib bam_endpos convention, shared with read_alignments).
+    oracle="""
+SELECT * FROM (VALUES
+  ('query1', 0, 'ref1', CAST(1 AS BIGINT), CAST(53 AS BIGINT), 42, '52M',
+   CAST(52 AS BIGINT), CAST(0 AS BIGINT), '52', 'UU'),
+  ('query2', 0, 'ref2', CAST(1 AS BIGINT), CAST(53 AS BIGINT), 42, '52M',
+   CAST(52 AS BIGINT), CAST(0 AS BIGINT), '52', 'UU')
+) AS t(read_id, flags, reference, position, stop_position, mapq, cigar,
+       tag_as, tag_nm, tag_md, tag_yt)
+ORDER BY read_id
+""",
+    tags=("compute", "aligner", "bowtie2"),
+)
+def q_align_bowtie2_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowtie2 subprocess gate (align_bowtie2.cpp:14-117,
+    Bowtie2Aligner.cpp:458-889; stand-in binaries supply deterministic
+    alignment, the Spark+subprocess machinery is the real path)."""
+    from duckdb_miint_spark.operators.aligners import align_bowtie2
+
+    q = spark.createDataFrame(_REF_QUERIES, ["read_id", "sequence1"])
+    s = spark.createDataFrame(_REF_SUBJECTS, ["read_id", "sequence1"])
+    out = align_bowtie2(spark, q, s, runner_factory=_fake_bowtie2_runner())
+    return out.select(
+        "read_id", F.col("flags").cast("int").alias("flags"), "reference",
+        "position", "stop_position", "mapq", "cigar", "tag_as", "tag_nm",
+        "tag_md", "tag_yt",
+    ).orderBy("read_id")
+
+
+@register(
+    "align_bowtie2_sharded_golden",
+    # align_bowtie2_sharded.cpp:1-250: per-shard prebuilt index at
+    # <dir>/<shard>/index, routing join + shuffle on shard_name, one
+    # single-threaded bowtie2 per task, unmapped filtered (FilterMappedOnly).
+    oracle="""
+SELECT * FROM (VALUES
+  ('query1', 'ref1', CAST(1 AS BIGINT), CAST(53 AS BIGINT), '52M'),
+  ('query2', 'ref2', CAST(1 AS BIGINT), CAST(53 AS BIGINT), '52M')
+) AS t(read_id, reference, position, stop_position, cigar)
+ORDER BY read_id
+""",
+    tags=("compute", "aligner", "bowtie2"),
+)
+def q_align_bowtie2_sharded_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded bowtie2 gate: shard indexes are (re)built driver-side with the
+    stand-in bowtie2-build, then the real routed subprocess path runs."""
+    import os
+    import subprocess
+    import tempfile
+
+    from duckdb_miint_spark.fixtures import BIN_DIR
+    from duckdb_miint_spark.operators.aligners import align_bowtie2_sharded
+
+    shard_dir = os.path.join(tempfile.gettempdir(), "spark_graft_bt2_shards")
+    build = os.path.join(BIN_DIR, "bowtie2-build")
+    for shard, (name, seq) in (("shard_a", _REF_SUBJECTS[0]), ("shard_b", _REF_SUBJECTS[1])):
+        d = os.path.join(shard_dir, shard)
+        os.makedirs(d, exist_ok=True)
+        fasta = os.path.join(d, "ref.fa")
+        with open(fasta, "w") as f:
+            f.write(f">{name}\n{seq}\n")
+        subprocess.run([build, "--quiet", fasta, os.path.join(d, "index")], check=True)
+
+    q = spark.createDataFrame(
+        _REF_QUERIES + [("query3", "NNNNNNNNNN")], ["read_id", "sequence1"]
+    )
+    routing = spark.createDataFrame(
+        [("query1", "shard_a"), ("query2", "shard_b"), ("query3", "shard_a")],
+        ["read_id", "shard_name"],
+    )
+    out = align_bowtie2_sharded(
+        spark, q, shard_dir, routing, runner_factory=_fake_bowtie2_runner()
+    )
+    return out.select(
+        "read_id", "reference", "position", "stop_position", "cigar"
+    ).orderBy("read_id")
+
+
+@register(
+    "save_minimap2_index_golden",
+    # save_minimap2_index.cpp:99-108: single-row (success, index_path,
+    # num_subjects) through the real subprocess argv (-x preset -d out ref.fa).
+    oracle="""
+SELECT true AS success,
+       '/tmp/spark_graft_idx.mmi' AS index_path,
+       CAST(2 AS BIGINT) AS num_subjects
+""",
+    tags=("compute", "aligner"),
+)
+def q_save_minimap2_index_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index persist gate (stand-in minimap2 binary; real one is PATH-gated)."""
+    import os
+
+    from duckdb_miint_spark.fixtures import BIN_DIR
+    from duckdb_miint_spark.operators.aligners import save_minimap2_index
+
+    s = spark.createDataFrame(_REF_SUBJECTS, ["read_id", "sequence1"])
+    return save_minimap2_index(
+        spark, s, "/tmp/spark_graft_idx.mmi", preset="sr",
+        minimap2_path=os.path.join(BIN_DIR, "minimap2"),
+    )
