@@ -66,7 +66,72 @@ def ensure_fixtures() -> str:
         _write(os.path.join(GEN_DIR, f"chunk_{c}.csv"), "\n".join(rows) + "\n")
 
     _write_fake_aligner_bins()
+    _write_ncbi_fixtures()
     return GEN_DIR
+
+
+# Recorded-response NCBI fixtures (synthetic record in the documented GBSeq
+# XML / INSDC feature-table / FASTA shapes) — drive the full read_ncbi*
+# operators offline through their injectable fetcher.
+
+_NCBI_GBSEQ_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<GBSet>
+  <GBSeq>
+    <GBSeq_locus>TEST01000001</GBSeq_locus>
+    <GBSeq_length>5386</GBSeq_length>
+    <GBSeq_moltype>DNA</GBSeq_moltype>
+    <GBSeq_update-date>15-JUN-2024</GBSeq_update-date>
+    <GBSeq_definition>Synthetica exempli strain X1 chromosome, complete genome</GBSeq_definition>
+    <GBSeq_primary-accession>TEST01000001</GBSeq_primary-accession>
+    <GBSeq_accession-version>TEST01000001.2</GBSeq_accession-version>
+    <GBSeq_organism>Synthetica exempli</GBSeq_organism>
+    <GBSeq_taxonomy>Bacteria; Synthetica</GBSeq_taxonomy>
+    <GBSeq_feature-table>
+      <GBFeature>
+        <GBFeature_key>source</GBFeature_key>
+        <GBFeature_quals>
+          <GBQualifier>
+            <GBQualifier_name>db_xref</GBQualifier_name>
+            <GBQualifier_value>taxon:1234567</GBQualifier_value>
+          </GBQualifier>
+        </GBFeature_quals>
+      </GBFeature>
+    </GBSeq_feature-table>
+  </GBSeq>
+</GBSet>
+"""
+
+_NCBI_FEATURE_TABLE = (
+    ">Feature ref|TEST01000001.2|\n"
+    "1\t5386\tsource\n"
+    "\t\t\torganism\tSynthetica exempli\n"
+    "1\t1320\tgene\n"
+    "\t\t\tlocus_tag\tSEX_0001\n"
+    "1\t1320\tCDS\n"
+    "\t\t\tproduct\treplication protein\n"
+    "\t\t\tcodon_start\t1\n"
+    "2100\t1500\tgene\n"
+    "\t\t\tlocus_tag\tSEX_0002\n"
+)
+
+_NCBI_FASTA = (
+    ">TEST01000001.2 Synthetica exempli strain X1, complete genome\n"
+    "ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT\n"
+    "GGCCTTAAGGCCTTAAGGCCTTAAGGCCTTAAGGCCTTAA\n"
+)
+
+
+def _write_ncbi_fixtures() -> None:
+    _write(os.path.join(GEN_DIR, "ncbi_gbseq.xml"), _NCBI_GBSEQ_XML)
+    _write(os.path.join(GEN_DIR, "ncbi_feature_table.txt"), _NCBI_FEATURE_TABLE)
+    _write(os.path.join(GEN_DIR, "ncbi.fasta"), _NCBI_FASTA)
+
+
+def ncbi_fixture_fetcher(accession: str, rettype: str) -> str:
+    """Recorded-response fetcher matching the read_ncbi* fetcher contract."""
+    fname = {"gb": "ncbi_gbseq.xml", "ft": "ncbi_feature_table.txt", "fasta": "ncbi.fasta"}[rettype]
+    with open(os.path.join(GEN_DIR, fname)) as f:
+        return f.read()
 
 
 BIN_DIR = os.path.join(GEN_DIR, "bin")

@@ -552,6 +552,81 @@ def q_sequence_schema_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- NCBI (offline, recorded responses through the injectable fetcher) ------
+
+
+@register(
+    "read_ncbi_offline",
+    oracle="""
+SELECT 'TEST01000001.2' AS accession, 2 AS version,
+       'Synthetica exempli strain X1 chromosome, complete genome' AS description,
+       'Synthetica exempli' AS organism,
+       CAST(1234567 AS BIGINT) AS taxonomy_id,
+       CAST(5386 AS BIGINT) AS length,
+       'DNA' AS molecule_type,
+       CAST('2024-06-15' AS DATE) AS update_date
+""",
+    tags=("source", "ncbi"),
+)
+def q_read_ncbi_offline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full read_ncbi operator on a recorded GBSeq XML response
+    (ncbi_parser.cpp:257-318 parse: accession-version split, taxon regex,
+    DD-MON-YYYY date) — the HTTP layer is the only part not exercised."""
+    from duckdb_miint_spark.fixtures import ncbi_fixture_fetcher
+    from duckdb_miint_spark.sources.ncbi import read_ncbi
+
+    return read_ncbi(spark, "TEST01000001", fetcher=ncbi_fixture_fetcher)
+
+
+@register(
+    "read_ncbi_annotation_offline",
+    oracle="""
+SELECT * FROM (VALUES
+  ('TEST01000001.2', 'GenBank', 'source', CAST(1 AS BIGINT), CAST(5386 AS BIGINT),
+   CAST(NULL AS VARCHAR), '+', CAST(NULL AS INTEGER), 'organism=Synthetica exempli'),
+  ('TEST01000001.2', 'GenBank', 'gene', CAST(1 AS BIGINT), CAST(1320 AS BIGINT),
+   CAST(NULL AS VARCHAR), '+', CAST(NULL AS INTEGER), 'locus_tag=SEX_0001'),
+  ('TEST01000001.2', 'GenBank', 'CDS', CAST(1 AS BIGINT), CAST(1320 AS BIGINT),
+   CAST(NULL AS VARCHAR), '+', CAST(0 AS INTEGER), 'product=replication protein;codon_start=1'),
+  ('TEST01000001.2', 'GenBank', 'gene', CAST(1500 AS BIGINT), CAST(2100 AS BIGINT),
+   CAST(NULL AS VARCHAR), '-', CAST(NULL AS INTEGER), 'locus_tag=SEX_0002')
+) AS t(seqid, source, type, position, stop_position, score, strand, phase, attributes)
+ORDER BY position, stop_position, type
+""",
+    tags=("source", "ncbi"),
+)
+def q_read_ncbi_annotation_offline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_ncbi_annotation on a recorded INSDC feature table
+    (ncbi_parser.cpp:385-552): ref| header strip, reversed-position strand,
+    codon_start→phase for CDS, k=v attribute join."""
+    from duckdb_miint_spark.fixtures import ncbi_fixture_fetcher
+    from duckdb_miint_spark.sources.ncbi import read_ncbi_annotation
+
+    return read_ncbi_annotation(
+        spark, "TEST01000001", fetcher=ncbi_fixture_fetcher
+    ).orderBy("position", "stop_position", "type")
+
+
+@register(
+    "read_ncbi_fasta_offline",
+    oracle="""
+SELECT CAST(1 AS BIGINT) AS sequence_index,
+       'TEST01000001.2' AS read_id,
+       'Synthetica exempli strain X1, complete genome' AS comment,
+       'ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTGGCCTTAAGGCCTTAAGGCCTTAAGGCCTTAAGGCCTTAA' AS sequence1
+""",
+    tags=("source", "ncbi"),
+)
+def q_read_ncbi_fasta_offline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_ncbi_fasta on a recorded FASTA response → fastx schema
+    (read_ncbi_fasta.cpp:1-227): multi-line sequence join, header split."""
+    from duckdb_miint_spark.fixtures import ncbi_fixture_fetcher
+    from duckdb_miint_spark.sources.ncbi import read_ncbi_fasta
+
+    df = read_ncbi_fasta(spark, "TEST01000001", fetcher=ncbi_fixture_fetcher)
+    return df.select("sequence_index", "read_id", "comment", "sequence1")
+
+
 @register(
     "copy_fasta_roundtrip",
     oracle="""

@@ -144,16 +144,25 @@ def _fetch(accession: str, api_key: str | None, rettype: str, limiter: RateLimit
 
 
 def read_ncbi(
-    spark: SparkSession, accession: str | list[str], api_key: str | None = None
+    spark: SparkSession,
+    accession: str | list[str],
+    api_key: str | None = None,
+    fetcher=None,
 ) -> DataFrame:
-    """GenBank metadata for accession(s) (README.md:691-698 schema)."""
+    """GenBank metadata for accession(s) (README.md:691-698 schema).
+
+    ``fetcher(accession, rettype) -> str`` is injectable (recorded-fixture
+    tests / offline gate); the default is the rate-limited live E-utilities
+    client (ncbi_client.cpp:18-72)."""
     accs = [accession] if isinstance(accession, str) else list(accession)
     if not accs:
         raise NcbiError("at least one accession must be provided")
-    limiter = RateLimiter(api_key)
+    if fetcher is None:
+        limiter = RateLimiter(api_key)
+        fetcher = lambda a, rettype: _fetch(a, api_key, rettype, limiter)  # noqa: E731
     rows = []
     for a in accs:
-        row = parse_genbank_xml(_fetch(a, api_key, "gb", limiter))
+        row = parse_genbank_xml(fetcher(a, "gb"))
         if row is not None:
             rows.append(row)
     return spark.createDataFrame(rows, NCBI_SCHEMA)
@@ -164,15 +173,19 @@ def read_ncbi_fasta(
     accession: str | list[str],
     api_key: str | None = None,
     include_filepath: bool = False,
+    fetcher=None,
 ) -> DataFrame:
-    """NCBI FASTA fetch → read_fastx schema (read_ncbi_fasta.cpp:1-227)."""
+    """NCBI FASTA fetch → read_fastx schema (read_ncbi_fasta.cpp:1-227).
+    ``fetcher`` injectable as in read_ncbi."""
     accs = [accession] if isinstance(accession, str) else list(accession)
     if not accs:
         raise NcbiError("at least one accession must be provided")
-    limiter = RateLimiter(api_key)
+    if fetcher is None:
+        limiter = RateLimiter(api_key)
+        fetcher = lambda a, rettype: _fetch(a, api_key, rettype, limiter)  # noqa: E731
     rows = []
     for a in accs:
-        text = _fetch(a, api_key, "fasta", limiter)
+        text = fetcher(a, "fasta")
         idx = 0
         name, comment, seq_parts = None, "", []
         for line in text.splitlines() + [">"]:
@@ -337,15 +350,19 @@ def read_ncbi_annotation(
     accession: str | list[str],
     api_key: str | None = None,
     include_filepath: bool = False,
+    fetcher=None,
 ) -> DataFrame:
     """INSDC feature table → GFF-compatible DataFrame
-    (read_ncbi_annotation.cpp:1-250); network fetch driver-side."""
+    (read_ncbi_annotation.cpp:1-250); network fetch driver-side.
+    ``fetcher`` injectable as in read_ncbi."""
     accs = [accession] if isinstance(accession, str) else list(accession)
     if not accs:
         raise NcbiError("at least one accession must be provided")
-    limiter = RateLimiter(api_key)
+    if fetcher is None:
+        limiter = RateLimiter(api_key)
+        fetcher = lambda a, rettype: _fetch(a, api_key, rettype, limiter)  # noqa: E731
     rows = []
     for a in accs:
-        text = _fetch(a, api_key, "ft", limiter)
+        text = fetcher(a, "ft")
         rows.extend(parse_feature_table(text))
     return spark.createDataFrame(rows, ANNOTATION_SCHEMA)
