@@ -449,13 +449,19 @@ class SamReader(DataSourceReader):
         return [SamPartition(p, b, k) for p, b, k in self.plans]
 
     def read(self, partition: SamPartition):
+        from duckdb_miint_spark.sources.arrow_batch import batched
+
         fp = partition.path if self.include_filepath else None
         if partition.bam:
-            yield from read_bam(partition.path, self.include_seq_qual, fp)
+            rows = read_bam(partition.path, self.include_seq_qual, fp)
         else:
-            yield from read_sam_text(
+            rows = read_sam_text(
                 partition.path, set(partition.known_refs), self.include_seq_qual, fp
             )
+        # Arrow-batched handoff (buffer per batch, not pickled row tuples)
+        yield from batched(
+            rows, alignments_schema(self.include_seq_qual, self.include_filepath)
+        )
 
 
 class SamDataSource(DataSource):

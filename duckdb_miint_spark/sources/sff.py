@@ -128,11 +128,20 @@ class SffReader(DataSourceReader):
         return [SffPartition(p) for p in self.files]
 
     def read(self, partition: SffPartition):
-        for idx, (name, bases, quals) in enumerate(parse_sff(partition.path, self.trim), start=1):
-            row = (idx, name, None, bases, None, quals, None)
-            if self.include_filepath:
-                row = row + (partition.path,)
-            yield row
+        from duckdb_miint_spark.sources.arrow_batch import batched
+        from duckdb_miint_spark.sources.fastx import fastx_schema
+
+        def rows():
+            for idx, (name, bases, quals) in enumerate(
+                parse_sff(partition.path, self.trim), start=1
+            ):
+                row = (idx, name, None, bases, None, quals, None)
+                if self.include_filepath:
+                    row = row + (partition.path,)
+                yield row
+
+        # Arrow-batched handoff (buffer per batch, not pickled row tuples)
+        yield from batched(rows(), fastx_schema(self.include_filepath))
 
 
 class SffDataSource(DataSource):
