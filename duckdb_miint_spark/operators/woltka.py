@@ -9,9 +9,12 @@ total weight of 1, split evenly across the N references it hit
 (multi-mapping reads count fractionally). Requires columns ``reference``
 and ``flags`` in the input.
 
-Plan shape (identical to the macro's): DISTINCT → window COUNT per
-(seq, is_fwd) → SUM per (sample, feature). At scale the DISTINCT and the
-window shuffle on the same key family; Catalyst/AQE handles partial aggs.
+Plan shape: one ``repartition(__seq_id, __is_fwd)`` up front, which BOTH
+the DISTINCT (its keys are a superset, so hash-partitioning on the subset
+satisfies the clustered distribution) and the window COUNT reuse — then a
+single final shuffle for the (sample, feature) SUM. Two exchanges total
+where the naive DISTINCT → window → SUM plan pays three; at 100 TB the
+saved exchange is the full deduped alignment set.
 """
 
 from __future__ import annotations
@@ -28,12 +31,16 @@ def woltka_ogu_per_sample(
     sequence_id_field: str,
 ) -> DataFrame:
     """Per-sample OGU counts: (sample_id, feature_id, value)."""
-    base = relation.select(
-        F.col(sequence_id_field).alias("__seq_id"),
-        F.col(sample_id_field).alias("__sample_id"),
-        F.col("reference").alias("feature_id"),
-        alignment_is_read1("flags").alias("__is_fwd"),
-    ).dropDuplicates()
+    base = (
+        relation.select(
+            F.col(sequence_id_field).alias("__seq_id"),
+            F.col(sample_id_field).alias("__sample_id"),
+            F.col("reference").alias("feature_id"),
+            alignment_is_read1("flags").alias("__is_fwd"),
+        )
+        .repartition("__seq_id", "__is_fwd")
+        .dropDuplicates()
+    )
     n = F.count("*").over(W.partitionBy("__seq_id", "__is_fwd"))
     return (
         base.withColumn("__local_value", F.lit(1.0) / n)
@@ -44,11 +51,15 @@ def woltka_ogu_per_sample(
 
 def woltka_ogu(relation: DataFrame, sequence_id_field: str) -> DataFrame:
     """Sample-agnostic OGU counts: (feature_id, value)."""
-    base = relation.select(
-        F.col(sequence_id_field).alias("__seq_id"),
-        F.col("reference").alias("feature_id"),
-        alignment_is_read1("flags").alias("__is_fwd"),
-    ).dropDuplicates()
+    base = (
+        relation.select(
+            F.col(sequence_id_field).alias("__seq_id"),
+            F.col("reference").alias("feature_id"),
+            alignment_is_read1("flags").alias("__is_fwd"),
+        )
+        .repartition("__seq_id", "__is_fwd")
+        .dropDuplicates()
+    )
     n = F.count("*").over(W.partitionBy("__seq_id", "__is_fwd"))
     return (
         base.withColumn("__local_value", F.lit(1.0) / n)

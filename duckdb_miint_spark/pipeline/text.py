@@ -15,15 +15,23 @@ STOPWORDS = ("a", "an", "the", "and", "or", "of", "to", "in", "is", "it")
 
 
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, n_ws_tokens, n_re_tokens, n_chars_tok, avg_token_len)."""
+    """(id, n_ws_tokens, n_re_tokens, n_chars_tok, avg_token_len).
+
+    Split/tokenize once in a projection, then reference the materialized
+    arrays — every reuse of a split *expression* re-splits the text
+    (interpreted, HOFs don't codegen)."""
     t = F.col(text_col)
-    ws = F.filter(F.split(t, " "), lambda w: w != "")
-    re_toks = F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)
-    tok_chars = F.aggregate(ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
-    return df.select(
+    base = df.select(
         F.col(id_col).alias("id"),
+        F.filter(F.split(t, " "), lambda w: w != "").alias("__ws"),
+        F.regexp_extract_all(t, F.lit(TOKEN_RE), 0).alias("__re"),
+    )
+    ws = F.col("__ws")
+    tok_chars = F.aggregate(ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    return base.select(
+        "id",
         F.size(ws).cast("long").alias("n_ws_tokens"),
-        F.size(re_toks).cast("long").alias("n_re_tokens"),
+        F.size(F.col("__re")).cast("long").alias("n_re_tokens"),
         tok_chars.alias("n_chars_tok"),
         (tok_chars.cast("double") / F.size(ws)).alias("avg_token_len"),
     )
@@ -34,9 +42,15 @@ def quality_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     extreme length, low alpha ratio, high stopword share, short tokens —
     the standard pre-training corpus filters, each an exact expression."""
     t = F.col(text_col)
-    n_chars = F.length(t)
-    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
-    ws = F.filter(F.split(t, " "), lambda w: w != "")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.length(t).alias("__n_chars"),
+        F.length(F.regexp_replace(t, "[^A-Za-z]", "")).alias("__alpha"),
+        F.filter(F.split(t, " "), lambda w: w != "").alias("__ws"),
+    )
+    n_chars = F.col("__n_chars")
+    alpha = F.col("__alpha")
+    ws = F.col("__ws")
     n_words = F.size(ws)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, F.lower(w))))
@@ -53,8 +67,8 @@ def quality_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         ),
         6,
     )
-    return df.select(
-        F.col(id_col).alias("id"),
+    return base.select(
+        "id",
         n_chars.cast("long").alias("n_chars"),
         n_words.cast("long").alias("n_words"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
@@ -97,9 +111,17 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def language_scores(text_col: Column) -> dict[str, Column]:
-    """Per-language marker-hit counts (zh matches characters, not words)."""
-    words = F.filter(F.split(F.lower(text_col), r"[\s\.,;:!\?]+"), lambda w: w != "")
+def language_scores(text_col: Column, words_col: Column | None = None) -> dict[str, Column]:
+    """Per-language marker-hit counts (zh matches characters, not words).
+
+    ``words_col``: pre-materialized lowercase word array; when omitted it
+    is derived from ``text_col`` inline (each use then re-splits — callers
+    on a hot path should materialize it first, see ``language_id``)."""
+    words = (
+        words_col
+        if words_col is not None
+        else F.filter(F.split(F.lower(text_col), r"[\s\.,;:!\?]+"), lambda w: w != "")
+    )
     out = {}
     for lang, markers in LANG_MARKERS.items():
         if lang == "zh":
@@ -114,13 +136,19 @@ def language_scores(text_col: Column) -> dict[str, Column]:
 def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, predicted_lang, lang_score) — argmax of marker profiles;
     'und' (undetermined) when no marker hits at all."""
-    scores = language_scores(F.col(text_col))
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        t.alias("__t"),
+        F.filter(F.split(F.lower(t), r"[\s\.,;:!\?]+"), lambda w: w != "").alias("__words"),
+    )
+    scores = language_scores(F.col("__t"), F.col("__words"))
     pairs = F.array(
         *[F.struct(c.cast("long").alias("score"), F.lit(lang).alias("lang")) for lang, c in scores.items()]
     )
     best = F.array_max(pairs)
-    return df.select(
-        F.col(id_col).alias("id"),
+    return base.select(
+        "id",
         F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("predicted_lang"),
         best["score"].alias("lang_score"),
     )
@@ -143,7 +171,11 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     step = chunk_tokens - overlap
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "").alias("__words"),
+    )
+    words = F.col("__words")
     n = F.size(words)
     # start offsets: 1, 1+step, ... while start <= max(n - overlap, 1)
     starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step))
@@ -156,7 +188,7 @@ def chunk_documents(
         ),
     )
     return (
-        df.filter(n > 0)
-        .select(F.col(id_col).alias("id"), F.explode(chunks).alias("c"))
+        base.filter(n > 0)
+        .select("id", F.explode(chunks).alias("c"))
         .select("id", "c.chunk_index", "c.chunk_text", "c.n_tokens")
     )

@@ -49,10 +49,11 @@ from duckdb_miint_spark.operators.coverage import genome_coverage
 from duckdb_miint_spark.operators.gff import parse_gff_attributes
 from duckdb_miint_spark.operators.woltka import woltka_ogu, woltka_ogu_per_sample
 from duckdb_miint_spark.registry import register
+from duckdb_miint_spark.session import read_table
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_table(spark, sf_dir, name)
 
 
 # --- shared derivation SQL (common Spark/DuckDB dialect) ---------------------

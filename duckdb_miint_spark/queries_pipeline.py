@@ -37,10 +37,11 @@ from duckdb_miint_spark.pipeline.text import (
     token_stats,
 )
 from duckdb_miint_spark.registry import register
+from duckdb_miint_spark.session import read_table
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_table(spark, sf_dir, name)
 
 
 # Shared DuckDB CTE: distinct word-3-gram shingles per doc (1-based lists).

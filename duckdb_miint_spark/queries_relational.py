@@ -17,10 +17,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from duckdb_miint_spark.registry import register
+from duckdb_miint_spark.session import read_table
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_table(spark, sf_dir, name)
 
 
 def cents(col):

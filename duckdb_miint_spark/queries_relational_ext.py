@@ -27,6 +27,7 @@ from pyspark.sql.types import (
 
 from duckdb_miint_spark.fixtures import GEN_DIR, ensure_fixtures
 from duckdb_miint_spark.registry import register
+from duckdb_miint_spark.session import read_table
 
 ensure_fixtures()
 
@@ -36,7 +37,7 @@ CSV_GLOB = os.path.join(GEN_DIR, "chunk_*.csv")
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_table(spark, sf_dir, name)
 
 
 # --- CSV scan with options ---------------------------------------------------
