@@ -8,8 +8,19 @@ Spark-first design: the reference buffers up to 1M intervals per group and
 sort-merges; at 100 TB a buffering UDAF is the wrong shape. We use the
 classic *island* formulation — a window over (group, start) flags a new
 island whenever start > max(stop) of everything before it; islands then
-group-reduce. Everything stays JVM-side: two shuffles max (window + final
-agg), no Python in the hot path.
+group-reduce. Everything stays JVM-side, no Python in the hot path.
+
+Interval union is associative and idempotent, so it runs in TWO PHASES:
+phase 1 computes islands within (group, input-partition-id) — the window
+shuffle this costs is the same one the single-phase form pays, but its
+parallelism is #groups × #partitions instead of #groups, and no task ever
+has to hold a whole group (the single-phase killer at 100 TB, where one
+contig's alignments can exceed an executor) — then phase 2 re-runs the
+identical island pass per group over phase-1's output, which is at most
+(#true islands + #partitions·#groups) rows, i.e. tiny whenever intervals
+actually overlap. Degenerate worst case (nothing overlaps) leaves phase 2
+with the full row count — but then the *output* is that size too, and any
+algorithm pays it.
 
 ``compress_intervals`` reproduces the reference's exact output shape
 (one array<struct<start,stop>> per group); ``compress_intervals_islands``
@@ -23,24 +34,10 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def compress_intervals_islands(
-    df: DataFrame,
-    start_col: str = "start",
-    stop_col: str = "stop",
-    group_cols: list[str] | tuple = (),
-) -> DataFrame:
-    """Merge overlapping/touching intervals per group → one row per island.
-
-    Output columns: *group_cols, start, stop (sorted within group by start).
-    """
-    group_cols = list(group_cols)
-    s = F.least(F.col(start_col), F.col(stop_col)).alias("__s")
-    e = F.greatest(F.col(start_col), F.col(stop_col)).alias("__e")
-    base = (
-        df.filter(F.col(start_col).isNotNull() & F.col(stop_col).isNotNull())
-        .select(*group_cols, s, e)
-    )
-    w_order = W.partitionBy(*group_cols).orderBy("__s", "__e")
+def _island_pass(base: DataFrame, part_cols: list[str]) -> DataFrame:
+    """One sort-merge island pass: (*part_cols, __s, __e) → merged islands
+    within each part_cols group, columns (*part_cols, __s, __e)."""
+    w_order = W.partitionBy(*part_cols).orderBy("__s", "__e")
     # max stop over all *previous* rows in start order; start beyond it ⇒ new island
     prev_max = F.max("__e").over(w_order.rowsBetween(W.unboundedPreceding, -1))
     flagged = base.withColumn(
@@ -50,9 +47,38 @@ def compress_intervals_islands(
     island_id = F.sum("__new_island").over(w_order.rowsBetween(W.unboundedPreceding, 0))
     return (
         flagged.withColumn("__island", island_id)
-        .groupBy(*group_cols, "__island")
-        .agg(F.min("__s").alias("start"), F.max("__e").alias("stop"))
+        .groupBy(*part_cols, "__island")
+        .agg(F.min("__s").alias("__s"), F.max("__e").alias("__e"))
         .drop("__island")
+    )
+
+
+def compress_intervals_islands(
+    df: DataFrame,
+    start_col: str = "start",
+    stop_col: str = "stop",
+    group_cols: list[str] | tuple = (),
+) -> DataFrame:
+    """Merge overlapping/touching intervals per group → one row per island.
+
+    Output columns: *group_cols, start, stop (sorted within group by start).
+    Two-phase (see module docstring): local islands per input partition,
+    then a global pass per group over the locally-merged remainder. The
+    phase-1 groupBy rides the window's hash exchange (its keys are a
+    subset of the aggregation keys), so the big data is shuffled once.
+    """
+    group_cols = list(group_cols)
+    s = F.least(F.col(start_col), F.col(stop_col)).alias("__s")
+    e = F.greatest(F.col(start_col), F.col(stop_col)).alias("__e")
+    base = (
+        df.filter(F.col(start_col).isNotNull() & F.col(stop_col).isNotNull())
+        .select(*group_cols, s, e, F.spark_partition_id().alias("__pid"))
+    )
+    local = _island_pass(base, group_cols + ["__pid"]).drop("__pid")
+    return (
+        _island_pass(local, group_cols)
+        .withColumnRenamed("__s", "start")
+        .withColumnRenamed("__e", "stop")
     )
 
 
