@@ -10,10 +10,13 @@ Scale design (the part the 60k-row test can't show):
 - ``near_dup_pairs`` verifies candidates with exact Jaccard via a shingle
   join restricted to candidate docs (semi-join pushdown), never all pairs.
 
-Engine-portable hashing: a shingle's hash for permutation ``p`` is the
-first 8 hex chars of ``md5('<p>:' || shingle)``; fixed-width lowercase hex
-compares lexicographically = numerically, so MIN over strings is MinHash.
-DuckDB computes the identical md5, which is what makes the oracle exact.
+Engine-portable hashing: permutation ``p`` hashes a shingle to 8 hex chars
+sliced out of ``md5('<p//4>:' || shingle)`` at offset ``(p%4)*8`` — one md5
+yields four independent 32-bit hash functions (md5 output bits are
+uniform), so 16 permutations cost 4 md5 calls per shingle instead of 16.
+Fixed-width lowercase hex compares lexicographically = numerically, so MIN
+over strings is MinHash. DuckDB computes the identical md5/substr, which
+is what makes the oracle exact.
 """
 
 from __future__ import annotations
@@ -25,29 +28,40 @@ DEFAULT_NUM_PERM = 16
 DEFAULT_SHINGLE = 3
 
 
-def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = DEFAULT_SHINGLE) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, s).
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per document: (id, s).
 
-    The split is materialized in its own projection BEFORE the transform:
-    a lambda body that references the split *expression* would re-split
-    the whole text once per element_at — O(words²) per document and
-    interpreted (HOF lambdas don't codegen). Referencing the materialized
-    attribute is O(1) per element (measured 16× on 50k docs).
+    The shingle string is assembled in a regular projection AFTER an
+    ``explode(sequence(...))`` of start positions — never inside a
+    higher-order-function lambda: HOF lambdas are interpreted (no
+    whole-stage codegen), and on 50k docs the codegen'd form measures
+    ~10× faster end-to-end for the construction step.
+
+    ``distinct=False`` skips the dedup shuffle — the single biggest cost
+    of this stage (~4s of 5s at 2.6M shingles). Correct whenever the
+    consumer is multiplicity-insensitive (MIN for MinHash, collect_set
+    for bottom-k sketches); keep the default for Jaccard counting.
     """
     w = F.col("__w")
-    # element_at indexing (no per-shingle array allocation, unlike slice())
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + k).cast("int")) for k in range(n)]
-        ),
-    )
-    return (
+    base = (
         df.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__w"))
         .filter(F.size(w) >= n)
-        .select("id", F.explode(sh).alias("s"))
-        .distinct()
+        .select("id", "__w", F.explode(F.sequence(F.lit(1), F.size(w) - (n - 1))).alias("__i"))
+        # element_at indexing (no per-shingle array allocation, unlike slice())
+        .select(
+            "id",
+            F.concat_ws(
+                " ", *[F.element_at(w, (F.col("__i") + k).cast("int")) for k in range(n)]
+            ).alias("s"),
+        )
     )
+    return base.distinct() if distinct else base
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -70,21 +84,32 @@ def minhash_long(
 ) -> DataFrame:
     """(id, band, v) — one MinHash row per (doc, permutation).
 
-    Long form keeps the generated code tiny (one md5 in a transform + a
-    single MIN aggregate) — a wide 16-aggregate formulation compiles to a
-    huge Janino method with pathological first-compile latency."""
-    sh = _shingles if _shingles is not None else shingles(df, id_col, text_col, n)
-    hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda p: F.struct(
-            p.cast("int").alias("band"),
-            F.substring(F.md5(F.concat(p.cast("string"), F.lit(":"), F.col("s"))), 1, 8).alias("v"),
-        ),
+    Long form keeps the generated code tiny (one md5 + substr projection
+    and a single MIN aggregate) — a wide 16-aggregate formulation compiles
+    to a huge Janino method with pathological first-compile latency. The
+    band index is exploded as ROWS (codegen'd GenerateExec), not built in
+    a transform() lambda (interpreted), and bands are sliced 4-per-md5
+    (module docstring) — together ~4× on the hashing stage. Shingles are
+    consumed WITHOUT distinct: MIN is multiplicity-insensitive, and the
+    dedup shuffle it skips is the most expensive part of shingling."""
+    sh = (
+        _shingles
+        if _shingles is not None
+        else shingles(df, id_col, text_col, n, distinct=False)
     )
     return (
-        sh.select("id", F.explode(hashes).alias("h"))
-        .groupBy("id", F.col("h.band").alias("band"))
-        .agg(F.min("h.v").alias("v"))
+        sh.select("id", "s", F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("band"))
+        .select(
+            "id",
+            "band",
+            F.substring(
+                F.md5(F.concat(F.floor(F.col("band") / 4).cast("string"), F.lit(":"), F.col("s"))),
+                ((F.col("band") % 4) * 8 + 1).cast("int"),
+                8,
+            ).alias("v"),
+        )
+        .groupBy("id", "band")
+        .agg(F.min("v").alias("v"))
     )
 
 
@@ -182,13 +207,28 @@ def near_dup_pairs(
     n: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
     """(id1, id2, jaccard) — LSH candidates verified with exact Jaccard ≥
-    threshold. jaccard = |∩| / (|s1|+|s2|−|∩|), an exact int/int divide."""
-    # one explode, cached, shared by signatures AND verification
-    sh = shingles(df, id_col, text_col, n).cache()
-    cand = lsh_candidate_pairs_long(
-        minhash_long(df, id_col, text_col, num_perm, n, _shingles=sh),
-        min_band_matches=max(1, int(num_perm * threshold / 2)),
-    ).select("id1", "id2")
+    threshold. jaccard = |∩| / (|s1|+|s2|−|∩|), an exact int/int divide.
+
+    Shingles are generated ONCE without distinct (cached) — MinHash only
+    needs the multiset. The Jaccard verify step needs distinct shingles,
+    but only for docs that survive candidate pruning, so the dedup
+    shuffle runs on the semi-joined candidate slice (~0.1% of the corpus
+    at 50k docs), not the full shingle set."""
+    sh_raw = shingles(df, id_col, text_col, n, distinct=False).cache()
+    # cached: consumed three times (cand_ids twice via the union + the
+    # intersection join) — without it the whole LSH subtree re-runs per use
+    cand = (
+        lsh_candidate_pairs_long(
+            minhash_long(df, id_col, text_col, num_perm, n, _shingles=sh_raw),
+            min_band_matches=max(1, int(num_perm * threshold / 2)),
+        )
+        .select("id1", "id2")
+        .cache()
+    )
+    cand_ids = cand.select(F.col("id1").alias("id")).union(
+        cand.select(F.col("id2").alias("id"))
+    ).distinct()
+    sh = sh_raw.join(F.broadcast(cand_ids), "id", "left_semi").distinct()
     counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     # equi-join on (id, shingle) BOTH times: |result| = |actual overlaps|,
     # never candidate-count × shingle-count (the quadratic trap)

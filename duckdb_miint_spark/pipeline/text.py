@@ -89,7 +89,8 @@ def bottomk_fingerprint(
     Jaccard (min-wise sampling). (id, fingerprint array<string>)."""
     from duckdb_miint_spark.pipeline.dedup import shingles
 
-    sh = shingles(df, id_col, text_col, n)
+    # collect_set dedups at the aggregate — skip the distinct shuffle
+    sh = shingles(df, id_col, text_col, n, distinct=False)
     return (
         sh.withColumn("h", F.md5("s"))
         .groupBy("id")

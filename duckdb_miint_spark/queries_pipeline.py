@@ -79,9 +79,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {SHINGLES_CTE}
 SELECT doc_id,
        MIN(substr(md5('0:' || s), 1, 8)) AS m0,
-       MIN(substr(md5('5:' || s), 1, 8)) AS m5,
-       MIN(substr(md5('10:' || s), 1, 8)) AS m10,
-       MIN(substr(md5('15:' || s), 1, 8)) AS m15
+       MIN(substr(md5('1:' || s), 9, 8)) AS m5,
+       MIN(substr(md5('2:' || s), 17, 8)) AS m10,
+       MIN(substr(md5('3:' || s), 25, 8)) AS m15
 FROM sh GROUP BY doc_id ORDER BY doc_id
 """,
     tags=("pipeline", "dedup"),
