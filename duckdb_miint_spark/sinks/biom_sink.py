@@ -45,7 +45,21 @@ def copy_biom(
     from duckdb_miint_spark.sources.hdf5_mini import Hdf5Writer
 
     agg = prepare_biom_coo(df)
+    # Single-writer boundary: BIOM is one HDF5 file with global CSR+CSC
+    # indexes, so the aggregated (feature, sample, value) COO must land on
+    # the driver — same blocking Finalize as the reference. The aggregate
+    # has already collapsed the input to one row per non-zero cell; warn
+    # when even that exceeds a driver-sized matrix.
     rows = agg.collect()
+    if len(rows) > 50_000_000:
+        import warnings
+
+        warnings.warn(
+            f"copy_biom: {len(rows)} non-zero cells collected to the driver "
+            "for single-file HDF5 serialization; consider per-sample shards "
+            "or parquet for matrices this large",
+            stacklevel=2,
+        )
     feature_ids = unique_ids_in_order([r["feature_id"] for r in rows])
     sample_ids = unique_ids_in_order([r["sample_id"] for r in rows])
     f_index = {f: i for i, f in enumerate(feature_ids)}
