@@ -30,13 +30,7 @@ def cents(col):
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS) — unsupported by Spark's reader.
-
-    Read it as a raw long (nanoseconds since epoch): ordering stays exact
-    (micro-truncation could reorder sub-microsecond neighbours) and grouped
-    outputs derive display timestamps explicitly.
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events.ts is parquet TIMESTAMP(MICROS) — native to Spark's reader."""
     return T(spark, sf_dir, "events")
 
 
@@ -225,11 +219,7 @@ ORDER BY user_id, event_id
     tags=("relational", "window"),
 )
 def window_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running sum + LEAD per user ordered by time (cents-exact).
-
-    Ordering uses the raw nanosecond long so it matches DuckDB's
-    nanosecond-precision sort exactly.
-    """
+    """Running sum + LEAD per user ordered by time (cents-exact)."""
     ev = read_events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return (
@@ -422,17 +412,14 @@ FROM events GROUP BY hour, event_type ORDER BY hour, event_type
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation (the batch shape of the streaming op).
 
-    The hour bucket is emitted as a string: Spark timestamps are
-    microsecond-precision while the source column is nanosecond, so a
-    string at hour granularity is the portable representation.
+    The hour bucket is emitted as a string so the comparison is
+    representation-independent across engines.
     """
     ev = read_events(spark, sf_dir)
     return (
         ev.withColumn(
-            # integer ns→µs division: a double divide loses ulp≈256ns at 1.7e18
-            # and can mis-bucket events within 1µs of an hour boundary
             "hour",
-            F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd HH:00:00"),
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"),
         )
         .groupBy("hour", "event_type")
         .agg(

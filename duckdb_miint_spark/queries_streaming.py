@@ -28,10 +28,9 @@ FROM events GROUP BY hour, event_type ORDER BY hour, event_type
 )
 def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events_hourly as an incremental plan: readStream over the events
-    parquet (nanosecond ts read as long, converted exactly), tumbling
-    1-hour windows, complete-mode memory sink drained with availableNow.
+    parquet (native microsecond timestamps), tumbling 1-hour windows,
+    complete-mode memory sink drained with availableNow.
     Must equal the batch/oracle aggregation on this closed input."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # file streaming sources take a directory; select just the events file
     stream = (
@@ -42,9 +41,8 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = F.round(F.col("value") * 100, 0).cast("long")
     agg = (
-        stream.withColumn("ts_us", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts_us", "30 minutes")
-        .groupBy(F.window("ts_us", "1 hour").alias("w"), "event_type")
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
             (F.sum(cents).cast("double") / 100.0).alias("sum_value"),
