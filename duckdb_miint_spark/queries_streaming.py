@@ -39,6 +39,9 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    # Parquet inference may yield TIMESTAMP_NTZ, which withWatermark rejects;
+    # session tz is pinned UTC so the cast to LTZ is value-preserving.
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     cents = F.round(F.col("value") * 100, 0).cast("long")
     agg = (
         stream.withWatermark("ts", "30 minutes")
