@@ -74,6 +74,48 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    n: int = DEFAULT_SHINGLE,
+    _shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(id, m0..m{num_perm-1}) — wide MinHash signature in ONE aggregate.
+
+    Hash work is done once per shingle BEFORE any widening: one
+    projection computes the ``num_perm/4`` md5 digests (each md5 yields
+    four 8-hex-char permutation values — module docstring), then a single
+    groupBy(id) runs ``num_perm`` MIN aggregates over plain substrings of
+    those digests. No per-permutation row explosion (the previous long
+    form hashed every shingle ``num_perm`` times — the dominant cost at
+    50k docs), and the per-aggregate codegen is a trivial
+    min(substring(...)): the Janino pathology of the original wide form
+    came from repeating the full md5 expression tree inside each of the
+    16 aggregates, not from aggregate count. Shingles are consumed
+    WITHOUT distinct: MIN is multiplicity-insensitive, and the dedup
+    shuffle it skips is the most expensive part of shingling."""
+    sh = (
+        _shingles
+        if _shingles is not None
+        else shingles(df, id_col, text_col, n, distinct=False)
+    )
+    n_md5 = (num_perm + 3) // 4
+    hashed = sh.select(
+        "id",
+        *[
+            F.md5(F.concat(F.lit(f"{g}:"), F.col("s"))).alias(f"__h{g}")
+            for g in range(n_md5)
+        ],
+    )
+    aggs = [
+        F.min(F.substring(F.col(f"__h{p // 4}"), (p % 4) * 8 + 1, 8)).alias(f"m{p}")
+        for p in range(num_perm)
+    ]
+    return hashed.groupBy("id").agg(*aggs)
+
+
 def minhash_long(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -84,51 +126,19 @@ def minhash_long(
 ) -> DataFrame:
     """(id, band, v) — one MinHash row per (doc, permutation).
 
-    Long form keeps the generated code tiny (one md5 + substr projection
-    and a single MIN aggregate) — a wide 16-aggregate formulation compiles
-    to a huge Janino method with pathological first-compile latency. The
-    band index is exploded as ROWS (codegen'd GenerateExec), not built in
-    a transform() lambda (interpreted), and bands are sliced 4-per-md5
-    (module docstring) — together ~4× on the hashing stage. Shingles are
-    consumed WITHOUT distinct: MIN is multiplicity-insensitive, and the
-    dedup shuffle it skips is the most expensive part of shingling."""
-    sh = (
-        _shingles
-        if _shingles is not None
-        else shingles(df, id_col, text_col, n, distinct=False)
+    Derived by exploding the WIDE signatures: the explode runs on the
+    post-aggregation rows (#docs × num_perm), not on the pre-aggregation
+    shingle stream (#shingles × num_perm) as the earlier formulation did."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, n, _shingles)
+    bands = F.array(
+        *[
+            F.struct(F.lit(p).alias("band"), F.col(f"m{p}").alias("v"))
+            for p in range(num_perm)
+        ]
     )
-    return (
-        sh.select("id", "s", F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("band"))
-        .select(
-            "id",
-            "band",
-            F.substring(
-                F.md5(F.concat(F.floor(F.col("band") / 4).cast("string"), F.lit(":"), F.col("s"))),
-                ((F.col("band") % 4) * 8 + 1).cast("int"),
-                8,
-            ).alias("v"),
-        )
-        .groupBy("id", "band")
-        .agg(F.min("v").alias("v"))
+    return sigs.select("id", F.explode(bands).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.v").alias("v")
     )
-
-
-def minhash_signatures(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_perm: int = DEFAULT_NUM_PERM,
-    n: int = DEFAULT_SHINGLE,
-    _shingles: DataFrame | None = None,
-) -> DataFrame:
-    """(id, m0..m{num_perm-1}) — wide MinHash signature (pivot of the long
-    form; each output column is a trivial min-of-filtered aggregate)."""
-    long = minhash_long(df, id_col, text_col, num_perm, n, _shingles)
-    aggs = [
-        F.min(F.when(F.col("band") == p, F.col("v"))).alias(f"m{p}")
-        for p in range(num_perm)
-    ]
-    return long.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -251,17 +261,17 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """32-bit SimHash as a bit string: bit j is the sign of the count-
     weighted sum of ±1 votes, where token t votes +1 on bit j iff hex digit
     j of md5(t) is ≥ '8'. Engine-portable and fully JVM-side."""
+    # One shuffle: each token OCCURRENCE votes directly (Σ over occurrences
+    # of ±1 per bit ≡ the count-weighted sum — no (id, token) pre-aggregate,
+    # whose shuffle cost exceeded the md5-per-occurrence it saved).
     tokens = (
         df.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("t"))
         .filter(F.col("t") != "")
-        .groupBy("id", "t")
-        .agg(F.count("*").alias("cnt"))
         .withColumn("h", F.md5("t"))
     )
     bit_sums = [
         F.sum(
-            F.col("cnt")
-            * F.when(F.substring("h", j + 1, 1) >= "8", 1).otherwise(-1)
+            F.when(F.substring("h", j + 1, 1) >= "8", 1).otherwise(-1)
         ).alias(f"b{j}")
         for j in range(32)
     ]
