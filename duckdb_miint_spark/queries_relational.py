@@ -30,7 +30,11 @@ def cents(col):
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(MICROS) — native to Spark's reader."""
+    """events.ts is parquet TIMESTAMP(MICROS) — native to Spark's reader.
+
+    NOTE: a nanosecond-precision events file would make the vanilla reader
+    raise PARQUET_TYPE_ILLEGAL (no nanosAsLong shim here by design) —
+    regenerated test data must stay micros."""
     return T(spark, sf_dir, "events")
 
 

@@ -17,8 +17,8 @@ execution, not setup, is measured:
 - embeddings replicate with shifted ids (queries filter vec_id < 5, so the
   query set stays the original five vectors).
 
-Schemas are preserved bit-for-bit via pyarrow (including the events
-TIMESTAMP(NANOS) column).
+Schemas are preserved bit-for-bit via pyarrow (the events ts column is
+TIMESTAMP(MICROS) in every driver-shipped sf dir and stays micros here).
 """
 
 from __future__ import annotations
