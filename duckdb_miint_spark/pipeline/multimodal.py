@@ -84,6 +84,120 @@ def fake_decode_image_features(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms_q8", LongType()),
+        StructField("content_hash", StringType()),
+    ]
+)
+
+_SAMPLE_RATES = (8000, 16000, 22050, 44100, 48000)
+
+
+def _fake_decode_audio(payload: bytes) -> tuple[int, int, int, int, int, str]:
+    """Deterministic stand-in for an audio decoder (header fields derived
+    from md5 of the bytes — exactly oracle-restatable)."""
+    h = hashlib.md5(payload).hexdigest()
+    sample_rate = _SAMPLE_RATES[int(h[0], 16) % 5]
+    n_channels = 1 + int(h[1], 16) % 2
+    duration_ms = 500 + 100 * int(h[2:4], 16)
+    rms_q8 = int(h[4:6], 16)  # quantized loudness 0..255
+    return len(payload), sample_rate, n_channels, duration_ms, rms_q8, h
+
+
+def fake_decode_audio_features(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas over (id, payload) → AUDIO_FEATURES_SCHEMA rows — the
+    audio counterpart of ``fake_decode_image_features`` (one output row per
+    input row, Arrow-batched)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode_audio(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].astype("int64"),
+                    "n_bytes": [f[0] for f in feats],
+                    "sample_rate": pd.array([f[1] for f in feats], dtype="int32"),
+                    "n_channels": pd.array([f[2] for f in feats], dtype="int32"),
+                    "duration_ms": [f[3] for f in feats],
+                    "rms_q8": [f[4] for f in feats],
+                    "content_hash": [f[5] for f in feats],
+                }
+            )
+
+    return binary_df.mapInPandas(decode, AUDIO_FEATURES_SCHEMA)
+
+
+def decode_audio(binary_df: DataFrame) -> DataFrame:
+    """Real audio decode (soundfile) — STUB: raises unless the library is
+    installed; schema and plan shape are final."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "decode_audio requires soundfile, which is not available in this "
+            "container; use fake_decode_audio_features for plumbing tests"
+        ) from e
+    raise NotImplementedError("wire soundfile.read into the mapInPandas body")  # pragma: no cover
+
+
+VIDEO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_ms", LongType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+
+def fake_sample_video_frames(binary_df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """mapInPandas over (id, payload) → one row PER SAMPLED FRAME — the
+    one-to-many batch shape a real frame sampler (pyav/ffmpeg) produces.
+    Frame count is md5-derived (1..12); each frame row carries a
+    deterministic md5 chain hash standing in for the frame's pixel hash."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, mss, hashes = [], [], [], []
+            for i, p in zip(pdf["id"], pdf["payload"]):
+                h = hashlib.md5(bytes(p)).hexdigest()
+                n_frames = 1 + int(h[0:2], 16) % 12
+                for fi in range(n_frames):
+                    ids.append(int(i))
+                    idxs.append(fi)
+                    mss.append(fi * every_ms)
+                    hashes.append(hashlib.md5(f"{h}:{fi}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "frame_index": pd.array(idxs, dtype="int32"),
+                    "frame_ms": mss,
+                    "frame_hash": hashes,
+                }
+            )
+
+    return binary_df.mapInPandas(sample, VIDEO_FRAMES_SCHEMA)
+
+
+def decode_video_frames(binary_df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Real frame sampling (PyAV) — STUB: raises unless av is installed;
+    schema and one-to-many mapInPandas shape are final."""
+    try:
+        import av  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "decode_video_frames requires PyAV, which is not available in "
+            "this container; use fake_sample_video_frames for plumbing tests"
+        ) from e
+    raise NotImplementedError("wire av frame iteration into the mapInPandas body")  # pragma: no cover
+
+
 def decode_image(binary_df: DataFrame) -> DataFrame:
     """Real image decode (PIL) — STUB: raises unless PIL is installed.
 
@@ -115,8 +229,14 @@ def decode_image(binary_df: DataFrame) -> DataFrame:
 
 
 __all__ = [
+    "AUDIO_FEATURES_SCHEMA",
     "IMAGE_FEATURES_SCHEMA",
+    "VIDEO_FRAMES_SCHEMA",
     "attach_binary_column",
+    "decode_audio",
     "decode_image",
+    "decode_video_frames",
+    "fake_decode_audio_features",
     "fake_decode_image_features",
+    "fake_sample_video_frames",
 ]

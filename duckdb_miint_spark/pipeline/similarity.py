@@ -184,6 +184,80 @@ def lsh_ann_topk(
     )
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    centroid_stride: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(query_id, vec_id, sim, rank) — IVF (inverted-file) approximate
+    top-k: coarse-quantize the corpus into cells, probe the ``nprobe``
+    nearest cells per query, exact-rerank only within probed cells.
+
+    Centroids here are a deterministic stride subset of the corpus
+    (standing in for an offline k-means codebook — the cell-routing plan,
+    which is the part Spark owns, is identical either way; swap the
+    ``cent`` DataFrame for trained centroids in production). Assignment is
+    a broadcast nested-loop against the tiny centroid table (the correct
+    physical plan: |corpus| × |centroids| dots, all in codegen via the
+    unrolled multiply-add chain), then candidates shuffle on the cell key
+    only. At 100 TB the assignment pass is embarrassingly parallel and the
+    per-cell candidate lists are the only join state.
+    """
+    from pyspark.sql import Window as W
+
+    # norms computed ONCE per side via the compact HOF fold (same
+    # left-to-right IEEE fold as the unrolled chain, but a tiny expression
+    # tree — these run on few rows); the unrolled chain is kept for the
+    # high-volume pair dots only
+    cent = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("centv"),
+        F.sqrt(_dot(vec_col, vec_col)).alias("centn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(_dot(vec_col, vec_col)).alias("cn"),
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("casim"), "cent_id")
+    assign = (
+        c.join(F.broadcast(cent))
+        .withColumn("casim", _dot_fixed("cv", "centv", dim) / (F.col("cn") * F.col("centn")))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "cv", "cn", F.col("cent_id").alias("cell"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(_dot(vec_col, vec_col)).alias("qn"),
+    )
+    w_probe = W.partitionBy("query_id").orderBy(F.desc("qcsim"), "cent_id")
+    probes = (
+        q.join(F.broadcast(cent))
+        .withColumn("qcsim", _dot_fixed("qv", "centv", dim) / (F.col("qn") * F.col("centn")))
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qv", "qn", F.col("cent_id").alias("cell"))
+    )
+    scored = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", F.round(_dot_fixed("qv", "cv", dim) / (F.col("qn") * F.col("cn")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
 def cosine_threshold_pairs_exact(
     corpus: DataFrame,
     threshold: float = 0.45,

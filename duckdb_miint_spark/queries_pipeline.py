@@ -475,3 +475,141 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=64, overlap=8).select(
         F.col("id").alias("doc_id"), "chunk_index", "chunk_text", "n_tokens"
     ).orderBy("doc_id", "chunk_index")
+
+
+# hex digit d(i) of md5(text), 0-based position i → 0..15 (shared by the
+# audio/video oracles; same trick as the image oracle above)
+def _HD(i: int) -> str:
+    return f"(strpos('0123456789abcdef', substr(md5(text), {i + 1}, 1)) - 1)"
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(([8000, 16000, 22050, 44100, 48000])[1 + ({_HD(0)} % 5)] AS INTEGER) AS sample_rate,
+       CAST(1 + ({_HD(1)} % 2) AS INTEGER) AS n_channels,
+       CAST(500 + 100 * (16 * {_HD(2)} + {_HD(3)}) AS BIGINT) AS duration_ms,
+       CAST(16 * {_HD(4)} + {_HD(5)} AS BIGINT) AS rms_q8,
+       md5(text) AS content_hash
+FROM documents ORDER BY doc_id
+""",
+    tags=("pipeline", "multimodal"),
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column plumbing: payload bytes → Arrow-batched Python decode
+    (deterministic fake); the oracle recomputes the md5-derived header."""
+    from duckdb_miint_spark.pipeline.multimodal import fake_decode_audio_features
+
+    docs = T(spark, sf_dir, "documents")
+    binary = attach_binary_column(docs)
+    return fake_decode_audio_features(binary).select(
+        F.col("id").alias("doc_id"),
+        "n_bytes",
+        "sample_rate",
+        "n_channels",
+        "duration_ms",
+        "rms_q8",
+        "content_hash",
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_video_frames",
+    # one row per sampled frame: n_frames = 1 + (first md5 byte % 12);
+    # frame_hash chains the content hash with the frame index
+    oracle=f"""
+WITH v AS (
+  SELECT doc_id, md5(text) AS h, 1 + ((16 * {_HD(0)} + {_HD(1)}) % 12) AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+       CAST(f.fi AS INTEGER) AS frame_index,
+       CAST(f.fi * 1000 AS BIGINT) AS frame_ms,
+       md5(h || ':' || CAST(f.fi AS VARCHAR)) AS frame_hash
+FROM v, LATERAL (SELECT unnest(range(0, n_frames)) AS fi) f
+ORDER BY doc_id, frame_index
+""",
+    tags=("pipeline", "multimodal"),
+)
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing: one-to-many mapInPandas (a row per
+    sampled frame) — the batch shape a real pyav/ffmpeg sampler produces."""
+    from duckdb_miint_spark.pipeline.multimodal import fake_sample_video_frames
+
+    docs = T(spark, sf_dir, "documents")
+    binary = attach_binary_column(docs)
+    return fake_sample_video_frames(binary).select(
+        F.col("id").alias("doc_id"), "frame_index", "frame_ms", "frame_hash"
+    ).orderBy("doc_id", "frame_index")
+
+
+_IVF_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    # The IVF path is deterministic (stride-31 centroid codebook), so the
+    # whole computation is restated in DuckDB: same assignment argmax
+    # (raw-double cosine, ties on cent_id), same nprobe=2 probing, same
+    # exact rerank on ROUND(sim, 6).
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cent_id, v AS centv FROM e WHERE vec_id % 31 = 0),
+asim AS (
+  SELECT e.vec_id, e.v, c.cent_id,
+         {_IVF_COS.format(a="e.v", b="c.centv")} AS casim
+  FROM e, cent c
+),
+assign AS (
+  SELECT vec_id, v, cent_id AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY casim DESC, cent_id) AS rn
+    FROM asim) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+qsim AS (
+  SELECT q.query_id, q.qv, c.cent_id,
+         {_IVF_COS.format(a="q.qv", b="c.centv")} AS qcsim
+  FROM q, cent c
+),
+probes AS (
+  SELECT query_id, qv, cent_id AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcsim DESC, cent_id) AS rn
+    FROM qsim) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         ROUND({_IVF_COS.format(a="p.qv", b="a.v")}, 6) AS sim
+  FROM probes p JOIN assign a USING (cell)
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+""",
+    tags=("pipeline", "similarity"),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 for 5 query vectors (nprobe=2 of the
+    stride-31 cells; exact cosine rerank within probed cells)."""
+    from duckdb_miint_spark.pipeline.similarity import ivf_ann_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (
+        ivf_ann_topk(emb, queries, k=10, nprobe=2, centroid_stride=31)
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )

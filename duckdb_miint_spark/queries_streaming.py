@@ -18,6 +18,54 @@ from duckdb_miint_spark.registry import register
 
 
 @register(
+    "user_sessions_gap30",
+    # Same island-window formulation in DuckDB: new session when the gap to
+    # the previous event for the user exceeds 30 minutes.
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, ts, us,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 30*60*1000000
+              OR LAG(us) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS s
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, s
+ORDER BY user_id, session_start
+""",
+    tags=("streaming", "sessions"),
+)
+def user_sessions_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization (batch island form — the ground truth
+    the applyInPandasWithState streaming operator reproduces on closed
+    input; tests/test_streaming.py asserts the agreement)."""
+    from duckdb_miint_spark.queries_relational import read_events
+    from duckdb_miint_spark.streaming.events import batch_user_sessions
+
+    ev = read_events(spark, sf_dir)
+    out = batch_user_sessions(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+@register(
     "streaming_events_hourly",
     oracle="""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, COUNT(*) AS n,

@@ -140,6 +140,36 @@ def _session_fn(
         )
 
 
+def batch_user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch form of ``stream_user_sessions`` — identical 30-minute-gap
+    semantics via the island-window formulation (new session when the gap
+    to the previous event exceeds ``gap_minutes``). Serves as the
+    closed-input ground truth the stateful streaming operator must agree
+    with, and as the driver-gated sessionization query.
+
+    Scale shape: one shuffle on user_id; per-user sort happens inside the
+    window; the session aggregate rides the same partitioning."""
+    from pyspark.sql import Window as W
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = W.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    new_session = F.when(prev_us.isNull() | (us - prev_us > gap_us), 1).otherwise(0)
+    sess = F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, 0))
+    return (
+        events.select("user_id", "ts")
+        .withColumn("__sess", sess)
+        .groupBy("user_id", "__sess")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("__sess")
+    )
+
+
 def stream_user_sessions(events: DataFrame) -> DataFrame:
     """Custom stateful operator: 30-minute-gap sessionization per user via
     applyInPandasWithState (state partitioned by user, timeout-closed)."""

@@ -154,3 +154,45 @@ def test_salted_join_matches_plain(spark):
         "s_nationkey"
     ).count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_audio_video_plumbing_shapes(spark):
+    """Audio decode is 1:1; video frame sampling is 1:N with contiguous
+    frame indices starting at 0."""
+    from duckdb_miint_spark.pipeline.multimodal import (
+        fake_decode_audio_features,
+        fake_sample_video_frames,
+    )
+
+    binary = attach_binary_column(docs(spark))
+    n_docs = binary.count()
+    audio = fake_decode_audio_features(binary)
+    assert audio.count() == n_docs
+    a = audio.limit(5).collect()
+    assert all(r["sample_rate"] in (8000, 16000, 22050, 44100, 48000) for r in a)
+    assert all(1 <= r["n_channels"] <= 2 for r in a)
+
+    frames = fake_sample_video_frames(binary)
+    per_doc = frames.groupBy("id").agg(
+        F.count("*").alias("n"), F.min("frame_index").alias("lo"), F.max("frame_index").alias("hi")
+    )
+    bad = per_doc.filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)).count()
+    assert bad == 0
+    assert frames.count() >= n_docs  # at least one frame per doc
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from duckdb_miint_spark.pipeline.similarity import ivf_ann_topk
+
+    e = emb(spark)
+    queries = e.filter(F.col("vec_id") < 5)
+    truth = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(e, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_ann_topk(e, queries, k=10, nprobe=2).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    # nprobe=2 of ~17 stride cells on near-uniform data: well above chance
+    assert recall >= 0.2, f"IVF recall {recall:.2f} below floor"

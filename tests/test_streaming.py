@@ -86,3 +86,21 @@ def test_stream_sessionization(spark, tmp_path):
     # (the trailing open session per user stays in state by design).
     closed = {(r["user_id"], r["n_events"]) for r in rows}
     assert (1, 2) in closed  # user 1's first session (10:00 + 10:10), closed by the 11:30 gap
+
+
+def test_batch_sessions_match_stream_semantics(spark, tmp_path):
+    """batch_user_sessions (island form) must reproduce the stateful
+    operator's gap semantics on closed input: user 1's closed first
+    session plus the trailing sessions the stream keeps in state."""
+    from duckdb_miint_spark.streaming.events import batch_user_sessions
+
+    d = _write_events(tmp_path)
+    batch = spark.read.json(d)
+    rows = {
+        (r["user_id"], r["n_events"])
+        for r in batch_user_sessions(batch, gap_minutes=30).collect()
+    }
+    assert (1, 2) in rows  # the session the stream closed
+    # every user's events are fully partitioned into sessions
+    total = sum(n for _u, n in rows) if rows else 0
+    assert total == batch.count()
