@@ -146,6 +146,54 @@ def decode_audio(binary_df: DataFrame) -> DataFrame:
     raise NotImplementedError("wire soundfile.read into the mapInPandas body")  # pragma: no cover
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("resized", BinaryType()),
+        StructField("resized_hash", StringType()),
+    ]
+)
+
+
+def fake_resize_image(binary_df: DataFrame, max_side: int = 128) -> DataFrame:
+    """mapInPandas over (id, payload) → RESIZE_SCHEMA — binary-in/binary-out
+    plumbing (the shape a real thumbnailer has). Output dims are the fake
+    header dims clamped to ``max_side`` preserving aspect ratio (integer
+    floor); the 'resized' payload is a deterministic md5 chain standing in
+    for re-encoded pixels."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, blobs, hashes = [], [], [], [], []
+            for i, p in zip(pdf["id"], pdf["payload"]):
+                _n, w, h, _mode, chash = _fake_decode(bytes(p))
+                if max(w, h) <= max_side:
+                    ow, oh = w, h
+                elif w >= h:
+                    ow, oh = max_side, h * max_side // w
+                else:
+                    ow, oh = w * max_side // h, max_side
+                rh = hashlib.md5(f"{chash}:{ow}x{oh}".encode()).hexdigest()
+                ids.append(int(i))
+                ws.append(ow)
+                hs.append(oh)
+                blobs.append(bytes.fromhex(rh))
+                hashes.append(rh)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "out_width": pd.array(ws, dtype="int32"),
+                    "out_height": pd.array(hs, dtype="int32"),
+                    "resized": blobs,
+                    "resized_hash": hashes,
+                }
+            )
+
+    return binary_df.mapInPandas(resize, RESIZE_SCHEMA)
+
+
 VIDEO_FRAMES_SCHEMA = StructType(
     [
         StructField("id", LongType()),
@@ -230,6 +278,7 @@ def decode_image(binary_df: DataFrame) -> DataFrame:
 
 __all__ = [
     "AUDIO_FEATURES_SCHEMA",
+    "RESIZE_SCHEMA",
     "IMAGE_FEATURES_SCHEMA",
     "VIDEO_FRAMES_SCHEMA",
     "attach_binary_column",
@@ -238,5 +287,6 @@ __all__ = [
     "decode_video_frames",
     "fake_decode_audio_features",
     "fake_decode_image_features",
+    "fake_resize_image",
     "fake_sample_video_frames",
 ]

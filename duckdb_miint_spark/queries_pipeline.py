@@ -613,3 +613,56 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.col("rank").cast("long"))
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "multimodal_image_resize",
+    # width/height replicate the image-decode oracle's md5 header, then
+    # clamp to max_side=128 preserving aspect (integer floor); the binary
+    # output column is projected to its hex hash for the gate (the driver
+    # canonicalizer can't hash raw bytes).
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id,
+         32 + 16 * {_HD(0)} AS w,
+         32 + 16 * {_HD(1)} AS h,
+         md5(text) AS chash
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, chash,
+         CASE WHEN greatest(w, h) <= 128 THEN w
+              WHEN w >= h THEN 128
+              ELSE (w * 128) // h END AS ow,
+         CASE WHEN greatest(w, h) <= 128 THEN h
+              WHEN w >= h THEN (h * 128) // w
+              ELSE 128 END AS oh
+  FROM dims
+)
+SELECT doc_id,
+       CAST(ow AS INTEGER) AS out_width,
+       CAST(oh AS INTEGER) AS out_height,
+       md5(chash || ':' || CAST(ow AS VARCHAR) || 'x' || CAST(oh AS VARCHAR)) AS resized_bytes_hex,
+       md5(chash || ':' || CAST(ow AS VARCHAR) || 'x' || CAST(oh AS VARCHAR)) AS resized_hash
+FROM sized ORDER BY doc_id
+""",
+    tags=("pipeline", "multimodal"),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing: binary-in/binary-out mapInPandas; the gate
+    projects the output payload to its hex hash (raw bytes aren't
+    canonicalizer-hashable), asserting dims + content chain."""
+    from duckdb_miint_spark.pipeline.multimodal import fake_resize_image
+
+    docs = T(spark, sf_dir, "documents")
+    binary = attach_binary_column(docs)
+    out = fake_resize_image(binary, max_side=128)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "out_width",
+        "out_height",
+        F.hex(F.col("resized")).alias("resized_bytes_hex"),
+        "resized_hash",
+    ).withColumn(
+        "resized_bytes_hex", F.lower("resized_bytes_hex")
+    ).orderBy("doc_id")
