@@ -666,3 +666,50 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "resized_bytes_hex", F.lower("resized_bytes_hex")
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE {SHINGLES_CTE},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id1, id2
+  FROM inter
+  JOIN cnt c1 ON id1 = c1.doc_id
+  JOIN cnt c2 ON id2 = c2.doc_id
+  WHERE i * 1.0 / (c1.n + c2.n - i) >= 0.9
+),
+und AS (SELECT id1 AS u, id2 AS v FROM pairs UNION SELECT id2, id1 FROM pairs),
+reach(id, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und) t
+  UNION
+  SELECT e.u, r.lab FROM und e JOIN reach r ON e.v = r.id
+),
+comp AS (SELECT id, MIN(lab) AS component_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(c.component_id, d.doc_id) AS component_id,
+       d.doc_id = COALESCE(c.component_id, d.doc_id) AS is_canonical
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.id
+ORDER BY doc_id
+""",
+    tags=("pipeline", "dedup"),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster labels from the LSH pair graph: every document gets
+    (component_id = min doc id in its near-dup component, is_canonical).
+    Spark runs iterative min-label propagation with pointer doubling
+    (pipeline/components.py); the oracle is the transitive closure as a
+    recursive CTE over the exact all-pairs Jaccard graph — same clusters,
+    radically different algorithms, which is the point at scale."""
+    from duckdb_miint_spark.pipeline.components import label_documents
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, threshold=0.9).select("id1", "id2")
+    return label_documents(docs, pairs).orderBy("doc_id")

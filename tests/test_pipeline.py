@@ -196,3 +196,45 @@ def test_ivf_recall_vs_brute_force(spark):
     recall = len(truth & approx) / len(truth)
     # nprobe=2 of ~17 stride cells on near-uniform data: well above chance
     assert recall >= 0.2, f"IVF recall {recall:.2f} below floor"
+
+
+def test_connected_components_graph_shapes(spark):
+    from duckdb_miint_spark.pipeline.components import connected_components
+
+    # chain a-b-c-d (diameter 3: exercises pointer doubling), triangle with a
+    # chord, a disjoint pair, string ids out of insertion order
+    edges = spark.createDataFrame(
+        [
+            ("b", "a"), ("c", "b"), ("d", "c"),          # chain
+            ("x", "y"), ("y", "z"), ("x", "z"),          # triangle
+            ("q", "p"),                                   # pair
+        ],
+        ["id1", "id2"],
+    )
+    got = {
+        (r.id, r.component_id)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+        ("x", "x"), ("y", "x"), ("z", "x"),
+        ("p", "p"), ("q", "p"),
+    }
+
+
+def test_label_documents_singletons(spark):
+    from duckdb_miint_spark.pipeline.components import label_documents
+
+    docs = spark.createDataFrame(
+        [("d1",), ("d2",), ("d3",)], ["doc_id"]
+    )
+    edges = spark.createDataFrame([("d2", "d3")], ["id1", "id2"])
+    rows = {
+        (r.doc_id, r.component_id, r.is_canonical)
+        for r in label_documents(docs, edges).collect()
+    }
+    assert rows == {
+        ("d1", "d1", True),   # singleton: own component
+        ("d2", "d2", True),   # cluster canonical (min id)
+        ("d3", "d2", False),  # deduped away
+    }
