@@ -5,7 +5,7 @@ expressions with exact DuckDB-oracle equivalents.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single non-alnum marks
@@ -192,4 +192,43 @@ def chunk_documents(
         base.filter(n > 0)
         .select("id", F.explode(chunks).alias("c"))
         .select("id", "c.chunk_index", "c.chunk_text", "c.n_tokens")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(id, term, tf, tfidf, rk): top-k terms per document by smoothed
+    tf-idf — tf(d,t) · ln((N+1)/(df(t)+1)), ties broken by term.
+
+    Plan: explode → (doc, term) count [shuffle 1] → document frequency per
+    term [shuffle 2, input already one row per (doc, term)] → join back on
+    term → corpus size via a broadcast one-row aggregate (no driver
+    action) → per-doc window for the top-k [shuffle 3 on the doc key].
+    Every shuffle input is the (doc, term) relation or smaller — the raw
+    token stream never crosses the network."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).alias("term"),
+    )
+    tf = words.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log((F.col("n_docs") + F.lit(1)).cast("double") / (F.col("df") + F.lit(1))),
+        )
+    )
+    w = W.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id", "term", "tf", "tfidf", "rk")
     )

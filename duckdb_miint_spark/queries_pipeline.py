@@ -713,3 +713,87 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     pairs = near_dup_pairs(docs, threshold=0.9).select("id1", "id2")
     return label_documents(docs, pairs).orderBy("doc_id")
+
+
+@register(
+    "sample_hash_bernoulli",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+ORDER BY doc_id
+""",
+    tags=("pipeline", "sampling"),
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample at rate 0.1 (hash-threshold filter;
+    pure map-side, reproducible at any parallelism). Threshold '19999999'
+    = floor(0.1 * 2^32) in hex — string < on lowercase hex == numeric <."""
+    from duckdb_miint_spark.pipeline.sampling import hash_sample, hash_threshold
+
+    assert hash_threshold(0.1) == "19999999"
+    docs = T(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.1, seed="s0").select(
+        "doc_id", "lang", "source"
+    ).orderBy("doc_id")
+
+
+@register(
+    "sample_stratified_quota",
+    oracle="""
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+         ) AS sample_rank
+  FROM documents) t
+WHERE sample_rank <= 40
+ORDER BY source, sample_rank
+""",
+    tags=("pipeline", "sampling"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sample (40 docs per stratum, hash-of-id order)."""
+    from duckdb_miint_spark.pipeline.sampling import stratified_quota
+
+    docs = T(spark, sf_dir, "documents")
+    return stratified_quota(docs, ["source"], k=40, id_col="doc_id").select(
+        "doc_id", "source", "sample_rank"
+    ).orderBy("source", "sample_rank")
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, ROUND(tfidf, 6) AS tfidf, rk FROM (
+  SELECT doc_id, term, tf, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored) t
+WHERE rk <= 3
+ORDER BY doc_id, rk
+""",
+    tags=("pipeline", "text"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (smoothed idf, term tiebreak)."""
+    from duckdb_miint_spark.pipeline.text import tfidf_top_terms
+
+    docs = T(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, "doc_id", "text", k=3)
+    return out.select(
+        F.col("id").alias("doc_id"), "term", "tf",
+        F.round("tfidf", 6).alias("tfidf"), "rk"
+    ).orderBy("doc_id", "rk")

@@ -238,3 +238,38 @@ def test_label_documents_singletons(spark):
         ("d2", "d2", True),   # cluster canonical (min id)
         ("d3", "d2", False),  # deduped away
     }
+
+
+def test_hash_sample_nests_and_is_partition_invariant(spark):
+    from duckdb_miint_spark.pipeline.sampling import hash_sample
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s10 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.10).collect()}
+    s05 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.05).collect()}
+    assert s05 <= s10                       # same seed => samples nest
+    assert 0.05 < len(s10) / 2000 < 0.15    # rate is roughly honored
+    # independent of physical partitioning
+    s10b = {r.doc_id for r in hash_sample(docs.repartition(7), "doc_id", 0.10).collect()}
+    assert s10b == s10
+    # a different seed is a different draw
+    other = {r.doc_id for r in hash_sample(docs, "doc_id", 0.10, seed="s1").collect()}
+    assert other != s10
+
+
+def test_stratified_quota_respects_k(spark):
+    from duckdb_miint_spark.pipeline.sampling import stratified_quota
+    import pyspark.sql.functions as F
+
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("source")
+    )
+    out = stratified_quota(docs, ["source"], k=10, id_col="doc_id")
+    per = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {"0": 10, "1": 10, "2": 10}
+    # deterministic under re-partitioning
+    a = sorted((r.source, r.doc_id) for r in out.collect())
+    b = sorted(
+        (r.source, r.doc_id)
+        for r in stratified_quota(docs.repartition(11), ["source"], k=10, id_col="doc_id").collect()
+    )
+    assert a == b
