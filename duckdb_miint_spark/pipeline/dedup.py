@@ -278,3 +278,116 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     agg = tokens.groupBy("id").agg(*bit_sums)
     bits = F.concat(*[F.when(F.col(f"b{j}") > 0, "1").otherwise("0") for j in range(32)])
     return agg.select("id", bits.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 3,
+) -> DataFrame:
+    """(id1, id2, hamming) — SimHash pairs with Hamming distance ≤ max_dist.
+
+    Pigeonhole banding: split the 32-bit signature into ``max_dist + 1``
+    disjoint bands — any pair within distance max_dist agrees EXACTLY on
+    at least one band (max_dist flipped bits can dirty at most max_dist
+    bands). Candidates come from equality self-joins on (band_idx,
+    band_bits) — a hash-partitioned shuffle, never the all-pairs product —
+    then the exact 32-position compare runs only on the candidate slice.
+    Same plan shape as banded MinHash-LSH, so the same hot-bucket caveat:
+    a band value shared by k docs costs k² candidates; salt or cap
+    degenerate buckets if the corpus has boilerplate-heavy signatures.
+    """
+    n_bands = max_dist + 1
+    width = 32 // n_bands
+    sigs = simhash32(df, id_col, text_col).cache()
+    bands = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.substring("simhash", i * width + 1, width).alias("bits"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("b"),
+    ).select("id", "simhash", "b.band", "b.bits")
+    left = bands.select(
+        F.col("band"), F.col("bits"),
+        F.col("id").alias("id1"), F.col("simhash").alias("sh1"),
+    )
+    right = bands.select(
+        F.col("band"), F.col("bits"),
+        F.col("id").alias("id2"), F.col("simhash").alias("sh2"),
+    )
+    cand = (
+        left.join(right, ["band", "bits"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "sh1", "sh2")
+        .distinct()
+    )
+    dist = sum(
+        F.when(F.substring("sh1", j + 1, 1) != F.substring("sh2", j + 1, 1), 1).otherwise(0)
+        for j in range(32)
+    )
+    return (
+        cand.withColumn("hamming", dist.cast("int"))
+        .filter(F.col("hamming") <= max_dist)
+        .select("id1", "id2", "hamming")
+    )
+
+
+def jaccard_join_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """(id1, id2, jaccard) — EXACT Jaccard ≥ threshold via prefix filtering
+    (the AllPairs/PPJoin family), the deterministic alternative to LSH.
+
+    Theorem: order every doc's distinct shingles by one global order
+    (frequency-ascending, rarest first — smallest candidate lists); if
+    J(A,B) ≥ t then |A∩B| ≥ ceil(t·|A|), so A and B must share a shingle
+    inside A's first |A| − ceil(t·|A|) + 1 shingles. Candidates therefore
+    come from an equi-join on PREFIX shingles only; everything outside
+    both prefixes can be ignored until the exact verify. No hashing, no
+    false negatives at any threshold — the trade vs LSH is the global
+    frequency ranking (one extra aggregate + window over the doc key).
+    """
+    sh = shingles(df, id_col, text_col, n, distinct=True).cache()
+    counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    freq = sh.groupBy("s").agg(F.count("*").alias("freq"))
+    from pyspark.sql import Window as W
+
+    ranked = (
+        sh.join(freq, "s")
+        .withColumn("rk", F.row_number().over(W.partitionBy("id").orderBy("freq", "s")))
+        .join(counts, "id")
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("id", "s")
+    cand = (
+        prefix.select(F.col("id").alias("id1"), "s")
+        .join(prefix.select(F.col("id").alias("id2"), "s"), "s")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id1"), "s"), "id1")
+        .join(sh.select(F.col("id").alias("id2"), "s"), ["id2", "s"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(counts.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1")), "id1")
+        .join(counts.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2")), "id2")
+        .withColumn("jaccard", F.col("i") / (F.col("n1") + F.col("n2") - F.col("i")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )

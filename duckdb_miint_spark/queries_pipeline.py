@@ -797,3 +797,71 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "term", "tf",
         F.round("tfidf", 6).alias("tfidf"), "rk"
     ).orderBy("doc_id", "rk")
+
+
+_HAMMING_32 = """(CASE WHEN substr(a.simhash, 1, 1) <> substr(b.simhash, 1, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 2, 1) <> substr(b.simhash, 2, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 3, 1) <> substr(b.simhash, 3, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 4, 1) <> substr(b.simhash, 4, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 5, 1) <> substr(b.simhash, 5, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 6, 1) <> substr(b.simhash, 6, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 7, 1) <> substr(b.simhash, 7, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 8, 1) <> substr(b.simhash, 8, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 9, 1) <> substr(b.simhash, 9, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 10, 1) <> substr(b.simhash, 10, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 11, 1) <> substr(b.simhash, 11, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 12, 1) <> substr(b.simhash, 12, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 13, 1) <> substr(b.simhash, 13, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 14, 1) <> substr(b.simhash, 14, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 15, 1) <> substr(b.simhash, 15, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 16, 1) <> substr(b.simhash, 16, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 17, 1) <> substr(b.simhash, 17, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 18, 1) <> substr(b.simhash, 18, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 19, 1) <> substr(b.simhash, 19, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 20, 1) <> substr(b.simhash, 20, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 21, 1) <> substr(b.simhash, 21, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 22, 1) <> substr(b.simhash, 22, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 23, 1) <> substr(b.simhash, 23, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 24, 1) <> substr(b.simhash, 24, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 25, 1) <> substr(b.simhash, 25, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 26, 1) <> substr(b.simhash, 26, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 27, 1) <> substr(b.simhash, 27, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 28, 1) <> substr(b.simhash, 28, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 29, 1) <> substr(b.simhash, 29, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 30, 1) <> substr(b.simhash, 30, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 31, 1) <> substr(b.simhash, 31, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.simhash, 32, 1) <> substr(b.simhash, 32, 1) THEN 1 ELSE 0 END)"""
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=f"""
+WITH tokens AS (
+  SELECT doc_id, t, COUNT(*) AS cnt, md5(t) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+  GROUP BY doc_id, t
+),
+bits AS (
+  SELECT doc_id, {_SIMHASH_ORACLE_BITS}
+  FROM tokens GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {_SIMHASH_ORACLE_CONCAT} AS simhash FROM bits)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST({_HAMMING_32} AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE {_HAMMING_32} <= 3
+ORDER BY id1, id2
+""",
+    tags=("pipeline", "dedup"),
+)
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole banding: Spark
+    joins on 4 disjoint 8-bit bands and verifies exactly on candidates;
+    the oracle is the quadratic all-pairs compare — same pairs, and the
+    banded plan is the only one that survives at corpus scale."""
+    from duckdb_miint_spark.pipeline.dedup import simhash_near_pairs
+
+    docs = T(spark, sf_dir, "documents")
+    out = simhash_near_pairs(docs, "doc_id", "text", max_dist=3)
+    return out.orderBy("id1", "id2")
+
+
+@register(
+    "jaccard_prefix_pairs",
+    oracle=f"""
+WITH {SHINGLES_CTE},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id1, id2, ROUND(i * 1.0 / (c1.n + c2.n - i), 6) AS jaccard
+FROM inter
+JOIN cnt c1 ON id1 = c1.doc_id
+JOIN cnt c2 ON id2 = c2.doc_id
+WHERE i * 1.0 / (c1.n + c2.n - i) >= 0.8
+ORDER BY id1, id2
+""",
+    tags=("pipeline", "dedup"),
+)
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.8 join via prefix filtering (AllPairs/PPJoin) —
+    deterministic, zero false negatives, no hashing; candidates from the
+    rare-shingle prefix join only. Same all-pairs oracle as the LSH gate
+    but at a threshold LSH banding would need re-tuning for."""
+    from duckdb_miint_spark.pipeline.dedup import jaccard_join_prefix
+
+    docs = T(spark, sf_dir, "documents")
+    out = jaccard_join_prefix(docs, "doc_id", "text", threshold=0.8)
+    return out.select("id1", "id2", F.round("jaccard", 6).alias("jaccard")).orderBy("id1", "id2")

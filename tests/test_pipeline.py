@@ -273,3 +273,18 @@ def test_stratified_quota_respects_k(spark):
         for r in stratified_quota(docs.repartition(11), ["source"], k=10, id_col="doc_id").collect()
     )
     assert a == b
+
+
+def test_jaccard_prefix_agrees_with_lsh(spark):
+    """Two independent algorithms (prefix filter vs banded LSH) must find
+    the identical pair set at the same threshold."""
+    from duckdb_miint_spark.pipeline.dedup import jaccard_join_prefix, near_dup_pairs
+    from duckdb_miint_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {(r.id1, r.id2, round(r.jaccard, 6))
+         for r in jaccard_join_prefix(docs, threshold=0.9).collect()}
+    b = {(r.id1, r.id2, round(r.jaccard, 6))
+         for r in near_dup_pairs(docs, threshold=0.9).collect()}
+    assert a == b
+    assert len(a) > 0  # planted near-dups exist at sf0.001
