@@ -232,3 +232,54 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select("id", "term", "tf", "tfidf", "rk")
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, n_grams, n_distinct_grams, dup_gram_ratio, top_token_frac):
+    within-document repetition signals (the Gopher-style quality filters).
+
+    dup_gram_ratio = 1 − distinct/total word n-grams: high means the doc
+    repeats its own phrasing (boilerplate, keyword stuffing, decoding
+    loops). top_token_frac = occurrences of the most frequent token over
+    all tokens. The n-gram side is pure per-row array arithmetic — NO
+    shuffle; only the token-mode side aggregates (two-level: (id, token)
+    counts, then per-id max), so the shuffled relation is the distinct
+    token set, never the raw token stream."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "").alias("__w"),
+    )
+    g = F.expr(
+        f"transform(sequence(1, greatest(size(__w) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(__w, i, {n})))"
+    )
+    gram_stats = words.select(
+        "id",
+        F.size(g).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(g)).cast("long").alias("n_distinct_grams"),
+    ).withColumn(
+        "dup_gram_ratio",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(1.0 - F.col("n_distinct_grams").cast("double") / F.col("n_grams"), 6),
+        ).otherwise(F.lit(0.0)),
+    )
+    tok_stats = (
+        words.select("id", F.explode("__w").alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("id")
+        .agg(F.sum("tf").alias("__n_tokens"), F.max("tf").alias("__max_tf"))
+        .select(
+            "id",
+            F.round(F.col("__max_tf").cast("double") / F.col("__n_tokens"), 6).alias(
+                "top_token_frac"
+            ),
+        )
+    )
+    return gram_stats.join(tok_stats, "id")

@@ -865,3 +865,129 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     out = jaccard_join_prefix(docs, "doc_id", "text", threshold=0.8)
     return out.select("id1", "id2", F.round("jaccard", 6).alias("jaccard")).orderBy("id1", "id2")
+
+
+@register(
+    "doc_repetition_stats",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g
+  FROM words
+),
+gram_stats AS (
+  SELECT doc_id,
+         CAST(len(g) AS BIGINT) AS n_grams,
+         CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_grams,
+         CASE WHEN len(g) > 0
+              THEN ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 6)
+              ELSE 0.0 END AS dup_gram_ratio
+  FROM grams
+),
+tok AS (
+  SELECT doc_id, t, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        FROM documents)
+  GROUP BY doc_id, t
+),
+tok_stats AS (
+  SELECT doc_id, ROUND(CAST(MAX(tf) AS DOUBLE) / SUM(tf), 6) AS top_token_frac
+  FROM tok GROUP BY doc_id
+)
+SELECT g.doc_id, g.n_grams, g.n_distinct_grams, g.dup_gram_ratio, t.top_token_frac
+FROM gram_stats g JOIN tok_stats t ON g.doc_id = t.doc_id
+ORDER BY g.doc_id
+""",
+    tags=("pipeline", "text"),
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style): duplicate-3-gram
+    ratio (pure array arithmetic, zero shuffle) + most-frequent-token
+    fraction (two-level aggregate)."""
+    from duckdb_miint_spark.pipeline.text import repetition_stats
+
+    docs = T(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        F.col("id").alias("doc_id"), "n_grams", "n_distinct_grams",
+        "dup_gram_ratio", "top_token_frac",
+    ).orderBy("doc_id")
+
+
+@register(
+    "training_set_selection",
+    oracle=f"""
+WITH RECURSIVE {SHINGLES_CTE},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id1, id2 FROM inter
+  JOIN cnt c1 ON id1 = c1.doc_id JOIN cnt c2 ON id2 = c2.doc_id
+  WHERE i * 1.0 / (c1.n + c2.n - i) >= 0.9
+),
+und AS (SELECT id1 AS u, id2 AS v FROM pairs UNION SELECT id2, id1 FROM pairs),
+reach(id, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und) t
+  UNION
+  SELECT e.u, r.lab FROM und e JOIN reach r ON e.v = r.id
+),
+comp AS (SELECT id, MIN(lab) AS component_id FROM reach GROUP BY id),
+quality AS (
+  SELECT doc_id,
+         (CASE WHEN n_chars >= 20 AND n_chars <= 100000 THEN 0.25 ELSE 0.0 END)
+         + LEAST(CAST(alpha AS DOUBLE) / n_chars, 0.95) / 0.95 * 0.25
+         + (1.0 - LEAST(CAST(n_stop AS DOUBLE) / n_words, 1.0)) * 0.25
+         + (CASE WHEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words >= 2.0
+                  AND CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words <= 12.0
+             THEN 0.25 ELSE 0.0 END) AS qs
+  FROM (
+    SELECT doc_id, length(text) AS n_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+           len(list_filter(string_split(text, ' '),
+               x -> x <> '' AND list_contains({_STOP_LIST}, lower(x)))) AS n_stop
+    FROM documents)
+)
+SELECT d.doc_id, d.lang, d.source, ROUND(q.qs, 6) AS quality_score
+FROM documents d
+JOIN quality q ON d.doc_id = q.doc_id
+LEFT JOIN comp c ON d.doc_id = c.id
+WHERE q.qs >= 0.95
+  AND COALESCE(c.component_id, d.doc_id) = d.doc_id
+  AND substr(md5('s0:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < '80000000'
+ORDER BY d.doc_id
+""",
+    tags=("pipeline", "composition"),
+)
+def q_training_set_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-set selection — the pipeline this layer exists
+    for, composed from its own gated parts: quality filter (score ≥ 0.95)
+    → near-dup clustering, keep each cluster's canonical doc → 50%
+    deterministic hash sample. Every stage is the exact operator gated
+    individually (text_quality / dedup_components / sample_hash_bernoulli),
+    so the composition is oracle-exact too."""
+    from duckdb_miint_spark.pipeline.components import label_documents
+    from duckdb_miint_spark.pipeline.sampling import hash_sample
+    from duckdb_miint_spark.pipeline.text import quality_stats
+
+    docs = T(spark, sf_dir, "documents")
+    q = quality_stats(docs).filter(F.col("quality_score") >= 0.95).select(
+        F.col("id").alias("doc_id"), "quality_score"
+    )
+    pairs = near_dup_pairs(docs, threshold=0.9).select("id1", "id2")
+    canon = label_documents(docs, pairs).filter("is_canonical").select("doc_id")
+    selected = (
+        docs.join(q, "doc_id")
+        .join(canon, "doc_id", "left_semi")
+    )
+    return hash_sample(selected, "doc_id", 0.5, seed="s0").select(
+        "doc_id", "lang", "source", F.round("quality_score", 6).alias("quality_score")
+    ).orderBy("doc_id")
