@@ -991,3 +991,34 @@ def q_training_set_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(selected, "doc_id", 0.5, seed="s0").select(
         "doc_id", "lang", "source", F.round("quality_score", 6).alias("quality_score")
     ).orderBy("doc_id")
+
+
+@register(
+    "corpus_length_percentiles",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars,
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_chars,
+       CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    tags=("pipeline", "reporting"),
+)
+def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus reporting: per-language doc counts, char volume, and exact
+    discrete length percentiles (percentile_disc — an element of the
+    group, so engine-portable; Spark sorts per group, DuckDB quantile_disc
+    selects the same element)."""
+    docs = T(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_pct")
+    return spark.sql("""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50_chars,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p90_chars,
+               CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p99_chars
+        FROM __docs_pct GROUP BY lang ORDER BY lang
+    """)

@@ -115,3 +115,58 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.sql(f"SELECT * FROM {sink}").orderBy("hour", "event_type")
+
+
+@register(
+    "streaming_dedup_events",
+    oracle="""
+SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type
+FROM events
+ORDER BY user_id, ts_s, event_type
+""",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-micro-batch streaming dedup: the events file is staged TWICE
+    into a temp source dir and streamed one file per trigger, so every
+    row arrives again in a LATER micro-batch — ``dropDuplicates`` on the
+    key must hold state across batches to suppress the replay. Drained
+    with availableNow into a memory sink; the result must equal plain
+    DISTINCT over a single copy (the oracle). This is the streaming
+    ingestion-dedup shape (at-least-once source → exactly-once table):
+    state is keyed by the dedup key only, so memory is bounded by
+    distinct keys, and in production a watermark bounds it in time
+    (dropDuplicatesWithinWatermark)."""
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = tempfile.mkdtemp(prefix="stream_dedup_")
+    shutil.copy(src, os.path.join(stage, "a.parquet"))
+    shutil.copy(src, os.path.join(stage, "b.parquet"))
+    batch_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    deduped = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "event_type",
+        )
+        .dropDuplicates(["user_id", "ts_s", "event_type"])
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(stage, ignore_errors=True)
+    return spark.sql(f"SELECT * FROM {sink}").orderBy("user_id", "ts_s", "event_type")
