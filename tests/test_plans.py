@@ -102,3 +102,36 @@ def test_woltka_exchange_budget(spark):
         "Exchange rangepartitioning"
     )
     assert n_exchanges <= 4, f"{n_exchanges} exchanges:\n{plan[:2000]}"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed identically on the join key must join with NO
+    shuffle on either side — the layout satisfies the distribution."""
+    import pyspark.sql.functions as F
+    from duckdb_miint_spark.storage import write_bucketed
+
+    left = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 10000, 2).select(
+        F.col("id").alias("k"), (F.col("id") + 1).alias("b")
+    )
+    write_bucketed(left, "bt_left", 8, ["k"])
+    write_bucketed(right, "bt_right", 8, ["k"])
+    try:
+        lt, rt = spark.table("bt_left"), spark.table("bt_right")
+        # force a real SMJ (no broadcast) so the assertion bites
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = lt.join(rt, "k").select("k", "a", "b")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan[:2000]
+            # parity vs the shuffled join of the original frames
+            expect = sorted(map(tuple, left.join(right, "k").select("k", "a", "b").collect()))
+            assert sorted(map(tuple, joined.collect())) == expect
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_left")
+        spark.sql("DROP TABLE IF EXISTS bt_right")
