@@ -464,3 +464,51 @@ def scalar_subquery_small_quantity(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy("l_partkey")
         .limit(100)
     )
+
+
+@register(
+    "asof_join_purchases",
+    oracle="""
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts, MAX(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       ROUND(l.value, 6) AS purchase_value,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS view_ts_s,
+       ROUND(r.view_value, 6) AS view_value
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY event_id
+""",
+    tags=("relational", "asof"),
+)
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent view at
+    or before it. Spark has no native ASOF JOIN — the operator
+    (operators/asof.py) is the union+window formulation (one shuffle on
+    the key, no range blow-up); the oracle is DuckDB's native ASOF JOIN."""
+    from duckdb_miint_spark.operators.asof import asof_join
+    from duckdb_miint_spark.queries_relational import read_events
+
+    ev = read_events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(left, right, on="ts", by=["user_id"], how="inner")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("value", 6).alias("purchase_value"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("view_ts_s"),
+        F.round("view_value", 6).alias("view_value"),
+    ).orderBy("event_id")

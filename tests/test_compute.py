@@ -179,3 +179,32 @@ def test_rype_classify_paired(spark):
 def test_rype_classify_empty(spark):
     df = spark.createDataFrame([], "read_id string, sequence1 string")
     assert rype_classify(spark, RYXDI, df).count() == 0
+
+
+def test_asof_join_semantics(spark):
+    """Tie at equal ts matches; inner drops unmatched; left keeps with
+    NULLs; name collisions get the suffix."""
+    from duckdb_miint_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, "b"), ("u2", 5, "c")],
+        ["k", "ts", "val"],
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 1.0), ("u1", 15, 2.0), ("u2", 9, 3.0)],
+        ["k", "ts", "val"],  # 'val' collides with left on purpose
+    )
+    inner = {
+        (r.k, r.ts, r.val, r.ts_r, r.val_r)
+        for r in asof_join(left, right, on="ts", by=["k"]).collect()
+    }
+    assert inner == {
+        ("u1", 10, "a", 10, 1.0),  # equal ts matches (>=)
+        ("u1", 20, "b", 15, 2.0),  # latest at-or-before
+        # ("u2", 5, ...) dropped: no right row at/before ts=5
+    }
+    left_rows = {
+        (r.k, r.ts, r.ts_r)
+        for r in asof_join(left, right, on="ts", by=["k"], how="left").collect()
+    }
+    assert ("u2", 5, None) in left_rows and len(left_rows) == 3
