@@ -570,3 +570,102 @@ def woltka_real_alignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "sample_id", "feature_id", F.round("value", 3).alias("value")
     ).orderBy("sample_id", "feature_id")
+
+
+# Deterministic feature intervals per contig (10 features x 50 contigs),
+# spelled once per engine dialect (range() table syntax differs).
+_FEATURES_SPARK = """
+SELECT 'contig_' || CAST(CAST(id / 10 AS INT) AS STRING) AS reference,
+       'f' || CAST(CAST(id % 10 AS INT) AS STRING) AS feature_id,
+       CAST((id % 10) * 10000 AS BIGINT) AS fstart,
+       CAST((id % 10) * 10000 + 4999 AS BIGINT) AS fstop
+FROM range(500)
+"""
+_FEATURES_DUCK = """
+SELECT 'contig_' || CAST(i // 10 AS VARCHAR) AS reference,
+       'f' || CAST(i % 10 AS VARCHAR) AS feature_id,
+       CAST((i % 10) * 10000 AS BIGINT) AS fstart,
+       CAST((i % 10) * 10000 + 4999 AS BIGINT) AS fstop
+FROM range(500) t(i)
+"""
+
+
+@register(
+    "range_join_point_counts",
+    oracle=f"""
+WITH aln AS ({ALN_SQL}),
+feat AS ({_FEATURES_DUCK})
+SELECT f.reference, f.feature_id, COUNT(*) AS n_starts
+FROM aln a JOIN feat f
+  ON a.reference = f.reference
+ AND a.position BETWEEN f.fstart AND f.fstop
+GROUP BY f.reference, f.feature_id
+ORDER BY f.reference, f.feature_id
+""",
+    tags=("domain", "rangejoin"),
+)
+def range_join_point_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: alignment start positions counted per
+    feature window. Spark runs the binned equi-join
+    (operators/rangejoin.py) — a hash shuffle on (contig, bin) — where a
+    naive inequality join would be BroadcastNestedLoop; the oracle is
+    DuckDB's native IEJoin on the same predicate."""
+    from duckdb_miint_spark.operators.rangejoin import point_in_interval_join
+
+    aln = _aln(spark, sf_dir).filter(F.col("position").isNotNull()).select(
+        "reference", "position"
+    )
+    feat = spark.sql(_FEATURES_SPARK)
+    joined = point_in_interval_join(
+        aln, feat, "position", "fstart", "fstop", by=["reference"], bin_size=4096
+    )
+    return (
+        joined.groupBy("reference", "feature_id")
+        .agg(F.count("*").alias("n_starts"))
+        .orderBy("reference", "feature_id")
+    )
+
+
+@register(
+    "range_join_overlap_counts",
+    oracle=f"""
+WITH aln AS ({ALN_SQL}),
+feat AS ({_FEATURES_DUCK})
+SELECT f.reference, f.feature_id, COUNT(*) AS n_overlaps
+FROM (SELECT reference,
+             LEAST(position, stop_position) AS s,
+             GREATEST(position, stop_position) AS e
+      FROM aln
+      WHERE position IS NOT NULL AND stop_position IS NOT NULL) a
+JOIN feat f
+  ON a.reference = f.reference
+ AND a.s <= f.fstop AND f.fstart <= a.e
+GROUP BY f.reference, f.feature_id
+ORDER BY f.reference, f.feature_id
+""",
+    tags=("domain", "rangejoin"),
+)
+def range_join_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap range join (bedtools-intersect shape): alignment
+    intervals × feature windows, every overlapping pair counted exactly
+    once via the max(start)-bin dedup trick — no DISTINCT shuffle."""
+    from duckdb_miint_spark.operators.rangejoin import interval_overlap_join
+
+    aln = (
+        _aln(spark, sf_dir)
+        .filter(F.col("position").isNotNull() & F.col("stop_position").isNotNull())
+        .select(
+            "reference",
+            F.least("position", "stop_position").alias("s"),
+            F.greatest("position", "stop_position").alias("e"),
+        )
+    )
+    feat = spark.sql(_FEATURES_SPARK)
+    joined = interval_overlap_join(
+        aln, feat, "s", "e", "fstart", "fstop", by=["reference"], bin_size=4096
+    )
+    return (
+        joined.groupBy("reference", "feature_id")
+        .agg(F.count("*").alias("n_overlaps"))
+        .orderBy("reference", "feature_id")
+    )

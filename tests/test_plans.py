@@ -135,3 +135,12 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_left")
         spark.sql("DROP TABLE IF EXISTS bt_right")
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The binned range join must plan as an equi-join (hash/SMJ shuffle),
+    never BroadcastNestedLoopJoin/CartesianProduct."""
+    for q in ("range_join_point_counts", "range_join_overlap_counts"):
+        plan = plan_of(spark, q)
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "CartesianProduct" not in plan, q
