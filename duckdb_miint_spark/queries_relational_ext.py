@@ -512,3 +512,84 @@ def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("view_ts_s"),
         F.round("view_value", 6).alias("view_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "cube_order_stats",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority) AS g_pri, GROUPING(o_orderstatus) AS g_st,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+""",
+    tags=("relational", "agg"),
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (Catalyst Expand) with GROUPING() disambiguation of
+    the NULL super-aggregate rows — the full grouping-sets surface on top
+    of the existing ROLLUP gate."""
+    orders = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("long").alias("g_pri"),
+            F.grouping("o_orderstatus").cast("long").alias("g_st"),
+            F.count("*").alias("n"),
+            (F.sum(cents).cast("double") / 100.0).alias("sum_price"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "g_pri", "g_st", "n", "sum_price")
+        .orderBy(
+            "g_pri", "g_st",
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "window_suite_events",
+    oracle="""
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CAST(ROUND(value*100,0) AS BIGINT) AS v_cents,
+       CAST(LAG(CAST(ROUND(value*100,0) AS BIGINT)) OVER w AS BIGINT) AS prev_cents,
+       CAST(LEAD(CAST(ROUND(value*100,0) AS BIGINT)) OVER w AS BIGINT) AS next_cents,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       CAST(FIRST_VALUE(CAST(ROUND(value*100,0) AS BIGINT)) OVER w AS BIGINT) AS first_cents,
+       CAST(RANK() OVER (PARTITION BY user_id ORDER BY CAST(ROUND(value*100,0) AS BIGINT) DESC, event_id) AS BIGINT) AS value_rank
+FROM events
+WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, ts_s, event_id
+""",
+    tags=("relational", "window"),
+)
+def window_suite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/ntile/first_value/rank in one pass over a per-user event
+    ordering — the window-function surface beyond row_number/sum gates."""
+    from pyspark.sql import Window as W
+    from duckdb_miint_spark.queries_relational import read_events
+
+    ev = read_events(spark, sf_dir).filter(F.col("user_id") < 50)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = W.partitionBy("user_id").orderBy(F.desc("v_cents"), F.asc("event_id"))
+    return (
+        ev.withColumn("v_cents", cents)
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "v_cents",
+            F.lag("v_cents").over(w).alias("prev_cents"),
+            F.lead("v_cents").over(w).alias("next_cents"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.first("v_cents").over(w).alias("first_cents"),
+            F.rank().over(wr).cast("long").alias("value_rank"),
+            "ts", "event_id",
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .drop("ts", "event_id")
+    )
