@@ -1022,3 +1022,44 @@ def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p99_chars
         FROM __docs_pct GROUP BY lang ORDER BY lang
     """)
+
+
+@register(
+    "embedding_dedup_components",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+),
+und AS (SELECT id1 AS u, id2 AS v FROM pairs UNION SELECT id2, id1 FROM pairs),
+reach(id, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und) t
+  UNION
+  SELECT g.u, r.lab FROM und g JOIN reach r ON g.v = r.id
+),
+comp AS (SELECT id, MIN(lab) AS component_id FROM reach GROUP BY id)
+SELECT em.vec_id,
+       COALESCE(c.component_id, em.vec_id) AS component_id,
+       em.vec_id = COALESCE(c.component_id, em.vec_id) AS is_canonical
+FROM embeddings em
+LEFT JOIN comp c ON em.vec_id = c.id
+ORDER BY em.vec_id
+""",
+    tags=("pipeline", "similarity"),
+)
+def q_embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup clustering: exact cosine-threshold pairs
+    (tiled BLAS) → the same connected-components labeller the text path
+    uses — semantic duplicate clusters with one canonical vector each."""
+    from duckdb_miint_spark.pipeline.components import label_documents
+    from duckdb_miint_spark.pipeline.similarity import cosine_threshold_pairs_exact
+
+    emb = T(spark, sf_dir, "embeddings")
+    pairs = cosine_threshold_pairs_exact(emb, threshold=0.45).select("id1", "id2")
+    return label_documents(emb, pairs, id_col="vec_id").orderBy("vec_id")
