@@ -55,6 +55,20 @@ def asof_join(
         c: (c + rsuffix if c in left.columns else c) for c in rvalue_cols
     }
     on_out = on + rsuffix
+    clashes = sorted(
+        {n for n in [on_out, *out_names.values()] if n in left.columns}
+    )
+    if clashes:
+        raise ValueError(
+            f"asof_join output column(s) {clashes} collide with left columns; "
+            f"pick a different rsuffix (got {rsuffix!r}) or rename the inputs"
+        )
+    emitted = [on_out, *out_names.values()]
+    if len(set(emitted)) != len(emitted):
+        raise ValueError(
+            f"asof_join right columns map to duplicate output names {emitted}; "
+            f"pick a different rsuffix (got {rsuffix!r}) or rename the inputs"
+        )
 
     lp = left.select(
         *by,

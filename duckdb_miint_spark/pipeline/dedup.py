@@ -297,7 +297,19 @@ def simhash_near_pairs(
     Same plan shape as banded MinHash-LSH, so the same hot-bucket caveat:
     a band value shared by k docs costs k² candidates; salt or cap
     degenerate buckets if the corpus has boilerplate-heavy signatures.
+
+    ``max_dist`` must be in [1, 15] so each band is ≥ 2 bits wide; wider
+    distances would give 0/1-bit bands where every doc collides and the
+    join degenerates to the quadratic cross-product. When 32 is not a
+    multiple of ``max_dist + 1`` the trailing ``32 mod (max_dist+1)``
+    bits belong to no band — still correct (bands only need to cover
+    disjoint slices; the pigeonhole argument needs max_dist+1 bands, not
+    full coverage), just slightly more candidates than a full split.
     """
+    if not (1 <= max_dist <= 15):
+        raise ValueError(
+            f"max_dist must be in [1, 15] (bands need >= 2 bits), got {max_dist}"
+        )
     n_bands = max_dist + 1
     width = 32 // n_bands
     sigs = simhash32(df, id_col, text_col).cache()
@@ -368,8 +380,15 @@ def jaccard_join_prefix(
         .withColumn("rk", F.row_number().over(W.partitionBy("id").orderBy("freq", "s")))
         .join(counts, "id")
     )
+    # ceil on doubles: FP representation error in threshold*n_sh can land
+    # just ABOVE an integer and inflate ceil by 1, shortening the prefix
+    # and re-admitting false negatives. Shave an epsilon so the error can
+    # only lengthen (never shorten) the prefix — longer is always safe.
     prefix = ranked.filter(
-        F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        F.col("rk")
+        <= F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + 1
     ).select("id", "s")
     cand = (
         prefix.select(F.col("id").alias("id1"), "s")

@@ -34,9 +34,16 @@ def hash_threshold(rate: float) -> str:
     """Hex threshold string: keep rows whose 8-hex key < this.
 
     String comparison on lowercase hex == numeric comparison, so both
-    engines filter with a plain ``<`` on varchar."""
+    engines filter with a plain ``<`` on varchar.
+
+    rate=1.0 is special-cased: ``format(1<<32, "08x")`` is the 9-char
+    string ``"100000000"``, and lexicographic comparison of 8-char hex
+    keys against it keeps only keys starting with ``'0'`` (~6% of rows).
+    ``'g'`` sorts after every hex digit, so every key passes."""
     if not (0.0 <= rate <= 1.0):
         raise ValueError(f"rate must be in [0,1], got {rate}")
+    if rate >= 1.0:
+        return "g"
     return format(int(rate * (1 << 32)), "08x")
 
 

@@ -208,3 +208,25 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, on="ts", by=["k"], how="left").collect()
     }
     assert ("u2", 5, None) in left_rows and len(left_rows) == 3
+
+
+def test_asof_join_rejects_output_name_collisions(spark):
+    """A left column named on+rsuffix (or colliding suffixed right column)
+    would silently duplicate output names — must raise instead."""
+    import pytest
+    from duckdb_miint_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame([("u1", 5, 1.0)], ["k", "ts", "val"])
+    # left already owns 'ts_r' -> collides with the emitted right-time col
+    left_tsr = spark.createDataFrame([("u1", 10, 0.0)], ["k", "ts", "ts_r"])
+    with pytest.raises(ValueError, match="ts_r"):
+        asof_join(left_tsr, right, on="ts", by=["k"])
+    # suffixed right 'val' -> 'val_r' collides with an existing left 'val_r'
+    left_valr = spark.createDataFrame(
+        [("u1", 10, "x", 0.0)], ["k", "ts", "val", "val_r"]
+    )
+    with pytest.raises(ValueError, match="val_r"):
+        asof_join(left_valr, right, on="ts", by=["k"])
+    # a non-colliding rsuffix fixes it
+    out = asof_join(left_valr, right, on="ts", by=["k"], rsuffix="_rr")
+    assert "ts_rr" in out.columns and "val_rr" in out.columns

@@ -256,6 +256,22 @@ def test_hash_sample_nests_and_is_partition_invariant(spark):
     assert other != s10
 
 
+def test_hash_sample_rate_edges(spark):
+    """rate=1.0 keeps everything (the 9-char-threshold bug), rate=0 keeps
+    nothing, and out-of-range rates are rejected."""
+    import pytest
+    from duckdb_miint_spark.pipeline.sampling import hash_sample, hash_threshold
+
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    assert hash_sample(docs, "doc_id", 1.0).count() == 500
+    assert hash_sample(docs, "doc_id", 0.0).count() == 0
+    assert hash_threshold(1.0) == "g"
+    with pytest.raises(ValueError):
+        hash_threshold(1.5)
+    with pytest.raises(ValueError):
+        hash_threshold(-0.1)
+
+
 def test_stratified_quota_respects_k(spark):
     from duckdb_miint_spark.pipeline.sampling import stratified_quota
     import pyspark.sql.functions as F
@@ -288,3 +304,32 @@ def test_jaccard_prefix_agrees_with_lsh(spark):
          for r in near_dup_pairs(docs, threshold=0.9).collect()}
     assert a == b
     assert len(a) > 0  # planted near-dups exist at sf0.001
+
+
+def test_simhash_max_dist_validation(spark):
+    """max_dist outside [1, 15] degenerates to 0/1-bit bands (quadratic
+    cross-product) and must be rejected up front."""
+    import pytest
+    from duckdb_miint_spark.pipeline.dedup import simhash_near_pairs
+
+    docs = spark.createDataFrame([("d1", "alpha")], ["doc_id", "text"])
+    for bad in (0, 16, 32, -1):
+        with pytest.raises(ValueError):
+            simhash_near_pairs(docs, max_dist=bad)
+
+
+def test_jaccard_prefix_ceil_epsilon(spark):
+    """Thresholds whose FP product lands just above an integer must not
+    shorten the prefix: identical docs are found at every threshold."""
+    from duckdb_miint_spark.pipeline.dedup import jaccard_join_prefix
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [("d1", text), ("d2", text)], ["doc_id", "text"]
+    )
+    # 0.7*10=7.000000000000001 in FP — ceil without the epsilon gives 8,
+    # prefix length n - 8 + 1 instead of n - 7 + 1. Exact duplicates must
+    # survive any threshold <= 1.0 regardless.
+    for t in (0.7, 0.8, 0.9, 0.99, 1.0):
+        pairs = jaccard_join_prefix(docs, threshold=t).collect()
+        assert [(r.id1, r.id2, r.jaccard) for r in pairs] == [("d1", "d2", 1.0)], t
