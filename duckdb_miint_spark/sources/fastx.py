@@ -20,10 +20,25 @@ Semantics reproduced exactly:
 - qual_offset ∈ {33, 64}; decoded scores must be 0..93.
 - gzip sniffed from magic bytes, not extension.
 
-Scale shape: one input partition per file (pair) — identical to the
-reference's file-claiming thread model (read_fastx.cpp:181-212). gzip text
-is not splittable without an index, so the file is the natural unit; at
-100 TB the input is many files, which is exactly what Spark schedules well.
+Scale shape: one input partition per file (pair) by default — identical to
+the reference's file-claiming thread model (read_fastx.cpp:181-212). gzip
+text is not splittable without an index, so compressed files keep the file
+as the unit. For LARGE uncompressed single files, ``max_split_bytes``
+enables byte-range splitting so one multi-GB FASTQ is N parallel tasks,
+not one straggler:
+
+- bind time (driver): probe ~8 lines at each target boundary to align it
+  to a record start (FASTA: next ``>`` line — exact for any FASTA; FASTQ:
+  4-line heuristic validated by seq-len == qual-len).
+- a cheap parallel COUNT pass (newlines/4 for FASTQ, ``\\n>`` occurrences
+  for FASTA — memchr-speed, no parsing) fixes the exact per-file 1-based
+  ``sequence_index`` offset of every range, so split output is
+  golden-identical to the unsplit scan.
+- FASTQ splitting requires strict 4-line records (the universal modern
+  form); multi-line or blank-line FASTQ fails fast with instructions to
+  disable splitting. FASTA splitting is fully general (multi-line seqs
+  fine; a sequence line can never start with ``>``).
+- paired scans never split (R1/R2 are read in lockstep).
 """
 
 from __future__ import annotations
@@ -198,6 +213,240 @@ def read_fastx_file_pair(
         yield row
 
 
+# --- byte-range splitting (large uncompressed files) -------------------------
+
+
+def _is_gzip(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(2) == b"\x1f\x8b"
+
+
+def _sniff_fastq(path: str) -> bool:
+    """True if the first record marker is '@' (FASTQ), False for '>'."""
+    with open(path, "rb") as f:
+        while True:
+            line = f.readline()
+            if not line:
+                raise FastxError("Empty file")
+            s = line.strip()
+            if s:
+                if s[:1] == b"@":
+                    return True
+                if s[:1] == b">":
+                    return False
+                raise FastxError(f"Malformed FASTX record near: {s[:50]!r}")
+
+
+def _next_record_start(path: str, offset: int, is_fastq: bool, filesize: int) -> int:
+    """Smallest record-start byte offset >= ``offset``.
+
+    FASTA: the next line starting with ``>`` (unambiguous — sequence lines
+    cannot start with '>'). FASTQ: the 4-line heuristic — a line starting
+    with '@' whose line+2 starts with '+' and whose line+1/line+3 lengths
+    match (a quality line starting with '@' fails the '+'-at-+2 check
+    because the following line is sequence). Returns ``filesize`` when the
+    offset is inside the final record."""
+    if offset <= 0:
+        return 0
+    if offset >= filesize:
+        return filesize
+    with open(path, "rb") as f:
+        f.seek(offset - 1)
+        if f.read(1) != b"\n":
+            f.readline()  # discard the partial line
+        pos = f.tell()
+        if not is_fastq:
+            while True:
+                line = f.readline()
+                if not line:
+                    return filesize
+                if line[:1] == b">":
+                    return pos
+                pos += len(line)
+        starts: list[int] = []
+        lines: list[bytes] = []
+        for _ in range(8):
+            line = f.readline()
+            if not line:
+                break
+            starts.append(pos)
+            lines.append(line)
+            pos += len(line)
+        for i in range(len(lines) - 3):
+            if (
+                lines[i][:1] == b"@"
+                and lines[i + 2][:1] == b"+"
+                and len(lines[i + 1].strip()) == len(lines[i + 3].strip())
+            ):
+                return starts[i]
+        return filesize
+
+
+def plan_fastx_splits(path: str, target_bytes: int) -> list[tuple[int, int]]:
+    """[(start, end), ...] byte ranges aligned to record starts."""
+    if target_bytes <= 0:
+        raise FastxError(f"max_split_bytes must be positive, got {target_bytes}")
+    size = os.path.getsize(path)
+    n_chunks = max(1, size // target_bytes)
+    if n_chunks == 1:
+        return [(0, size)]
+    is_fastq = _sniff_fastq(path)
+    bounds = [0]
+    for k in range(1, n_chunks):
+        b = _next_record_start(path, k * target_bytes, is_fastq, size)
+        if b > bounds[-1] and b < size:
+            bounds.append(b)
+    bounds.append(size)
+    return [(a, b) for a, b in zip(bounds, bounds[1:]) if a < b]
+
+
+_COUNT_CHUNK = 1 << 22
+
+
+def count_fastx_range(path: str, start: int, end: int, filesize: int) -> int:
+    """Record count in an aligned range — byte scan, no parsing.
+
+    FASTQ: newlines/4 (strict 4-line records enforced — %4 != 0 means
+    multi-line/blank-line FASTQ, which cannot be split). FASTA: count of
+    '>' line-starts — exact for any FASTA."""
+    is_fastq = _sniff_fastq(path)
+    newlines = 0
+    recs = 0
+    tail = b"\n"  # ranges start at a record (line) start
+    with open(path, "rb") as f:
+        f.seek(start)
+        remaining = end - start
+        while remaining > 0:
+            chunk = f.read(min(_COUNT_CHUNK, remaining))
+            if not chunk:
+                break
+            remaining -= len(chunk)
+            if is_fastq:
+                newlines += chunk.count(b"\n")
+            else:
+                recs += chunk.count(b"\n>")
+                if tail == b"\n" and chunk[:1] == b">":
+                    recs += 1
+            tail = chunk[-1:]
+    if not is_fastq:
+        return recs
+    if end >= filesize and tail != b"\n":
+        newlines += 1  # final line without trailing newline
+    if newlines % 4 != 0:
+        raise FastxError(
+            f"FASTQ byte range [{start}, {end}) of {path} has {newlines} lines "
+            "(not a multiple of 4): multi-line or blank-line FASTQ cannot be "
+            "split — pass max_split_bytes=None"
+        )
+    return newlines // 4
+
+
+def iter_fastx_range(
+    path: str, start: int, end: int, strict_fourline: bool = False
+) -> Iterator[tuple[str, str, str, str | None]]:
+    """parse_fastx over records whose START byte lies in [start, end).
+
+    Binary-mode twin of :func:`parse_fastx` (same record grammar, same
+    error text shapes) that tracks byte offsets so a mid-file partition
+    stops exactly at its boundary. ``strict_fourline`` rejects multi-line
+    FASTQ records — required in split mode, where the boundary prober and
+    the count pass both assume 4-line records."""
+    with open(path, "rb") as f:
+        f.seek(start)
+        pos = start
+        line = f.readline()
+        while line:
+            rec_start = pos
+            stripped = line.strip()
+            if not stripped:
+                if strict_fourline:
+                    raise FastxError(
+                        "blank line in FASTQ: split mode requires strict "
+                        "4-line records — pass max_split_bytes=None"
+                    )
+                pos += len(line)
+                line = f.readline()
+                continue
+            if rec_start >= end:
+                break
+            first = stripped[:1]
+            if first not in (b">", b"@"):
+                raise FastxError(
+                    f"Malformed FASTX record near: {stripped[:50].decode('ascii', 'replace')}"
+                )
+            is_fastq = first == b"@"
+            pos += len(line)
+            header = stripped[1:].decode("ascii")
+            parts = header.split(None, 1)
+            name = parts[0] if parts else ""
+            comment = parts[1] if len(parts) > 1 else ""
+            seq_parts: list[bytes] = []
+            seq_lines = 0
+            stops = (b">", b"@", b"+") if is_fastq else (b">", b"@")
+            line = f.readline()
+            while line and line[:1] not in stops:
+                seq_parts.append(b"".join(line.split()))
+                seq_lines += 1
+                pos += len(line)
+                line = f.readline()
+            seq = b"".join(seq_parts).decode("ascii")
+            qual: str | None = None
+            if is_fastq:
+                if not line or line[:1] != b"+":
+                    raise FastxError(f"FASTQ record missing '+' separator: {name}")
+                pos += len(line)
+                qual_parts: list[bytes] = []
+                qlen = 0
+                qual_lines = 0
+                line = f.readline()
+                while line and qlen < len(seq):
+                    q = line.rstrip(b"\r\n")
+                    qual_parts.append(q)
+                    qlen += len(q)
+                    qual_lines += 1
+                    pos += len(line)
+                    line = f.readline()
+                qual = b"".join(qual_parts).decode("ascii")
+                if len(qual) != len(seq):
+                    raise FastxError(
+                        f"FASTQ quality length {len(qual)} != sequence length {len(seq)} for {name}"
+                    )
+                if strict_fourline and (seq_lines != 1 or qual_lines != 1):
+                    raise FastxError(
+                        f"multi-line FASTQ record {name}: split mode requires "
+                        "strict 4-line records — pass max_split_bytes=None"
+                    )
+            yield name, comment, seq, qual
+
+
+def read_fastx_range_rows(
+    path: str,
+    start: int,
+    end: int,
+    index_offset: int,
+    qual_offset: int,
+    include_filepath: bool,
+) -> Iterator[tuple]:
+    """Rows for one byte range; sequence_index continues at index_offset+1."""
+    idx = index_offset
+    for name, comment, seq, qual in iter_fastx_range(
+        path, start, end, strict_fourline=True
+    ):
+        idx += 1
+        row = (
+            idx,
+            base_read_id(name),
+            comment or None,
+            seq,
+            None,
+            decode_qual(qual, qual_offset),
+            None,
+        )
+        if include_filepath:
+            row = row + (path,)
+        yield row
+
+
 # --- file-list resolution (bind-time) ----------------------------------------
 
 
@@ -227,18 +476,45 @@ def resolve_files(filename: str | list[str], what: str = "filename") -> list[str
 
 
 class FastxPartition(InputPartition):
-    def __init__(self, path1: str, path2: str | None):
+    def __init__(
+        self,
+        path1: str,
+        path2: str | None,
+        start: int = 0,
+        end: int | None = None,
+        index_offset: int = 0,
+    ):
         self.path1 = path1
         self.path2 = path2
+        self.start = start
+        self.end = end
+        self.index_offset = index_offset
 
 
 class FastxReader(DataSourceReader):
-    def __init__(self, pairs: list[tuple[str, str | None]], qual_offset: int, include_filepath: bool):
+    def __init__(
+        self,
+        pairs: list[tuple[str, str | None]],
+        qual_offset: int,
+        include_filepath: bool,
+        splits: list[dict] | None = None,
+    ):
         self.pairs = pairs
         self.qual_offset = qual_offset
         self.include_filepath = include_filepath
+        self.splits = splits
 
     def partitions(self):
+        if self.splits is not None:
+            # pre-planned by read_fastx: whole pairs + byte ranges mixed
+            return [
+                FastxPartition(d["p1"], d["p2"])
+                if d["kind"] == "pair"
+                else FastxPartition(
+                    d["path"], None, d["start"], d["end"], d["offset"]
+                )
+                for d in self.splits
+            ]
         # one partition per file pair = the reference's MaxThreads model
         return [FastxPartition(p1, p2) for p1, p2 in self.pairs]
 
@@ -247,12 +523,20 @@ class FastxReader(DataSourceReader):
         # instead of a pickled tuple per record
         from duckdb_miint_spark.sources.arrow_batch import batched
 
-        yield from batched(
-            read_fastx_file_pair(
+        if partition.end is not None:
+            rows = read_fastx_range_rows(
+                partition.path1,
+                partition.start,
+                partition.end,
+                partition.index_offset,
+                self.qual_offset,
+                self.include_filepath,
+            )
+        else:
+            rows = read_fastx_file_pair(
                 partition.path1, partition.path2, self.qual_offset, self.include_filepath
-            ),
-            fastx_schema(self.include_filepath),
-        )
+            )
+        yield from batched(rows, fastx_schema(self.include_filepath))
 
 
 class FastxDataSource(DataSource):
@@ -280,8 +564,9 @@ class FastxDataSource(DataSource):
             seq2 = opts["sequence2"]
         qual_offset = int(opts.get("qual_offset", "33"))
         include_filepath = opts.get("include_filepath", "false") == "true"
+        splits = json.loads(opts["splits"]) if "splits" in opts else None
         pairs = plan_file_pairs(filename, seq2, qual_offset)
-        return FastxReader(pairs, qual_offset, include_filepath)
+        return FastxReader(pairs, qual_offset, include_filepath, splits)
 
 
 def plan_file_pairs(
@@ -301,16 +586,59 @@ def plan_file_pairs(
     return list(zip(files1, files2))
 
 
+def plan_split_partitions(
+    spark: SparkSession,
+    pairs: list[tuple[str, str | None]],
+    max_split_bytes: int,
+) -> list[dict]:
+    """Partition descriptors mixing whole pairs and byte ranges.
+
+    Unpaired uncompressed files larger than ``max_split_bytes`` become
+    ``{"kind": "range", "path", "start", "end", "offset"}`` descriptors;
+    everything else stays a ``{"kind": "pair", "p1", "p2"}`` whole-file
+    partition (gzip is not splittable; R1/R2 pairs read in lockstep).
+    A parallel count pass (one Spark job over all ranges — memchr-speed
+    byte scan, no parsing) converts per-range record counts into exact
+    per-file ``sequence_index`` offsets, so split output is identical to
+    the unsplit scan."""
+    out: list[dict] = []
+    to_count: list[tuple[int, str, int, int, int]] = []  # (slot, path, s, e, size)
+    for p1, p2 in pairs:
+        size = os.path.getsize(p1)
+        if p2 is not None or size <= max_split_bytes or _is_gzip(p1):
+            out.append({"kind": "pair", "p1": p1, "p2": p2})
+            continue
+        for s, e in plan_fastx_splits(p1, max_split_bytes):
+            to_count.append((len(out), p1, s, e, size))
+            out.append({"kind": "range", "path": p1, "start": s, "end": e, "offset": 0})
+    if to_count:
+        counts = dict(
+            spark.sparkContext.parallelize(to_count, len(to_count))
+            .map(lambda t: (t[0], count_fastx_range(t[1], t[2], t[3], t[4])))
+            .collect()
+        )
+        running: dict[str, int] = {}
+        for slot, path, _s, _e, _size in to_count:
+            out[slot]["offset"] = running.get(path, 0)
+            running[path] = out[slot]["offset"] + counts[slot]
+    return out
+
+
 def read_fastx(
     spark: SparkSession,
     filename: str | list[str],
     sequence2: str | list[str] | None = None,
     include_filepath: bool = False,
     qual_offset: int = 33,
+    max_split_bytes: int | None = None,
 ) -> DataFrame:
-    """The reference's ``read_fastx(...)`` table function as a DataFrame."""
+    """The reference's ``read_fastx(...)`` table function as a DataFrame.
+
+    ``max_split_bytes``: when set, unpaired uncompressed files larger than
+    this are scanned as multiple byte-range partitions (see module
+    docstring) — output identical to the default whole-file scan."""
     # validate eagerly (bind-time errors, matching read_fastx.cpp:44-112)
-    plan_file_pairs(filename, sequence2, qual_offset)
+    pairs = plan_file_pairs(filename, sequence2, qual_offset)
     spark.dataSource.register(FastxDataSource)
     reader = spark.read.format("fastx")
     if isinstance(filename, list):
@@ -321,6 +649,10 @@ def read_fastx(
         reader = reader.option("sequence2_list", json.dumps(sequence2))
     elif sequence2 is not None:
         reader = reader.option("sequence2", sequence2)
+    if max_split_bytes is not None:
+        parts = plan_split_partitions(spark, pairs, max_split_bytes)
+        if any(p["kind"] == "range" for p in parts):
+            reader = reader.option("splits", json.dumps(parts))
     return (
         reader.option("include_filepath", "true" if include_filepath else "false")
         .option("qual_offset", str(qual_offset))

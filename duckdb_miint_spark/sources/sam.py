@@ -194,6 +194,43 @@ def _parse_sam_tags(fields: list[str]) -> dict:
     return tags
 
 
+def _sam_line_to_row(
+    line: str,
+    known_refs: set[str],
+    include_seq_qual: bool,
+    filepath: str | None,
+) -> tuple:
+    fields = line.split("\t")
+    if len(fields) < 11:
+        raise SamError(f"Malformed SAM record ({len(fields)} fields): {line[:60]}")
+    (qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen, seq, qual) = fields[:11]
+    flags = int(flag)
+    if rname != "*" and known_refs and rname not in known_refs:
+        raise SamError(f"Reference name not found in header: {rname}")
+    seq_out = None if seq == "*" else seq
+    qual_out: list[int] | None
+    if qual == "*":
+        qual_out = [] if seq_out else None
+    else:
+        qual_out = [ord(c) - 33 for c in qual]
+    return _finish_row(
+        qname,
+        flags,
+        rname,
+        int(pos),
+        int(mapq),
+        cigar,
+        rnext,
+        int(pnext),
+        int(tlen),
+        _parse_sam_tags(fields[11:]),
+        seq_out,
+        qual_out,
+        include_seq_qual,
+        filepath,
+    )
+
+
 def read_sam_text(
     path: str,
     known_refs: set[str],
@@ -208,35 +245,51 @@ def read_sam_text(
             line = line.rstrip("\n")
             if not line:
                 continue
-            fields = line.split("\t")
-            if len(fields) < 11:
-                raise SamError(f"Malformed SAM record ({len(fields)} fields): {line[:60]}")
-            (qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen, seq, qual) = fields[:11]
-            flags = int(flag)
-            if rname != "*" and known_refs and rname not in known_refs:
-                raise SamError(f"Reference name not found in header: {rname}")
-            seq_out = None if seq == "*" else seq
-            qual_out: list[int] | None
-            if qual == "*":
-                qual_out = [] if seq_out else None
-            else:
-                qual_out = [ord(c) - 33 for c in qual]
-            yield _finish_row(
-                qname,
-                flags,
-                rname,
-                int(pos),
-                int(mapq),
-                cigar,
-                rnext,
-                int(pnext),
-                int(tlen),
-                _parse_sam_tags(fields[11:]),
-                seq_out,
-                qual_out,
-                include_seq_qual,
-                filepath,
+            yield _sam_line_to_row(line, known_refs, include_seq_qual, filepath)
+
+
+def read_sam_text_range(
+    path: str,
+    start: int,
+    end: int,
+    known_refs: set[str],
+    include_seq_qual: bool,
+    filepath: str | None,
+) -> Iterator[tuple]:
+    """Records whose line START byte lies in [start, end) — uncompressed
+    SAM text only. Every SAM record is exactly one line and a line
+    beginning with '@' is always a header (QNAME's grammar
+    ``[!-?A-~]`` excludes '@' — SAMv1 spec §1.4), so line boundaries are
+    record boundaries and ranges need no record-structure probing."""
+    with open(path, "rb") as f:
+        if start > 0:
+            f.seek(start - 1)
+            if f.read(1) != b"\n":
+                f.readline()  # discard partial line
+        pos = f.tell()
+        while pos < end:
+            line = f.readline()
+            if not line:
+                break
+            pos += len(line)
+            s = line.rstrip(b"\r\n")
+            if not s or s[:1] == b"@":
+                continue
+            yield _sam_line_to_row(
+                s.decode("utf-8"), known_refs, include_seq_qual, filepath
             )
+
+
+def plan_sam_splits(path: str, target_bytes: int) -> list[tuple[int, int]]:
+    """[(start, end)] line-aligned byte ranges. Alignment happens lazily
+    in the range reader (skip-to-next-newline), so planning is just
+    arithmetic — ranges here are raw byte offsets."""
+    if target_bytes <= 0:
+        raise SamError(f"max_split_bytes must be positive, got {target_bytes}")
+    size = os.path.getsize(path)
+    n_chunks = max(1, size // target_bytes)
+    bounds = [k * size // n_chunks for k in range(n_chunks)] + [size]
+    return [(a, b) for a, b in zip(bounds, bounds[1:]) if a < b]
 
 
 # --- BAM binary --------------------------------------------------------------
@@ -433,20 +486,50 @@ def plan_sam_scan(
 
 
 class SamPartition(InputPartition):
-    def __init__(self, path: str, bam: bool, known_refs: list[str]):
+    def __init__(
+        self,
+        path: str,
+        bam: bool,
+        known_refs: list[str],
+        start: int = 0,
+        end: int | None = None,
+    ):
         self.path = path
         self.bam = bam
         self.known_refs = known_refs
+        self.start = start
+        self.end = end
 
 
 class SamReader(DataSourceReader):
-    def __init__(self, plans, include_seq_qual: bool, include_filepath: bool):
+    def __init__(
+        self,
+        plans,
+        include_seq_qual: bool,
+        include_filepath: bool,
+        max_split_bytes: int | None = None,
+    ):
         self.plans = plans
         self.include_seq_qual = include_seq_qual
         self.include_filepath = include_filepath
+        self.max_split_bytes = max_split_bytes
 
     def partitions(self):
-        return [SamPartition(p, b, k) for p, b, k in self.plans]
+        parts = []
+        for p, b, k in self.plans:
+            if (
+                self.max_split_bytes is not None
+                and not b
+                and not _is_gzip_file(p)
+                and os.path.getsize(p) > self.max_split_bytes
+            ):
+                parts += [
+                    SamPartition(p, b, k, s, e)
+                    for s, e in plan_sam_splits(p, self.max_split_bytes)
+                ]
+            else:
+                parts.append(SamPartition(p, b, k))
+        return parts
 
     def read(self, partition: SamPartition):
         from duckdb_miint_spark.sources.arrow_batch import batched
@@ -454,6 +537,15 @@ class SamReader(DataSourceReader):
         fp = partition.path if self.include_filepath else None
         if partition.bam:
             rows = read_bam(partition.path, self.include_seq_qual, fp)
+        elif partition.end is not None:
+            rows = read_sam_text_range(
+                partition.path,
+                partition.start,
+                partition.end,
+                set(partition.known_refs),
+                self.include_seq_qual,
+                fp,
+            )
         else:
             rows = read_sam_text(
                 partition.path, set(partition.known_refs), self.include_seq_qual, fp
@@ -462,6 +554,11 @@ class SamReader(DataSourceReader):
         yield from batched(
             rows, alignments_schema(self.include_seq_qual, self.include_filepath)
         )
+
+
+def _is_gzip_file(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(2) == b"\x1f\x8b"
 
 
 class SamDataSource(DataSource):
@@ -482,10 +579,12 @@ class SamDataSource(DataSource):
         if ref_lengths is not None:
             ref_lengths = [tuple(r) for r in ref_lengths]
         plans = plan_sam_scan(files, ref_lengths)
+        msb = opts.get("max_split_bytes")
         return SamReader(
             plans,
             opts.get("include_seq_qual", "false") == "true",
             opts.get("include_filepath", "false") == "true",
+            int(msb) if msb else None,
         )
 
 
@@ -495,26 +594,33 @@ def read_alignments(
     reference_lengths: DataFrame | list[tuple[str, int]] | None = None,
     include_filepath: bool = False,
     include_seq_qual: bool = False,
+    max_split_bytes: int | None = None,
 ) -> DataFrame:
     """The reference's ``read_alignments``/``read_sam`` table function.
 
     ``reference_lengths`` may be a small DataFrame with (name, length) —
     collected at plan time, exactly as the reference materializes the
     catalog table at bind (read_alignments.cpp:107-174).
+
+    ``max_split_bytes``: uncompressed SAM-text files above this size scan
+    as multiple line-aligned byte-range partitions (one record = one
+    line, so ranges are exact); BAM/gzip stay whole-file.
     """
     files = resolve_sam_files(filename)
     if isinstance(reference_lengths, DataFrame):
         reference_lengths = [(r[0], int(r[1])) for r in reference_lengths.collect()]
     plan_sam_scan(files, reference_lengths)  # eager bind-time validation
     spark.dataSource.register(SamDataSource)
-    return (
+    reader = (
         spark.read.format("sam_alignments")
         .option("files", json.dumps(files))
         .option("reference_lengths", json.dumps(reference_lengths))
         .option("include_seq_qual", "true" if include_seq_qual else "false")
         .option("include_filepath", "true" if include_filepath else "false")
-        .load()
     )
+    if max_split_bytes is not None:
+        reader = reader.option("max_split_bytes", str(max_split_bytes))
+    return reader.load()
 
 
 read_sam = read_alignments  # reference alias (miint_extension.cpp)

@@ -1,0 +1,214 @@
+"""Byte-range splitting of large FASTQ/FASTA/SAM files.
+
+The reference's parallelism unit is the file (read_fastx.hpp:57-62); at
+100 TB one multi-GB file must not be one straggler task. These tests
+prove that split scans produce output IDENTICAL to whole-file scans —
+including the per-file 1-based sequence_index — while using >1 input
+partition for a single file.
+"""
+
+from __future__ import annotations
+
+import gzip
+import random
+
+import pytest
+
+from duckdb_miint_spark.sources.fastx import (
+    FastxError,
+    count_fastx_range,
+    plan_fastx_splits,
+    read_fastx,
+)
+
+QUAL_CHARS = "".join(chr(33 + q) for q in range(0, 42))
+
+
+def _write_fastq(path, n, seed=7, qual_at=False):
+    """n 4-line records with varying lengths; quality lines frequently
+    start with '@' (the boundary-prober's adversarial case)."""
+    rng = random.Random(seed)
+    with open(path, "w") as f:
+        for i in range(n):
+            ln = rng.randint(20, 120)
+            seq = "".join(rng.choice("ACGT") for _ in range(ln))
+            # '@' is chr(64) == Phred 31 at offset 33 — make it common
+            qual = "@" + "".join(rng.choice(QUAL_CHARS) for _ in range(ln - 1))
+            comment = f"c{i}" if i % 3 == 0 else ""
+            header = f"@read{i:06d}" + (f" {comment}" if comment else "")
+            f.write(f"{header}\n{seq}\n+\n{qual}\n")
+    return path
+
+
+def _write_fasta(path, n, seed=11):
+    """Multi-line FASTA (60-char wrap) — fully general split support."""
+    rng = random.Random(seed)
+    with open(path, "w") as f:
+        for i in range(n):
+            ln = rng.randint(50, 400)
+            seq = "".join(rng.choice("ACGT") for _ in range(ln))
+            f.write(f">ctg{i:05d} desc{i}\n")
+            for j in range(0, ln, 60):
+                f.write(seq[j : j + 60] + "\n")
+    return path
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_fastq_split_identical_to_whole(spark, tmp_path):
+    path = _write_fastq(str(tmp_path / "big.fastq"), 3000)
+    whole = read_fastx(spark, path)
+    split = read_fastx(spark, path, max_split_bytes=64 * 1024)
+    assert split.rdd.getNumPartitions() > 4
+    assert whole.rdd.getNumPartitions() == 1
+    assert _rows(split) == _rows(whole)
+
+
+def test_fasta_multiline_split_identical(spark, tmp_path):
+    path = _write_fasta(str(tmp_path / "big.fasta"), 1500)
+    whole = read_fastx(spark, path)
+    split = read_fastx(spark, path, max_split_bytes=48 * 1024)
+    assert split.rdd.getNumPartitions() > 3
+    assert _rows(split) == _rows(whole)
+
+
+def test_split_sequence_index_is_exact(spark, tmp_path):
+    """sequence_index must be the per-file 1..n ordinal, not per-range."""
+    path = _write_fastq(str(tmp_path / "idx.fastq"), 1000)
+    split = read_fastx(spark, path, max_split_bytes=32 * 1024)
+    idx = sorted(r.sequence_index for r in split.select("sequence_index").collect())
+    assert idx == list(range(1, 1001))
+    # read_id i maps to index i+1 (insertion order preserved)
+    by_id = {r.read_id: r.sequence_index for r in split.collect()}
+    assert by_id["read000000"] == 1 and by_id["read000999"] == 1000
+
+
+def test_split_boundaries_land_on_records(tmp_path):
+    path = _write_fastq(str(tmp_path / "b.fastq"), 500)
+    ranges = plan_fastx_splits(path, 16 * 1024)
+    assert len(ranges) > 2
+    # contiguous, gap-free cover of the file
+    assert ranges[0][0] == 0
+    for (a1, b1), (a2, b2) in zip(ranges, ranges[1:]):
+        assert b1 == a2
+    with open(path, "rb") as f:
+        for start, _end in ranges:
+            f.seek(start)
+            assert f.read(1) == b"@"  # every range starts at a header
+
+
+def test_split_count_pass_matches_parse(tmp_path):
+    import os
+
+    path = _write_fastq(str(tmp_path / "c.fastq"), 321)
+    size = os.path.getsize(path)
+    ranges = plan_fastx_splits(path, 8 * 1024)
+    total = sum(count_fastx_range(path, s, e, size) for s, e in ranges)
+    assert total == 321
+
+
+def test_small_gzip_and_paired_files_do_not_split(spark, tmp_path):
+    p1 = _write_fastq(str(tmp_path / "r1.fastq"), 200, seed=1)
+    p2 = _write_fastq(str(tmp_path / "r2.fastq"), 200, seed=1)
+    gz = str(tmp_path / "r1.fastq.gz")
+    with open(p1, "rb") as fin, gzip.open(gz, "wb") as fout:
+        fout.write(fin.read())
+    # gzip: never split even above the threshold
+    assert read_fastx(spark, gz, max_split_bytes=1024).rdd.getNumPartitions() == 1
+    # pairs: lockstep streams stay whole
+    paired = read_fastx(spark, p1, sequence2=p2, max_split_bytes=1024)
+    assert paired.rdd.getNumPartitions() == 1
+    assert paired.count() == 200
+    # small file under the threshold: one partition
+    assert (
+        read_fastx(spark, p1, max_split_bytes=10**9).rdd.getNumPartitions() == 1
+    )
+
+
+def test_multiline_fastq_rejects_split(spark, tmp_path):
+    path = str(tmp_path / "ml.fastq")
+    with open(path, "w") as f:
+        for i in range(2000):
+            f.write(f"@r{i}\nACGTACGT\nACGT\n+\n{QUAL_CHARS[:8]}\n{QUAL_CHARS[:4]}\n")
+    with pytest.raises(Exception):  # surfaces as FastxError from the count job
+        read_fastx(spark, path, max_split_bytes=8 * 1024).count()
+    # unsplit read of the same file is fine (12-char seq/qual)
+    df = read_fastx(spark, path)
+    assert df.count() == 2000
+
+
+def _write_sam(path, n, seed=5):
+    rng = random.Random(seed)
+    with open(path, "w") as f:
+        f.write("@HD\tVN:1.6\tSO:coordinate\n")
+        f.write("@SQ\tSN:chr1\tLN:100000\n@SQ\tSN:chr2\tLN:50000\n")
+        for i in range(n):
+            ref = rng.choice(["chr1", "chr2", "*"])
+            ln = rng.randint(20, 80)
+            seq = "".join(rng.choice("ACGT") for _ in range(ln))
+            qual = "".join(rng.choice(QUAL_CHARS) for _ in range(ln))
+            if ref == "*":
+                f.write(f"r{i}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq}\t{qual}\n")
+            else:
+                pos = rng.randint(1, 90000)
+                f.write(
+                    f"r{i}\t0\t{ref}\t{pos}\t{rng.randint(0,60)}\t{ln}M\t*\t0\t0"
+                    f"\t{seq}\t{qual}\tAS:i:{rng.randint(-10,100)}\tMD:Z:{ln}\n"
+                )
+    return path
+
+
+def test_sam_text_split_identical_to_whole(spark, tmp_path):
+    from duckdb_miint_spark.sources.sam import read_alignments
+
+    path = _write_sam(str(tmp_path / "big.sam"), 4000)
+    whole = read_alignments(spark, path, include_seq_qual=True)
+    split = read_alignments(
+        spark, path, include_seq_qual=True, max_split_bytes=64 * 1024
+    )
+    assert split.rdd.getNumPartitions() > 3
+    assert whole.rdd.getNumPartitions() == 1
+    assert _rows(split) == _rows(whole)
+    assert split.count() == 4000
+
+
+def test_sam_split_range_header_skip(spark, tmp_path):
+    """Header lines only ever live in range 0 and are skipped there."""
+    from duckdb_miint_spark.sources.sam import read_sam_text_range
+    import os
+
+    path = _write_sam(str(tmp_path / "h.sam"), 300)
+    size = os.path.getsize(path)
+    mid = size // 2
+    first = list(read_sam_text_range(path, 0, mid, {"chr1", "chr2"}, False, None))
+    second = list(read_sam_text_range(path, mid, size, {"chr1", "chr2"}, False, None))
+    assert len(first) + len(second) == 300
+    ids = {r[0] for r in first} | {r[0] for r in second}
+    assert len(ids) == 300  # no dup, no loss at the boundary
+
+
+def test_split_with_filepath_and_glob(spark, tmp_path):
+    a = _write_fastq(str(tmp_path / "a.fastq"), 400, seed=2)
+    b = _write_fastq(str(tmp_path / "b.fastq"), 300, seed=3)
+    df = read_fastx(
+        spark, str(tmp_path / "*.fastq"), include_filepath=True,
+        max_split_bytes=16 * 1024,
+    )
+    assert df.rdd.getNumPartitions() > 2
+    per_file = {
+        r.filepath: r.n
+        for r in df.groupBy("filepath").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_file == {a: 400, b: 300}
+    # per-file index restarts at 1 in each file
+    from pyspark.sql import functions as F
+
+    mx = {
+        r.filepath: (r.mn, r.mx)
+        for r in df.groupBy("filepath")
+        .agg(F.min("sequence_index").alias("mn"), F.max("sequence_index").alias("mx"))
+        .collect()
+    }
+    assert mx == {a: (1, 400), b: (1, 300)}
