@@ -23,8 +23,13 @@ Semantics (matching SAMRecord.hpp:244-358 exactly):
 - Headerless SAM needs ``reference_lengths`` [(name, length)]; BAM always
   carries a header so combining it with reference_lengths is an error.
 
-Scale shape: one partition per file (BAM/gzip are not splittable without a
-BGZF index — the reference has the same file-level parallelism).
+Scale shape: one partition per file by default (the reference has the same
+file-level parallelism). ``max_split_bytes`` turns one multi-GB file into
+N byte-range partitions: SAM text splits on line boundaries (exact — one
+record per line, '@' lines are always headers); BAM splits on BGZF block
+boundaries with htsjdk-style record-start guessing (see the BAM
+byte-range section below). Plain-gzip SAM stays whole-file (gzip is not
+block-addressable).
 """
 
 from __future__ import annotations
@@ -372,64 +377,371 @@ def read_bam(path: str, include_seq_qual: bool, filepath: str | None) -> Iterato
                 break
             (block_size,) = struct.unpack("<i", head)
             rec = g.read(block_size)
-            (
-                ref_id,
-                pos,
-                l_read_name,
-                mapq,
-                _bin,
-                n_cigar_op,
-                flag,
-                l_seq,
-                next_ref_id,
-                next_pos,
-                tlen,
-            ) = struct.unpack_from("<iiBBHHHiiii", rec, 0)
-            off = 32
-            read_id = rec[off : off + l_read_name - 1].decode()
-            off += l_read_name
-            cigar_ops = struct.unpack_from(f"<{n_cigar_op}I", rec, off)
-            off += 4 * n_cigar_op
-            seq_bytes = rec[off : off + (l_seq + 1) // 2]
-            off += (l_seq + 1) // 2
-            qual_bytes = rec[off : off + l_seq]
-            off += l_seq
-            tags = _parse_bam_tags(rec[off:])
+            yield _decode_bam_record(rec, ref_names, include_seq_qual, filepath)
 
-            cigar = (
-                "".join(f"{op >> 4}{_CIGAR_OPS[op & 0xF]}" for op in cigar_ops)
-                if n_cigar_op
-                else "*"
+
+# --- BAM byte-range splitting ------------------------------------------------
+#
+# BGZF is a sequence of independent gzip members (<= 64 KiB decompressed)
+# whose header carries the compressed block size in a 'BC' extra subfield,
+# so any byte offset can be aligned to the next block boundary by scanning
+# for the 4-byte gzip magic and validating the subfield + a chained
+# next-block check. Records span blocks, so a partition additionally
+# guesses the first record START inside its first block by validating a
+# chain of plausible record structures (refID/l_read_name/NUL/cigar-op/
+# size-consistency checks) — the approach htsjdk/Hadoop-BAM use for
+# splittable BAM. A record belongs to the partition owning the block its
+# FIRST byte lives in (virtual-offset semantics), so ranges are exact:
+# no duplicate and no lost records at boundaries.
+
+import zlib
+
+_BGZF_MAGIC = b"\x1f\x8b\x08\x04"
+
+
+def _bgzf_block_size(data: bytes, off: int) -> int | None:
+    """Compressed size of the BGZF block at ``off``, or None if not a
+    valid block header (magic + 'BC' subfield)."""
+    if data[off : off + 4] != _BGZF_MAGIC or off + 18 > len(data):
+        return None
+    (xlen,) = struct.unpack_from("<H", data, off + 10)
+    p = off + 12
+    end = p + xlen
+    if end > len(data):
+        return None
+    while p + 4 <= end:
+        si1, si2, slen = data[p], data[p + 1], struct.unpack_from("<H", data, p + 2)[0]
+        if si1 == 0x42 and si2 == 0x43 and slen == 2:
+            if p + 6 > end:
+                return None
+            (bsize,) = struct.unpack_from("<H", data, p + 4)
+            return bsize + 1
+        p += 4 + slen
+    return None
+
+
+def find_bgzf_block(path: str, offset: int) -> int | None:
+    """Smallest BGZF block start >= ``offset`` (None past the last block).
+
+    A block is <= 64 KiB + 18 B compressed, so scanning one 192 KiB
+    window always finds the next boundary; candidates are verified by
+    parsing the BC subfield AND checking the next block's magic at
+    offset + BSIZE (or EOF), which kills false positives from compressed
+    payload bytes that happen to contain the magic."""
+    size = os.path.getsize(path)
+    if offset >= size:
+        return None
+    with open(path, "rb") as f:
+        f.seek(offset)
+        window = f.read(192 * 1024)
+        pos = 0
+        while True:
+            hit = window.find(_BGZF_MAGIC, pos)
+            if hit < 0:
+                return None
+            bsize = _bgzf_block_size(window, hit)
+            if bsize is not None:
+                nxt = hit + bsize
+                if offset + nxt == size:
+                    return offset + hit
+                if nxt + 4 <= len(window):
+                    if window[nxt : nxt + 4] == _BGZF_MAGIC:
+                        return offset + hit
+                else:
+                    f.seek(offset + nxt)
+                    if f.read(4) == _BGZF_MAGIC or offset + nxt >= size:
+                        return offset + hit
+            pos = hit + 1
+
+
+class _BgzfStream:
+    """Sequential block-at-a-time BGZF reader exposing the compressed
+    offset of the block that contains the next unread byte."""
+
+    def __init__(self, path: str, start_block: int):
+        self.f = open(path, "rb")
+        self.f.seek(start_block)
+        self.buf = b""
+        self.buf_pos = 0
+        self.cur_block_off = start_block
+        self.eof = False
+
+    def close(self):
+        self.f.close()
+
+    def _load_next_block(self) -> bool:
+        while True:
+            off = self.f.tell()
+            hdr = self.f.read(18)
+            if len(hdr) < 18:
+                self.eof = True
+                return False
+            bsize = _bgzf_block_size(hdr, 0)
+            if bsize is None:
+                raise SamError(f"Lost BGZF block alignment at offset {off}")
+            body = hdr + self.f.read(bsize - 18)
+            data = zlib.decompressobj(31).decompress(body)
+            if not data:  # empty block (BGZF EOF marker) — keep going
+                continue
+            self.cur_block_off = off
+            self.buf = data
+            self.buf_pos = 0
+            return True
+
+    def next_byte_block(self) -> int | None:
+        """Compressed offset of the block holding the next byte."""
+        if self.buf_pos >= len(self.buf) and not self._ensure():
+            return None
+        return self.cur_block_off
+
+    def _ensure(self) -> bool:
+        while self.buf_pos >= len(self.buf):
+            if not self._load_next_block():
+                return False
+        return True
+
+    def read(self, n: int) -> bytes:
+        out = bytearray()
+        while n > 0:
+            if not self._ensure():
+                break
+            take = min(n, len(self.buf) - self.buf_pos)
+            out += self.buf[self.buf_pos : self.buf_pos + take]
+            self.buf_pos += take
+            n -= take
+        return bytes(out)
+
+    def skip(self, n: int) -> None:
+        while n > 0:
+            if not self._ensure():
+                return
+            take = min(n, len(self.buf) - self.buf_pos)
+            self.buf_pos += take
+            n -= take
+
+
+_MAX_TAG_BYTES = 1 << 20
+
+
+def _valid_record_at(buf: bytes, o: int, n_ref: int):
+    """None = buffer too short to judge; False = invalid; else the
+    record's block_size (chain can advance o + 4 + size)."""
+    if o + 36 > len(buf):
+        return None
+    (bs, ref_id, pos) = struct.unpack_from("<iii", buf, o)
+    l_read_name = buf[o + 12]
+    (n_cigar,) = struct.unpack_from("<H", buf, o + 16)
+    (l_seq, next_ref, next_pos) = struct.unpack_from("<iii", buf, o + 20)
+    if bs < 32 or l_read_name < 1 or l_seq < 0:
+        return False
+    if not (-1 <= ref_id < n_ref and -1 <= next_ref < n_ref):
+        return False
+    if pos < -1 or next_pos < -1:
+        return False
+    min_size = 32 + l_read_name + 4 * n_cigar + (l_seq + 1) // 2 + l_seq
+    if bs < min_size or bs > min_size + _MAX_TAG_BYTES:
+        return False
+    name_end = o + 36 + l_read_name
+    if name_end <= len(buf):
+        name = buf[o + 36 : name_end]
+        if name[-1] != 0 or 0 in name[:-1]:
+            return False
+        for k in range(min(n_cigar, 8)):
+            off = name_end + 4 * k
+            if off + 4 > len(buf):
+                break
+            if (struct.unpack_from("<I", buf, off)[0] & 0xF) > 8:
+                return False
+    return bs
+
+
+def _guess_first_record(buf: bytes, n_ref: int, first_block_len: int) -> int | None:
+    """Decompressed offset of the first record STARTING in the first
+    block of ``buf`` (a multi-block validation window), or None.
+
+    A candidate is accepted when a chain of >= 3 fully-validated records
+    follows it, or the chain stays valid to the window's end."""
+    for o in range(min(first_block_len, len(buf) - 35)):
+        p = o
+        full = 0
+        consistent_to_end = False
+        while True:
+            v = _valid_record_at(buf, p, n_ref)
+            if v is False:
+                break
+            if v is None:  # record head extends past window — consistent
+                consistent_to_end = True
+                break
+            p += 4 + v
+            if p > len(buf):  # body extends past window — consistent
+                consistent_to_end = True
+                break
+            full += 1
+            if p == len(buf):
+                consistent_to_end = True
+                break
+            if full >= 3:
+                break
+        if full >= 3 or (full >= 1 and consistent_to_end):
+            return o
+    return None
+
+
+def _bam_ref_names(path: str) -> list[str]:
+    with _bam_stream(path) as g:
+        return _read_bam_header(g)
+
+
+def _decode_bam_record(
+    rec: bytes,
+    ref_names: list[str],
+    include_seq_qual: bool,
+    filepath: str | None,
+) -> tuple:
+    """One BAM record body (after the 4-byte block_size) -> output row."""
+    (
+        ref_id,
+        pos,
+        l_read_name,
+        mapq,
+        _bin,
+        n_cigar_op,
+        flag,
+        l_seq,
+        next_ref_id,
+        next_pos,
+        tlen,
+    ) = struct.unpack_from("<iiBBHHHiiii", rec, 0)
+    off = 32
+    read_id = rec[off : off + l_read_name - 1].decode()
+    off += l_read_name
+    cigar_ops = struct.unpack_from(f"<{n_cigar_op}I", rec, off)
+    off += 4 * n_cigar_op
+    seq_bytes = rec[off : off + (l_seq + 1) // 2]
+    off += (l_seq + 1) // 2
+    qual_bytes = rec[off : off + l_seq]
+    off += l_seq
+    tags = _parse_bam_tags(rec[off:])
+    cigar = (
+        "".join(f"{op >> 4}{_CIGAR_OPS[op & 0xF]}" for op in cigar_ops)
+        if n_cigar_op
+        else "*"
+    )
+    reference = ref_names[ref_id] if ref_id >= 0 else "*"
+    if next_ref_id >= 0:
+        mate_reference = "=" if next_ref_id == ref_id else ref_names[next_ref_id]
+    else:
+        mate_reference = "*"
+    seq = None
+    qual: list[int] | None = None
+    if l_seq > 0:
+        seq = "".join(
+            _SEQ_NT16[(seq_bytes[i >> 1] >> (4 if i % 2 == 0 else 0)) & 0xF]
+            for i in range(l_seq)
+        )
+        qual = [] if qual_bytes[:1] == b"\xff" else list(qual_bytes)
+    return _finish_row(
+        read_id,
+        flag,
+        reference,
+        pos + 1 if pos >= 0 else 0,
+        mapq,
+        cigar,
+        mate_reference,
+        next_pos + 1 if next_pos >= 0 else 0,
+        tlen,
+        tags,
+        seq,
+        qual,
+        include_seq_qual,
+        filepath,
+    )
+
+
+def read_bam_range(
+    path: str,
+    start: int,
+    end: int,
+    include_seq_qual: bool,
+    filepath: str | None,
+) -> Iterator[tuple]:
+    """Records whose START byte lives in a BGZF block with compressed
+    offset in [start, end). Range 0 parses the header positionally (no
+    guessing); later ranges align to the next block boundary and guess
+    the first record start (see module section comment)."""
+    ref_names = _bam_ref_names(path)
+    n_ref = len(ref_names)
+    if start == 0:
+        stream = _BgzfStream(path, 0)
+        try:
+            # walk the header structurally to land on the first record
+            if stream.read(4) != b"BAM\x01":
+                raise SamError("Not a BAM file")
+            (l_text,) = struct.unpack("<i", stream.read(4))
+            stream.skip(l_text)
+            (nr,) = struct.unpack("<i", stream.read(4))
+            for _ in range(nr):
+                (l_name,) = struct.unpack("<i", stream.read(4))
+                stream.skip(l_name + 4)
+            yield from _emit_bam_records(
+                stream, end, ref_names, include_seq_qual, filepath
             )
-            reference = ref_names[ref_id] if ref_id >= 0 else "*"
-            if next_ref_id >= 0:
-                mate_reference = "=" if next_ref_id == ref_id else ref_names[next_ref_id]
-            else:
-                mate_reference = "*"
-            seq = None
-            qual: list[int] | None = None
-            if l_seq > 0:
-                seq = "".join(
-                    _SEQ_NT16[(seq_bytes[i >> 1] >> (4 if i % 2 == 0 else 0)) & 0xF]
-                    for i in range(l_seq)
-                )
-                qual = [] if qual_bytes[:1] == b"\xff" else list(qual_bytes)
-            yield _finish_row(
-                read_id,
-                flag,
-                reference,
-                pos + 1 if pos >= 0 else 0,
-                mapq,
-                cigar,
-                mate_reference,
-                next_pos + 1 if next_pos >= 0 else 0,
-                tlen,
-                tags,
-                seq,
-                qual,
-                include_seq_qual,
-                filepath,
-            )
+        finally:
+            stream.close()
+        return
+    b0 = find_bgzf_block(path, start)
+    if b0 is None or b0 >= end:
+        return
+    # validation window: first block + following blocks up to ~1 MiB
+    win_stream = _BgzfStream(path, b0)
+    try:
+        if not win_stream._ensure():
+            return
+        first_block_len = len(win_stream.buf)
+        window = win_stream.read(1 << 20)
+    finally:
+        win_stream.close()
+    guess = _guess_first_record(window, n_ref, first_block_len)
+    if guess is None:
+        return
+    stream = _BgzfStream(path, b0)
+    try:
+        stream.skip(guess)
+        yield from _emit_bam_records(stream, end, ref_names, include_seq_qual, filepath)
+    finally:
+        stream.close()
+
+
+def _emit_bam_records(
+    stream: _BgzfStream,
+    end: int,
+    ref_names: list[str],
+    include_seq_qual: bool,
+    filepath: str | None,
+) -> Iterator[tuple]:
+    while True:
+        blk = stream.next_byte_block()
+        if blk is None or blk >= end:
+            break
+        head = stream.read(4)
+        if len(head) < 4:
+            break
+        (block_size,) = struct.unpack("<i", head)
+        rec = stream.read(block_size)
+        if len(rec) < block_size:
+            raise SamError("Truncated BAM record")
+        yield _decode_bam_record(rec, ref_names, include_seq_qual, filepath)
+
+
+def plan_bam_splits(path: str, target_bytes: int) -> list[tuple[int, int]]:
+    """[(start, end)] raw compressed byte ranges — block/record alignment
+    happens executor-side, so planning is pure arithmetic."""
+    if target_bytes <= 0:
+        raise SamError(f"max_split_bytes must be positive, got {target_bytes}")
+    size = os.path.getsize(path)
+    n_chunks = max(1, size // target_bytes)
+    bounds = [k * size // n_chunks for k in range(n_chunks)] + [size]
+    return [(a, b) for a, b in zip(bounds, bounds[1:]) if a < b]
 
 
 # --- planning + DataSource ---------------------------------------------------
@@ -517,16 +829,18 @@ class SamReader(DataSourceReader):
     def partitions(self):
         parts = []
         for p, b, k in self.plans:
+            splittable = b or not _is_gzip_file(p)  # BAM splits; plain gzip can't
             if (
                 self.max_split_bytes is not None
-                and not b
-                and not _is_gzip_file(p)
+                and splittable
                 and os.path.getsize(p) > self.max_split_bytes
             ):
-                parts += [
-                    SamPartition(p, b, k, s, e)
-                    for s, e in plan_sam_splits(p, self.max_split_bytes)
-                ]
+                ranges = (
+                    plan_bam_splits(p, self.max_split_bytes)
+                    if b
+                    else plan_sam_splits(p, self.max_split_bytes)
+                )
+                parts += [SamPartition(p, b, k, s, e) for s, e in ranges]
             else:
                 parts.append(SamPartition(p, b, k))
         return parts
@@ -535,7 +849,15 @@ class SamReader(DataSourceReader):
         from duckdb_miint_spark.sources.arrow_batch import batched
 
         fp = partition.path if self.include_filepath else None
-        if partition.bam:
+        if partition.bam and partition.end is not None:
+            rows = read_bam_range(
+                partition.path,
+                partition.start,
+                partition.end,
+                self.include_seq_qual,
+                fp,
+            )
+        elif partition.bam:
             rows = read_bam(partition.path, self.include_seq_qual, fp)
         elif partition.end is not None:
             rows = read_sam_text_range(
@@ -602,9 +924,9 @@ def read_alignments(
     collected at plan time, exactly as the reference materializes the
     catalog table at bind (read_alignments.cpp:107-174).
 
-    ``max_split_bytes``: uncompressed SAM-text files above this size scan
-    as multiple line-aligned byte-range partitions (one record = one
-    line, so ranges are exact); BAM/gzip stay whole-file.
+    ``max_split_bytes``: files above this size scan as multiple byte-range
+    partitions — SAM text on line boundaries (exact), BAM on BGZF block
+    boundaries with record-start guessing; plain-gzip SAM stays whole-file.
     """
     files = resolve_sam_files(filename)
     if isinstance(reference_lengths, DataFrame):

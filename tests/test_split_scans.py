@@ -189,6 +189,106 @@ def test_sam_split_range_header_skip(spark, tmp_path):
     assert len(ids) == 300  # no dup, no loss at the boundary
 
 
+def test_bam_split_identical_to_whole(spark, tmp_path):
+    """BGZF block alignment + record-start guessing: split BAM scan is
+    row-identical to the whole-file scan."""
+    from duckdb_miint_spark.sources.sam import read_alignments
+    from duckdb_miint_spark.sinks.bam_sink import copy_bam
+
+    sam = _write_sam(str(tmp_path / "src.sam"), 12000)
+    bam = str(tmp_path / "big.bam")
+    aln = read_alignments(spark, sam, include_seq_qual=True)
+    # the BAM sink omits SEQ/QUAL (reference copy_sam.cpp:665-671), so the
+    # round-trip compares the 21 alignment columns
+    copy_bam(aln, bam, [("chr1", 100000), ("chr2", 50000)], compression_level=1)
+
+    whole = read_alignments(spark, bam)
+    split = read_alignments(spark, bam, max_split_bytes=24 * 1024)
+    assert split.rdd.getNumPartitions() > 3
+    assert _rows(split) == _rows(whole)
+    assert split.count() == 12000
+
+
+def test_bam_split_with_sequences(spark, tmp_path):
+    """Record-start guessing against realistic records carrying SEQ/QUAL
+    (hand-packed — the repo's BAM sink omits SEQ by reference parity)."""
+    import struct
+    from duckdb_miint_spark.sources.sam import read_alignments
+    from duckdb_miint_spark.sinks.bam_sink import BgzfWriter
+
+    NT16 = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+    rng = random.Random(17)
+    path = str(tmp_path / "seqs.bam")
+    header_text = b"@SQ\tSN:chr1\tLN:100000\n"
+    payload = bytearray()
+    payload += b"BAM\x01" + struct.pack("<i", len(header_text)) + header_text
+    payload += struct.pack("<i", 1)  # one reference
+    payload += struct.pack("<i", 5) + b"chr1\x00" + struct.pack("<i", 100000)
+    for i in range(8000):
+        name = f"q{i}".encode() + b"\x00"
+        ln = rng.randint(30, 150)
+        seq = [rng.choice("ACGT") for _ in range(ln)]
+        packed = bytearray()
+        for j in range(0, ln, 2):
+            hi = NT16[seq[j]] << 4
+            lo = NT16[seq[j + 1]] if j + 1 < ln else 0
+            packed.append(hi | lo)
+        qual = bytes(rng.randrange(0, 42) for _ in range(ln))
+        cigar = struct.pack("<I", (ln << 4) | 0)  # lnM
+        body = struct.pack(
+            "<iiBBHHHiiii",
+            0, rng.randint(0, 90000), len(name), rng.randint(0, 60), 0,
+            1, 0, ln, -1, -1, 0,
+        ) + name + cigar + bytes(packed) + qual
+        payload += struct.pack("<i", len(body)) + body
+    with open(path, "wb") as fh:
+        w = BgzfWriter(fh, level=1)
+        w.write(bytes(payload))
+        w.close()
+
+    whole = read_alignments(spark, path, include_seq_qual=True)
+    split = read_alignments(
+        spark, path, include_seq_qual=True, max_split_bytes=64 * 1024
+    )
+    assert split.rdd.getNumPartitions() > 3
+    assert _rows(split) == _rows(whole)
+    assert split.count() == 8000
+
+
+def test_bgzf_block_finder(tmp_path):
+    """find_bgzf_block aligns arbitrary offsets to true block starts."""
+    import os
+    from duckdb_miint_spark.sources.sam import (
+        find_bgzf_block, _BgzfStream, read_alignments,
+    )
+    from duckdb_miint_spark.sinks.bam_sink import BgzfWriter
+
+    path = str(tmp_path / "blocks.bam.gz")
+    import random as _r
+    rng = _r.Random(9)
+    payload = bytes(rng.randrange(256) for _ in range(300_000))
+    with open(path, "wb") as fh:
+        w = BgzfWriter(fh, level=1)
+        w.write(payload)
+        w.close()
+    size = os.path.getsize(path)
+    # offset 0 is a block start
+    assert find_bgzf_block(path, 0) == 0
+    # every aligned result parses as a chained block walk from 0
+    stream_offsets = []
+    s = _BgzfStream(path, 0)
+    while s._load_next_block():
+        stream_offsets.append(s.cur_block_off)
+    s.close()
+    assert len(stream_offsets) > 2
+    for probe in range(0, size, size // 7):
+        b = find_bgzf_block(path, probe)
+        if b is not None:
+            # a result is a real data-block start or the 28-byte EOF block
+            assert b in stream_offsets or b >= size - 28
+            assert b >= probe
+
+
 def test_split_with_filepath_and_glob(spark, tmp_path):
     a = _write_fastq(str(tmp_path / "a.fastq"), 400, seed=2)
     b = _write_fastq(str(tmp_path / "b.fastq"), 300, seed=3)
