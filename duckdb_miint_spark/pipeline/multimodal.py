@@ -1,12 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 decoded by Arrow-batched Python (``mapInPandas``).
 
-The container has no image/audio libraries, so the real decoders are
-STUBBED behind import guards (``decode_image``); the Spark-side plumbing —
-binary column handling, schema, batch shape, partitioning — is real and
-exercised by ``fake_decode_image_features``, a deterministic decoder whose
-output is md5-derived from the payload bytes and therefore has an exact
-DuckDB oracle.
+The container has no image/audio/video libraries, so the REAL decoders
+(``decode_image`` via PIL, ``decode_audio`` via soundfile,
+``decode_video_frames`` via PyAV) are import-gated: full mapInPandas
+bodies that run when the library is present, NotImplementedError when it
+is not. Their per-payload math lives in ``audio_payload_features`` /
+``video_payload_frames`` so it is unit-tested here with library-compatible
+stand-ins (tests/test_pipeline.py). The ``fake_*`` twins share the exact
+output schemas and batch shapes and are md5-deterministic, giving every
+query an exact DuckDB oracle in any environment.
 
 At scale: payload bytes travel Arrow-batched to Python once; metadata-only
 queries never touch the binary column (columnar pruning), which is the
@@ -134,8 +137,10 @@ def fake_decode_audio_features(binary_df: DataFrame) -> DataFrame:
 
 
 def decode_audio(binary_df: DataFrame) -> DataFrame:
-    """Real audio decode (soundfile) — STUB: raises unless the library is
-    installed; schema and plan shape are final."""
+    """Real audio decode (soundfile) — import-gated: raises only when the
+    library is missing. Same mapInPandas shape as
+    ``fake_decode_audio_features`` (one output row per input row,
+    AUDIO_FEATURES_SCHEMA), so swapping fake→real changes no plans."""
     try:
         import soundfile  # noqa: F401
     except ImportError as e:
@@ -143,7 +148,44 @@ def decode_audio(binary_df: DataFrame) -> DataFrame:
             "decode_audio requires soundfile, which is not available in this "
             "container; use fake_decode_audio_features for plumbing tests"
         ) from e
-    raise NotImplementedError("wire soundfile.read into the mapInPandas body")  # pragma: no cover
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        import soundfile as sf
+
+        for pdf in batches:
+            rows = [
+                (int(i),) + audio_payload_features(bytes(p), sf)
+                for i, p in zip(pdf["id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return binary_df.mapInPandas(decode, AUDIO_FEATURES_SCHEMA)
+
+
+def audio_payload_features(raw: bytes, sf) -> tuple[int, int, int, int, int, str]:
+    """(n_bytes, sample_rate, n_channels, duration_ms, rms_q8, md5) for one
+    audio payload, via a soundfile-compatible module ``sf`` — separated
+    from the mapInPandas body so the decode math is unit-testable without
+    the native library."""
+    import io
+
+    import numpy as np
+
+    data, sr = sf.read(io.BytesIO(raw), dtype="float64", always_2d=True)
+    n_frames, n_channels = data.shape
+    duration_ms = round(n_frames * 1000 / sr) if sr else 0
+    rms = float(np.sqrt(np.mean(np.square(data)))) if n_frames else 0.0
+    rms_q8 = max(0, min(255, int(round(rms * 255))))
+    return (
+        len(raw),
+        int(sr),
+        int(n_channels),
+        int(duration_ms),
+        rms_q8,
+        hashlib.md5(raw).hexdigest(),
+    )
 
 
 RESIZE_SCHEMA = StructType(
@@ -234,8 +276,12 @@ def fake_sample_video_frames(binary_df: DataFrame, every_ms: int = 1000) -> Data
 
 
 def decode_video_frames(binary_df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Real frame sampling (PyAV) — STUB: raises unless av is installed;
-    schema and one-to-many mapInPandas shape are final."""
+    """Real frame sampling (PyAV) — import-gated: raises only when av is
+    missing. Same one-to-many mapInPandas shape as
+    ``fake_sample_video_frames`` (one row per SAMPLED frame,
+    VIDEO_FRAMES_SCHEMA): frames are emitted at >= ``every_ms`` spacing by
+    presentation timestamp; ``frame_index`` numbers the EMITTED frames;
+    ``frame_hash`` is the md5 of the rgb24 pixel buffer."""
     try:
         import av  # noqa: F401
     except ImportError as e:
@@ -243,7 +289,59 @@ def decode_video_frames(binary_df: DataFrame, every_ms: int = 1000) -> DataFrame
             "decode_video_frames requires PyAV, which is not available in "
             "this container; use fake_sample_video_frames for plumbing tests"
         ) from e
-    raise NotImplementedError("wire av frame iteration into the mapInPandas body")  # pragma: no cover
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        import av as _av
+
+        for pdf in batches:
+            ids, idxs, mss, hashes = [], [], [], []
+            for i, p in zip(pdf["id"], pdf["payload"]):
+                for fi, t_ms, fhash in video_payload_frames(
+                    bytes(p), _av, every_ms
+                ):
+                    ids.append(int(i))
+                    idxs.append(fi)
+                    mss.append(t_ms)
+                    hashes.append(fhash)
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="int64"),
+                    "frame_index": pd.array(idxs, dtype="int32"),
+                    "frame_ms": pd.array(mss, dtype="int64"),
+                    "frame_hash": pd.array(hashes, dtype=object),
+                }
+            )
+
+    return binary_df.mapInPandas(sample, VIDEO_FRAMES_SCHEMA)
+
+
+def video_payload_frames(
+    raw: bytes, av, every_ms: int
+) -> list[tuple[int, int, str]]:
+    """[(frame_index, frame_ms, frame_hash)] sampled at >= every_ms
+    spacing from one video payload, via a PyAV-compatible module ``av`` —
+    separated from the mapInPandas body so the sampling logic is
+    unit-testable without the native library."""
+    import io
+
+    out: list[tuple[int, int, str]] = []
+    with av.open(io.BytesIO(raw)) as container:
+        stream = container.streams.video[0]
+        tb = float(stream.time_base) if stream.time_base else 0.0
+        next_ms = 0
+        emitted = 0
+        for frame in container.decode(stream):
+            if frame.pts is None or not tb:
+                t_ms = emitted * every_ms  # no timestamps: assume spacing
+            else:
+                t_ms = int(frame.pts * tb * 1000)
+            if t_ms < next_ms:
+                continue
+            pixels = frame.to_ndarray(format="rgb24").tobytes()
+            out.append((emitted, t_ms, hashlib.md5(pixels).hexdigest()))
+            emitted += 1
+            next_ms = t_ms + every_ms
+    return out
 
 
 def decode_image(binary_df: DataFrame) -> DataFrame:
@@ -282,6 +380,8 @@ __all__ = [
     "IMAGE_FEATURES_SCHEMA",
     "VIDEO_FRAMES_SCHEMA",
     "attach_binary_column",
+    "audio_payload_features",
+    "video_payload_frames",
     "decode_audio",
     "decode_image",
     "decode_video_frames",
