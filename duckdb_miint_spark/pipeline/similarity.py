@@ -282,22 +282,39 @@ def cosine_threshold_pairs_exact(
     genuinely near-dup thresholds ≥ ~0.8 prunes properly) or pre-cluster.
     Mirrors the broadcast-side bound of the reference's in-memory
     similarity joins.
+
+    No driver materialization: the (id, vector) matrix is STAGED to a
+    parquet side file by the executors (``side_dir``, a DFS path on a
+    real cluster) and loaded at most once per Python worker process
+    (process-level cache) — the driver never holds the vectors, so the
+    cap bounds worker memory, not driver memory.
     """
     spark = corpus.sparkSession
-    rows_collected = corpus.select(id_col, vec_col).collect()
-    if len(rows_collected) > max_broadcast_vectors:
+    total = corpus.count()
+    if total > max_broadcast_vectors:
         raise ValueError(
-            f"cosine_threshold_pairs_exact: corpus has {len(rows_collected)} vectors, "
+            f"cosine_threshold_pairs_exact: corpus has {total} vectors, "
             f"over the broadcast cap {max_broadcast_vectors}; use the LSH strategy"
         )
-    ids_all = np.array([r[0] for r in rows_collected], dtype=np.int64)
-    M_all = np.array([r[1] for r in rows_collected], dtype=np.float64)
-    norms_all = np.sqrt((M_all * M_all).sum(axis=1))
-    bcast = spark.sparkContext.broadcast((ids_all, M_all, norms_all))
+    if total == 0:
+        return spark.createDataFrame([], "id1 long, id2 long, sim double")
+    import tempfile
+
+    side_dir = tempfile.mkdtemp(prefix="cosine_side_")
+    side_path = side_dir + "/matrix.parquet"
+    (
+        corpus.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).alias("vec"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(side_path)
+    )
     thr = float(threshold)
 
     def score_blocks(batches):
-        ids_a, M_a, n_a = bcast.value
+        ids_a, M_a, n_a = _load_side_matrix(side_path)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -321,6 +338,30 @@ def cosine_threshold_pairs_exact(
     # round JVM-side: F.round is HALF_UP like the DuckDB oracle's ROUND
     # (np.round is half-to-even)
     return raw.select("id1", "id2", F.round("sim", 6).alias("sim"))
+
+
+_SIDE_MATRIX_CACHE: dict = {}
+
+
+def _load_side_matrix(path: str):
+    """(ids int64[n], matrix f64[n,d], norms f64[n]) from a staged parquet
+    side file — cached per Python worker process so a task wave pays one
+    load, not one per batch/task."""
+    hit = _SIDE_MATRIX_CACHE.get(path)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    ids = t.column("id").to_numpy().astype(np.int64)
+    vecs = t.column("vec").combine_chunks()
+    flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = flat.size // len(ids) if len(ids) else 0
+    M = flat.reshape(-1, dim)
+    norms = np.sqrt((M * M).sum(axis=1))
+    _SIDE_MATRIX_CACHE.clear()  # one corpus at a time per worker
+    _SIDE_MATRIX_CACHE[path] = (ids, M, norms)
+    return _SIDE_MATRIX_CACHE[path]
 
 
 def embedding_near_dup_pairs(

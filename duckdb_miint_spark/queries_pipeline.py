@@ -408,13 +408,28 @@ FROM documents ORDER BY doc_id
     tags=("pipeline", "multimodal"),
 )
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing: payload bytes → Arrow-batched Python decode
-    (deterministic fake) — the oracle recomputes the md5-derived header."""
+    """Image-header feature extraction, computed ENTIRELY JVM-side: the
+    fake decoder's md5-derived header is pure hash arithmetic, so the
+    right plan is Catalyst expressions (F.md5 + conv), not a Python
+    round-trip — 'stay JVM-side when a built-in fits'. The mapInPandas
+    decode plumbing this used to exercise remains covered by the
+    multimodal_resize_thumbs / audio / video gates and
+    tests/test_pipeline.py (fake_decode_image_features agreement)."""
     docs = T(spark, sf_dir, "documents")
     binary = attach_binary_column(docs)
-    return fake_decode_image_features(binary).select(
-        F.col("id").alias("doc_id"), "n_bytes", "width", "height", "mode", "content_hash"
-    ).orderBy("doc_id")
+    h = F.md5("payload")
+    hex1 = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+    hex2 = F.conv(F.substring(h, 2, 1), 16, 10).cast("int")
+    hex3 = F.conv(F.substring(h, 3, 1), 16, 10).cast("int")
+    out = binary.select(
+        F.col("id").alias("doc_id"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        (F.lit(32) + F.lit(16) * hex1).cast("int").alias("width"),
+        (F.lit(32) + F.lit(16) * hex2).cast("int").alias("height"),
+        F.when(hex3 % 2 == 0, F.lit("RGB")).otherwise(F.lit("L")).alias("mode"),
+        h.alias("content_hash"),
+    )
+    return out.orderBy("doc_id")
 
 
 @register(

@@ -256,6 +256,29 @@ def test_hash_sample_nests_and_is_partition_invariant(spark):
     assert other != s10
 
 
+def test_exact_cosine_never_collects_on_driver(spark, monkeypatch):
+    """The staged-side-file design means building the exact-cosine plan
+    must not materialize any vectors on the driver — DataFrame.collect is
+    poisoned for the duration of the call."""
+    from pyspark.sql import DataFrame as _DF
+
+    from duckdb_miint_spark.pipeline.similarity import cosine_threshold_pairs_exact
+    from duckdb_miint_spark.session import read_table
+
+    corpus = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    orig = _DF.collect
+
+    def poisoned(self):
+        raise AssertionError("driver-side collect on the exact-cosine path")
+
+    monkeypatch.setattr(_DF, "collect", poisoned)
+    try:
+        out = cosine_threshold_pairs_exact(corpus, threshold=0.45)
+    finally:
+        monkeypatch.setattr(_DF, "collect", orig)
+    assert out.count() > 0  # planted near-dups exist at sf0.001
+
+
 def test_audio_payload_features_math():
     """Real decode_audio math, driven by a soundfile-compatible shim that
     reads WAV via the stdlib — no native library needed."""
