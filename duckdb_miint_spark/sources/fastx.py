@@ -454,8 +454,6 @@ def resolve_files(filename: str | list[str], what: str = "filename") -> list[str
     """Glob-expand + alphabetical sort for patterns; existence-check all
     (table_function_common.cpp:64-124)."""
     if isinstance(filename, str):
-        if filename == "-":
-            raise FastxError("stdin is not supported in the distributed reader")
         if any(c in filename for c in "*?["):
             files = sorted(globmod.glob(filename))
             if not files:
@@ -463,8 +461,10 @@ def resolve_files(filename: str | list[str], what: str = "filename") -> list[str
             return files
         files = [filename]
     else:
+        from duckdb_miint_spark.sources.stdin_util import STDIN_MARKERS
+
         files = list(filename)
-        if any(f == "-" for f in files):
+        if any(f in STDIN_MARKERS for f in files):
             raise FastxError("stdin cannot be used in a file list")
     for f in files:
         if not os.path.exists(f):
@@ -636,7 +636,25 @@ def read_fastx(
 
     ``max_split_bytes``: when set, unpaired uncompressed files larger than
     this are scanned as multiple byte-range partitions (see module
-    docstring) — output identical to the default whole-file scan."""
+    docstring) — output identical to the default whole-file scan.
+
+    ``'-'`` / ``'/dev/stdin'`` reads the driver's stdin (spooled to a
+    temp file at bind time; ``filepath`` reports ``/dev/stdin`` —
+    read_fastx_stdin.sh parity); not combinable with sequence2 or lists."""
+    from duckdb_miint_spark.sources.stdin_util import is_stdin, spool_stdin
+
+    if is_stdin(filename):
+        if sequence2 is not None:
+            raise FastxError("stdin cannot be used with sequence2")
+        tmp = spool_stdin(".fastx")
+        df = read_fastx(
+            spark, tmp, include_filepath=include_filepath, qual_offset=qual_offset
+        )
+        if include_filepath:
+            from pyspark.sql import functions as _F
+
+            df = df.withColumn("filepath", _F.lit("/dev/stdin"))
+        return df
     # validate eagerly (bind-time errors, matching read_fastx.cpp:44-112)
     pairs = plan_file_pairs(filename, sequence2, qual_offset)
     spark.dataSource.register(FastxDataSource)

@@ -242,7 +242,23 @@ def _read_text(path: str) -> str:
 
 
 def read_newick(spark: SparkSession, path: str | list[str], include_filepath: bool = False) -> DataFrame:
-    """Newick file(s) (glob ok, gzip ok) → node table."""
+    """Newick file(s) (glob ok, gzip ok) → node table.
+    ``'-'`` / ``'/dev/stdin'`` reads the driver's stdin (spooled;
+    filepath reports '/dev/stdin' — read_newick_stdin.sh parity)."""
+    from duckdb_miint_spark.sources.stdin_util import (
+        any_stdin_in_list,
+        is_stdin,
+        spool_stdin,
+    )
+
+    if is_stdin(path):
+        rows = [
+            r + ("/dev/stdin",) for r in parse_newick(_read_text(spool_stdin(".nwk")))
+        ]
+        df = spark.createDataFrame(rows, NEWICK_SCHEMA)
+        return df if include_filepath else df.drop("filepath")
+    if any_stdin_in_list(path):
+        raise NewickError("stdin cannot be used in a file list")
     if isinstance(path, str):
         paths = sorted(globmod.glob(path)) if any(c in path for c in "*?[") else [path]
     else:

@@ -928,6 +928,28 @@ def read_alignments(
     partitions — SAM text on line boundaries (exact), BAM on BGZF block
     boundaries with record-start guessing; plain-gzip SAM stays whole-file.
     """
+    from duckdb_miint_spark.sources.stdin_util import (
+        any_stdin_in_list,
+        is_stdin,
+        spool_stdin,
+    )
+
+    if is_stdin(filename):
+        tmp = spool_stdin(".sam")
+        df = read_alignments(
+            spark,
+            tmp,
+            reference_lengths=reference_lengths,
+            include_filepath=include_filepath,
+            include_seq_qual=include_seq_qual,
+        )
+        if include_filepath:
+            from pyspark.sql import functions as _F
+
+            df = df.withColumn("filepath", _F.lit("/dev/stdin"))
+        return df
+    if any_stdin_in_list(filename):
+        raise SamError("stdin cannot be used in a file list")
     files = resolve_sam_files(filename)
     if isinstance(reference_lengths, DataFrame):
         reference_lengths = [(r[0], int(r[1])) for r in reference_lengths.collect()]

@@ -31,6 +31,68 @@ from duckdb_miint_spark.sources.sff import SffError, read_sequences_sff
 DATA = "/root/reference/data"
 
 
+# --- stdin shim (test/shell/*_stdin.sh parity) --------------------------------
+
+
+def _feed_stdin(monkeypatch, payload: bytes):
+    import io
+    import sys
+
+    class FakeStdin:
+        buffer = io.BytesIO(payload)
+
+    monkeypatch.setattr(sys, "stdin", FakeStdin())
+
+
+def test_fastx_stdin(spark, monkeypatch):
+    """read_fastx('-'): records parsed, 1-based sequence_index, filepath
+    reports /dev/stdin (read_fastx_stdin.sh tests 1-7)."""
+    _feed_stdin(monkeypatch, b"@read_a1 c1\nACGT\n+\nIIII\n@read_a2\nTTGG\n+\nJJJJ\n")
+    df = read_fastx(spark, "-", include_filepath=True)
+    rows = sorted(tuple(r) for r in df.collect())
+    assert [r[0] for r in rows] == [1, 2]
+    assert [r[1] for r in rows] == ["read_a1", "read_a2"]
+    assert {r[-1] for r in rows} == {"/dev/stdin"}
+
+
+def test_fastx_stdin_errors(spark, monkeypatch):
+    """stdin in a list / with sequence2 are bind-time errors
+    (read_fastx_stdin.sh tests 8-11)."""
+    with pytest.raises(FastxError, match="file list"):
+        read_fastx(spark, ["-", "/root/reference/data/fastq/foo.r1.fastq.gz"])
+    with pytest.raises(FastxError, match="file list"):
+        read_fastx(spark, ["/dev/stdin", "/root/reference/data/fastq/foo.r1.fastq.gz"])
+    _feed_stdin(monkeypatch, b"@r\nA\n+\nI\n")
+    with pytest.raises(FastxError, match="sequence2"):
+        read_fastx(spark, "-", sequence2="/root/reference/data/fastq/foo.r2.fastq.gz")
+
+
+def test_alignments_stdin(spark, monkeypatch):
+    """read_sam('/dev/stdin') with headerless text + reference_lengths
+    (read_alignments_stdin.sh tests 1-2)."""
+    sam = b"r1\t0\tG1234\t5\t60\t4M\t*\t0\t0\tACGT\tIIII\n"
+    _feed_stdin(monkeypatch, sam)
+    df = read_alignments(
+        spark, "/dev/stdin", reference_lengths=[("G1234", 20)], include_filepath=True
+    )
+    rows = [tuple(r) for r in df.collect()]
+    assert len(rows) == 1
+    assert rows[0][0] == "r1" and rows[0][-1] == "/dev/stdin"
+    with pytest.raises(SamError, match="file list"):
+        read_alignments(spark, ["-", "x.sam"])
+
+
+def test_newick_stdin(spark, monkeypatch):
+    """read_newick('-') parses the spooled tree (read_newick_stdin.sh)."""
+    _feed_stdin(monkeypatch, b"((A:1,B:2)N1:0.5,C:3);\n")
+    df = read_newick(spark, "-", include_filepath=True)
+    rows = df.collect()
+    assert {r.name for r in rows} >= {"A", "B", "C"}
+    assert {r.filepath for r in rows} == {"/dev/stdin"}
+    with pytest.raises(NewickError, match="file list"):
+        read_newick(spark, ["-", "t.nwk"])
+
+
 # --- read_fastx --------------------------------------------------------------
 
 
