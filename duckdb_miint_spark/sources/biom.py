@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
 BIOM_EPSILON = 1e-10
@@ -90,9 +91,9 @@ BIOM_SCHEMA = StructType(
 )
 
 
-def _read_biom_file(path: str) -> list[tuple[str, str, float]]:
-    """BIOM v2.1 HDF5 → (sample_id, feature_id, value) triples, using the
-    bundled minimal HDF5 reader (sources/hdf5_mini.py) — no h5py needed."""
+def _open_validated(path: str):
+    """Hdf5File with the BIOM structure checks (cheap: mmap-backed, only
+    metadata pages are touched)."""
     from duckdb_miint_spark.sources.hdf5_mini import Hdf5Error, Hdf5File
 
     try:
@@ -101,31 +102,124 @@ def _read_biom_file(path: str) -> list[tuple[str, str, float]]:
         raise BiomError(f"File is not a BIOM file: {path}") from e
     if not (f.exists("sample/matrix") and f.exists("observation/ids")):
         raise BiomError(f"File is not a BIOM file: {path}")
-    data = [float(x) for x in f.read("sample/matrix/data")]
-    indices = [int(x) for x in f.read("sample/matrix/indices")]
-    indptr = [int(x) for x in f.read("sample/matrix/indptr")]
+    return f
+
+
+def _biom_arrays(path: str):
+    """(sample_idx i64[n], feature_idx i64[n], values f64[n], sample_ids,
+    feature_ids) — vectorized CSC→COO (np.repeat over indptr diffs), the
+    13M-nonzero scan path with zero per-element Python."""
+    import numpy as np
+
+    f = _open_validated(path)
+    data = f.read_np("sample/matrix/data").astype(np.float64)
+    indices = f.read_np("sample/matrix/indices").astype(np.int64)
+    indptr = f.read_np("sample/matrix/indptr").astype(np.int64)
     sample_ids = [str(x) for x in f.read("sample/ids")]
     feature_ids = [str(x) for x in f.read("observation/ids")]
-    s_idx, f_idx = csc_to_coo(indptr, indices)
+    counts = np.diff(indptr)
+    s_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    return s_idx, indices, data, sample_ids, feature_ids
+
+
+def _read_biom_file(path: str) -> list[tuple[str, str, float]]:
+    """BIOM v2.1 HDF5 → (sample_id, feature_id, value) triples, using the
+    bundled minimal HDF5 reader (sources/hdf5_mini.py) — no h5py needed."""
+    s_idx, f_idx, data, sample_ids, feature_ids = _biom_arrays(path)
     return [
-        (sample_ids[s], feature_ids[ft], v) for s, ft, v in zip(s_idx, f_idx, data)
+        (sample_ids[s], feature_ids[ft], float(v))
+        for s, ft, v in zip(s_idx, f_idx, data)
     ]
+
+
+_BIOM_BATCH_ROWS = 1 << 20
+
+
+def _biom_record_batches(path: str, include_filepath: bool):
+    """Arrow RecordBatches straight from the vectorized arrays — id
+    strings materialized by Arrow ``take`` (C++), never a Python loop."""
+    import pyarrow as pa
+
+    s_idx, f_idx, data, sample_ids, feature_ids = _biom_arrays(path)
+    sa = pa.array(sample_ids, type=pa.string())
+    fa = pa.array(feature_ids, type=pa.string())
+    names = ["sample_id", "feature_id", "value"] + (
+        ["filepath"] if include_filepath else []
+    )
+    n = len(data)
+    for lo in range(0, n, _BIOM_BATCH_ROWS):
+        hi = min(lo + _BIOM_BATCH_ROWS, n)
+        cols = [
+            sa.take(pa.array(s_idx[lo:hi])),
+            fa.take(pa.array(f_idx[lo:hi])),
+            pa.array(data[lo:hi]),
+        ]
+        if include_filepath:
+            cols.append(pa.array([path] * (hi - lo), type=pa.string()))
+        yield pa.RecordBatch.from_arrays(cols, names=names)
+
+
+class BiomPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class BiomReader(DataSourceReader):
+    def __init__(self, files: list[str], include_filepath: bool):
+        self.files = files
+        self.include_filepath = include_filepath
+
+    def partitions(self):
+        return [BiomPartition(p) for p in self.files]
+
+    def read(self, partition: BiomPartition):
+        yield from _biom_record_batches(partition.path, self.include_filepath)
+
+
+class BiomDataSource(DataSource):
+    """``spark.read.format("biom")`` — options: files (json list),
+    include_filepath."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "biom"
+
+    def schema(self) -> StructType:
+        fields = list(BIOM_SCHEMA.fields)
+        if self.options.get("include_filepath", "false") != "true":
+            fields = fields[:-1]
+        return StructType(fields)
+
+    def reader(self, schema: StructType) -> BiomReader:
+        import json
+
+        return BiomReader(
+            json.loads(self.options["files"]),
+            self.options.get("include_filepath", "false") == "true",
+        )
 
 
 def read_biom(
     spark: SparkSession, filename: str | list[str], include_filepath: bool = False
 ) -> DataFrame:
     """BIOM file(s) → COO DataFrame; multi-file concat, zero rows omitted
-    (read_biom.cpp:12-172). One driver-side parse per file (HDF5 is not
-    splittable; files are the parallel unit, as in the reference)."""
+    (read_biom.cpp:12-172). Executor-side parse, one partition per file
+    (HDF5 is not splittable; files are the parallel unit, as in the
+    reference), Arrow-batched with a vectorized CSC→COO — validated at
+    the reference's 13M-nonzero scale (tests/test_biom_ncbi.py)."""
+    import json
+
     files = [filename] if isinstance(filename, str) else list(filename)
     if not files:
         raise BiomError("at least one file path must be provided")
     for p in files:
         if not os.path.exists(p):
             raise BiomError(f"File not found: {p}")
-    rows = []
-    for p in files:
-        rows.extend(r + (p,) for r in _read_biom_file(p))
-    df = spark.createDataFrame(rows, BIOM_SCHEMA)
-    return df if include_filepath else df.drop("filepath")
+        _open_validated(p)  # bind-time structure validation (metadata only)
+    spark.dataSource.register(BiomDataSource)
+    return (
+        spark.read.format("biom")
+        .option("files", json.dumps(files))
+        .option("include_filepath", "true" if include_filepath else "false")
+        .load()
+    )

@@ -39,6 +39,24 @@ class _Dataset:
     def __len__(self):
         return self.shape[0] if self.shape else 1
 
+    def values_np(self):
+        """Numeric dataset as a zero-copy numpy view over the raw buffer —
+        the fast path for multi-million-element BIOM matrices, where
+        per-element struct.unpack would dominate the scan."""
+        import numpy as np
+
+        kind, size, signed = self.dtype_info
+        n = 1
+        for d in self.shape:
+            n *= d
+        if kind == "int":
+            dt = f"<i{size}" if signed else f"<u{size}"
+        elif kind == "float":
+            dt = f"<f{size}"
+        else:
+            raise Hdf5Error(f"values_np supports numeric datasets, not {kind}")
+        return np.frombuffer(self.raw, dtype=dt, count=n)
+
     def values(self) -> list:
         kind, size, signed = self.dtype_info
         n = 1
@@ -70,8 +88,16 @@ class _Dataset:
 
 class Hdf5File:
     def __init__(self, path: str):
-        with open(path, "rb") as f:
-            self.buf = f.read()
+        import mmap
+
+        self._fh = open(path, "rb")
+        try:
+            # mmap: validation and metadata walks touch only the pages
+            # they read — opening a multi-GB BIOM at bind time costs the
+            # superblock, not the file
+            self.buf = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+        except ValueError:  # zero-length file
+            self.buf = b""
         if self.buf[:8] != SIG:
             raise Hdf5Error(f"Not an HDF5 file: {path}")
         if self.buf[8] != 0:
@@ -118,7 +144,9 @@ class Hdf5File:
         if buf[heap_addr : heap_addr + 4] != b"HEAP":
             raise Hdf5Error("Bad local heap signature")
         (data_addr,) = struct.unpack_from("<Q", buf, heap_addr + 24)
-        end = buf.index(b"\x00", data_addr + name_off)
+        end = buf.find(b"\x00", data_addr + name_off)  # mmap has find, not index
+        if end < 0:
+            raise Hdf5Error("Unterminated heap string")
         return buf[data_addr + name_off : end].decode()
 
     def _group_entries(self, btree_addr: int, heap_addr: int) -> dict[int, int]:
@@ -363,6 +391,20 @@ class Hdf5File:
             raise Hdf5Error(f"No such dataset: {parts[-1]}")
         return self._dataset(children[parts[-1]]).values()
 
+    def read_np(self, path: str):
+        """Numeric dataset at 'group/sub/dataset' as a numpy array."""
+        addr = self.root_addr
+        parts = [p for p in path.split("/") if p]
+        for part in parts[:-1]:
+            children = self._children(addr)
+            if part not in children:
+                raise Hdf5Error(f"No such group: {part}")
+            addr = children[part]
+        children = self._children(addr)
+        if parts[-1] not in children:
+            raise Hdf5Error(f"No such dataset: {parts[-1]}")
+        return self._dataset(children[parts[-1]]).values_np()
+
     def exists(self, path: str) -> bool:
         try:
             addr = self.root_addr
@@ -433,16 +475,24 @@ class Hdf5Writer:
                 hdr += struct.pack("<HHB3x", t, len(b), 0) + b
             return append(hdr)
 
-        def dataset_header(values: list, kind: str) -> int:
+        def dataset_header(values, kind: str) -> int:
+            import numpy as _np
+
             if kind == "string":
                 width = max((len(v.encode()) for v in values), default=0) + 1
                 raw = b"".join(v.encode().ljust(width, b"\x00") for v in values)
                 elem = width
             elif kind == "int":
-                raw = struct.pack(f"<{len(values)}q", *[int(v) for v in values])
+                if isinstance(values, _np.ndarray):  # vectorized fast path
+                    raw = values.astype("<i8").tobytes()
+                else:
+                    raw = struct.pack(f"<{len(values)}q", *[int(v) for v in values])
                 elem = 8
             else:
-                raw = struct.pack(f"<{len(values)}d", *[float(v) for v in values])
+                if isinstance(values, _np.ndarray):
+                    raw = values.astype("<f8").tobytes()
+                else:
+                    raw = struct.pack(f"<{len(values)}d", *[float(v) for v in values])
                 elem = 8
             data_addr = append(raw)
             buf.extend(b"\x00" * ((8 - len(buf) % 8) % 8))

@@ -108,6 +108,52 @@ def test_read_biom_empty(spark):
     assert read_biom(spark, "/root/reference/data/biom/empty.biom").count() == 0
 
 
+@pytest.mark.slow
+def test_read_biom_13m_scale(spark, tmp_path):
+    """The reference's perf anchor (test/sql/read_biom_performance.test:
+    9-12 asserts COUNT(*)=13052393 on large_table1.biom — a fixture this
+    repo cannot ship). Synthesize the same cardinality, round-trip it,
+    and prove the scan path holds at 13M nonzeros."""
+    import numpy as np
+
+    from duckdb_miint_spark.sources.hdf5_mini import Hdf5Writer
+
+    rng = np.random.default_rng(42)
+    n = 13_052_393
+    n_samples, n_features = 1000, 200_000
+    base, extra = divmod(n, n_samples)
+    cnts = np.full(n_samples, base, dtype=np.int64)
+    cnts[:extra] += 1
+    indptr = np.concatenate([[0], np.cumsum(cnts)])
+    indices = rng.integers(0, n_features, n)
+    data = rng.random(n) + 0.01
+    path = str(tmp_path / "large13m.biom")
+    w = Hdf5Writer()
+    w.add_dataset("observation/ids", [f"F{i:06d}" for i in range(n_features)], "string")
+    w.add_dataset("sample/ids", [f"S{i:04d}" for i in range(n_samples)], "string")
+    # CSR mirror kept minimal: the read path only consumes sample/matrix
+    w.add_dataset("observation/matrix/data", np.array([0.0]), "float")
+    w.add_dataset("observation/matrix/indices", np.array([0]), "int")
+    w.add_dataset("observation/matrix/indptr", np.array([0, 1]), "int")
+    w.add_dataset("sample/matrix/data", data, "float")
+    w.add_dataset("sample/matrix/indices", indices, "int")
+    w.add_dataset("sample/matrix/indptr", indptr, "int")
+    w.save(path)
+
+    df = read_biom(spark, path)
+    assert df.count() == n
+    # spot-check aggregate correctness, not just cardinality
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.min("sample_id").alias("mn"),
+        F.max("sample_id").alias("mx"),
+        F.sum("value").alias("s"),
+    ).collect()[0]
+    assert row.mn == "S0000" and row.mx == "S0999"
+    assert abs(row.s - float(data.sum())) < 1e-3
+
+
 # --- NCBI --------------------------------------------------------------------
 
 GBSEQ_XML = """
