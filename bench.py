@@ -113,17 +113,22 @@ SCALE_FACTOR = 10
 
 
 def resolve_sf_dir() -> tuple[str, int]:
-    """(sf_dir, timed_passes) — scaled headline dir unless overridden."""
+    """(sf_dir, timed_passes) — scaled headline dir unless overridden.
+
+    SPARK_GRAFT_PASSES overrides the timed-pass count (e.g. 1 for the
+    sf10 scale validation, where a single pass is minutes of execution
+    and noise is irrelevant)."""
+    passes_env = int(os.environ.get("SPARK_GRAFT_PASSES", "0"))
     env = os.environ.get("SPARK_GRAFT_SF_DIR")
     no_scale = os.environ.get("SPARK_GRAFT_NO_SCALE", "0") not in ("0", "false")
     explicit_other = env and os.path.abspath(env) != os.path.abspath(DRIVER_SF_DEFAULT)
     if explicit_other or no_scale:
-        return (env or DRIVER_SF_DEFAULT), TIMED_PASSES
+        return (env or DRIVER_SF_DEFAULT), (passes_env or TIMED_PASSES)
     from tools.make_scaled_sf import ensure_scaled
 
     # multi-second queries at the scaled size: 2 passes is enough (noise
     # is a sub-second phenomenon)
-    return ensure_scaled(DRIVER_SF_DEFAULT, SCALED_DIR, SCALE_FACTOR), 2
+    return ensure_scaled(DRIVER_SF_DEFAULT, SCALED_DIR, SCALE_FACTOR), (passes_env or 2)
 
 
 def bench_duckdb(reg, sf_dir: str, passes: int = TIMED_PASSES) -> dict | None:

@@ -655,3 +655,93 @@ def q_copy_fasta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("sequence_index", "read_id", "comment", "sequence1").orderBy(
         "sequence_index"
     )
+
+
+def _fastq_split_oracle() -> str:
+    from duckdb_miint_spark.sources.synth import fastq_expected
+
+    e = fastq_expected()
+    return f"""
+SELECT CAST({e["n_reads"]} AS BIGINT) AS n_reads,
+       CAST({e["sum_seq_len"]} AS BIGINT) AS sum_seq_len,
+       CAST({e["sum_qual"]} AS BIGINT) AS sum_qual,
+       CAST({e["sum_idx"]} AS BIGINT) AS sum_idx,
+       TRUE AS was_split
+"""
+
+
+@register(
+    "read_fastx_split",
+    oracle=_fastq_split_oracle(),
+    tags=("source", "fastx", "split"),
+)
+def q_read_fastx_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-range split scan of one large FASTQ ≡ its known contents.
+
+    A ~440 KB deterministic FASTQ (sources/synth.py — adversarial
+    '@'-leading quality lines) is scanned with max_split_bytes=32 KiB,
+    forcing ~14 byte-range partitions through plan_fastx_splits; the
+    aggregate (read count, total bases, total Phred, sequence_index sum)
+    must equal constants precomputed from the generator. ``was_split``
+    pins >1 input partition, so a regression to whole-file scanning
+    fails the gate rather than silently passing. Addresses the
+    one-task-per-file straggler gap vs read_fastx.hpp:57-62."""
+    from duckdb_miint_spark.sources.synth import fastq_text, materialize
+
+    path = materialize(fastq_text(), ".fastq")
+    df = read_fastx(spark, path, max_split_bytes=32 * 1024)
+    # spark_partition_id is nondeterministic → project it BEFORE the agg
+    # (this also pins it to the scan stage, which is the partition count
+    # the gate is about).
+    df = df.withColumn("_pid", F.spark_partition_id())
+    return df.agg(
+        F.count(F.lit(1)).alias("n_reads"),
+        F.sum(F.length("sequence1")).alias("sum_seq_len"),
+        F.sum(F.aggregate("qual1", F.lit(0).cast("long"), lambda a, x: a + x)).alias(
+            "sum_qual"
+        ),
+        F.sum("sequence_index").alias("sum_idx"),
+        (F.countDistinct("_pid") >= F.lit(2)).alias("was_split"),
+    )
+
+
+def _sam_split_oracle() -> str:
+    from duckdb_miint_spark.sources.synth import sam_expected
+
+    e = sam_expected()
+    return f"""
+SELECT CAST({e["n_alignments"]} AS BIGINT) AS n_alignments,
+       CAST({e["sum_flags"]} AS BIGINT) AS sum_flags,
+       CAST({e["sum_pos"]} AS BIGINT) AS sum_pos,
+       CAST({e["sum_stop"]} AS BIGINT) AS sum_stop,
+       CAST({e["n_refs"]} AS BIGINT) AS n_refs,
+       TRUE AS was_split
+"""
+
+
+@register(
+    "read_alignments_split",
+    oracle=_sam_split_oracle(),
+    tags=("source", "sam", "split"),
+)
+def q_read_alignments_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-boundary split scan of one large SAM ≡ its known contents.
+
+    A deterministic 4000-record SAM (sources/synth.py) scans with
+    max_split_bytes=16 KiB → ~16 byte-range partitions, each starting at
+    the next line boundary; flag/position/stop_position sums must equal
+    generator constants and ``was_split`` pins real multi-partition input
+    (same rationale as read_fastx_split)."""
+    from duckdb_miint_spark.sources.synth import materialize, sam_text
+
+    path = materialize(sam_text(), ".sam")
+    df = read_alignments(spark, path, max_split_bytes=16 * 1024)
+    df = df.withColumn("_pid", F.spark_partition_id())
+    return df.agg(
+        F.count(F.lit(1)).alias("n_alignments"),
+        F.sum("flags").alias("sum_flags"),
+        F.sum("position").alias("sum_pos"),
+        F.sum("stop_position").alias("sum_stop"),
+        F.countDistinct("reference").alias("n_refs"),
+        (F.countDistinct("_pid") >= F.lit(2)).alias("was_split"),
+    )

@@ -65,6 +65,9 @@ def _prefix_document_text(table: pa.Table, copy: int) -> pa.Table:
 
 
 def make_scaled(src_dir: str, out_dir: str, factor: int) -> None:
+    """Streamed: one copy at a time through a ParquetWriter (peak memory is
+    one copy, not ``factor`` of them) with bounded row groups so Spark's
+    scan parallelism — row-group granularity — scales with the data."""
     os.makedirs(out_dir, exist_ok=True)
     for t in DIM_TABLES:
         src = os.path.join(src_dir, f"{t}.parquet")
@@ -75,14 +78,13 @@ def make_scaled(src_dir: str, out_dir: str, factor: int) -> None:
         if not os.path.exists(src):
             continue
         base = pq.read_table(src)
-        copies = []
-        for i in range(factor):
-            c = base if i == 0 else _shift_keys(base, keys, i)
-            if t == "documents" and i > 0:
-                c = _prefix_document_text(c, i)
-            copies.append(c)
-        out = pa.concat_tables(copies)
-        pq.write_table(out, os.path.join(out_dir, f"{t}.parquet"))
+        row_group_rows = max(64 * 1024, min(1 << 20, base.num_rows))
+        with pq.ParquetWriter(os.path.join(out_dir, f"{t}.parquet"), base.schema) as w:
+            for i in range(factor):
+                c = base if i == 0 else _shift_keys(base, keys, i)
+                if t == "documents" and i > 0:
+                    c = _prefix_document_text(c, i)
+                w.write_table(c, row_group_size=row_group_rows)
 
 
 def ensure_scaled(src_dir: str, out_dir: str, factor: int) -> str:
