@@ -62,6 +62,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Pin small inputs (repartition + cache) — see read_table in session.py.
 os.environ.setdefault("SPARK_GRAFT_PIN_BYTES", str(4 * 1024**3))
+# Headroom for the pinned inputs + shuffle at sf1/sf10 in one JVM: with the
+# 8g session default, the deserialized caches plus execution memory contend
+# and mid-run storage eviction shows up as multi-second per-query noise
+# (a recompute re-parses parquet+JSON inside the timed pass).
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
 from duckdb_miint_spark.registry import load_all
 from duckdb_miint_spark.session import TABLES, get_spark, read_table
@@ -195,15 +200,21 @@ def main() -> None:
     # what a steady-state executor JVM sees on a real cluster. Each pass
     # still builds a FRESH DataFrame (fresh shuffle lineage -> full
     # recompute; build outside the timer).
+    debug = os.environ.get("SPARK_GRAFT_BENCH_DEBUG", "0") not in ("0", "false")
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:
+        t0 = time.perf_counter()
         reg[name].spark_fn(spark, sf_dir).toPandas()  # untimed warm-up
+        if debug:
+            print(f"#   {name} warmup: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
         for _pass in range(timed_passes):
             df = reg[name].spark_fn(spark, sf_dir)
             t0 = time.perf_counter()
             pdf = df.toPandas()
             dt = round(time.perf_counter() - t0, 4)
+            if debug:
+                print(f"#   {name} pass{_pass}: {dt:.3f}s", file=sys.stderr)
             rows[name] = len(pdf)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt

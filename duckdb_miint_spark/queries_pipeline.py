@@ -1078,3 +1078,172 @@ def q_embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     pairs = cosine_threshold_pairs_exact(emb, threshold=0.45).select("id1", "id2")
     return label_documents(emb, pairs, id_col="vec_id").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: PII, decontamination, duplicated spans (pipeline/curation)
+# ---------------------------------------------------------------------------
+
+# Deterministic PII injection shared by the Spark query and the oracle:
+# every 7th doc gets an email, every 11th a phone, every 13th an IPv4 —
+# the gate then proves detection counts AND the redacted text bit-for-bit.
+_PII_TEXT_SQL = """
+text
+  || CASE WHEN doc_id % 7 = 0
+     THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+     THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+     THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+          || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+"""
+
+
+def _pii_enriched(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email = F.when(
+        did % 7 == 0, F.concat(F.lit(" contact u"), s(did), F.lit("@example.com"))
+    ).otherwise("")
+    phone = F.when(
+        did % 11 == 0,
+        F.concat(F.lit(" call 555-123-"), F.lpad(s(did % 10000), 4, "0")),
+    ).otherwise("")
+    ip = F.when(
+        did % 13 == 0,
+        F.concat(F.lit(" from 10.0."), s(did % 256), F.lit("."), s((did * 7) % 256)),
+    ).otherwise("")
+    return docs.withColumn("text", F.concat("text", email, phone, ip))
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+WITH enriched AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+       len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS n_phones,
+       len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g')) AS redacted_md5
+FROM enriched
+WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 13 = 0
+ORDER BY doc_id
+""",
+    tags=("pipeline", "curation"),
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over documents with deterministically
+    injected emails/phones/IPs; md5 of the redacted text proves the
+    replacement is bit-exact, not just the counts. Pure Catalyst regex —
+    zero shuffle, the map-side scrub pass a 100 TB corpus needs."""
+    from duckdb_miint_spark.pipeline.curation import pii_signals, redact_pii
+
+    docs = _pii_enriched(T(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    docs = docs.filter((did % 7 == 0) | (did % 11 == 0) | (did % 13 == 0))
+    signals = pii_signals(docs).withColumnRenamed("id", "doc_id")
+    redacted = redact_pii(docs).select("doc_id", F.md5("text").alias("redacted_md5"))
+    return signals.join(redacted, "doc_id").select(
+        "doc_id", "n_emails", "n_phones", "n_ipv4", "redacted_md5"
+    ).orderBy("doc_id")
+
+
+# DuckDB word-5-gram CTE fragment (1-based inclusive list slicing).
+_GRAMS5_SQL = """
+words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 3),
+                               i -> array_to_string(w[i:i+4], ' '))) AS ngram
+  FROM words WHERE len(w) >= 5
+)
+"""
+
+
+@register(
+    "decontamination_overlap",
+    oracle=f"""
+WITH {_GRAMS5_SQL}
+SELECT c.doc_id,
+       COUNT(DISTINCT c.ngram) AS n_shared_ngrams,
+       COUNT(DISTINCT b.doc_id) AS n_benchmark_docs
+FROM grams c
+JOIN grams b ON c.ngram = b.ngram
+WHERE c.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+""",
+    tags=("pipeline", "curation"),
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id % 97 != 0) sharing
+    any word 5-gram with the held-out set (doc_id % 97 == 0) — the
+    n-gram-overlap test that keeps eval data out of training corpora.
+    One shuffle on the n-gram; the benchmark side pre-aggregates to
+    distinct n-grams (broadcastable at real scale)."""
+    from duckdb_miint_spark.pipeline.curation import contamination_report
+
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return (
+        contamination_report(corpus, bench, n=5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "duplicated_spans",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 6),
+                               i -> array_to_string(w[i:i+7], ' '))) AS ngram
+  FROM words WHERE len(w) >= 8
+),
+span AS (SELECT ngram, COUNT(*) AS span_docs FROM grams GROUP BY ngram),
+perdoc AS (SELECT doc_id, COUNT(*) AS n_spans FROM grams GROUP BY doc_id),
+dup AS (
+  SELECT g.doc_id, COUNT(*) AS n_dup_spans
+  FROM grams g JOIN span s USING (ngram)
+  WHERE s.span_docs >= 2
+  GROUP BY g.doc_id
+)
+SELECT p.doc_id,
+       COALESCE(d.n_dup_spans, 0) AS n_dup_spans,
+       p.n_spans,
+       ROUND(COALESCE(d.n_dup_spans, 0) / CAST(p.n_spans AS DOUBLE), 6) AS dup_span_ratio
+FROM perdoc p LEFT JOIN dup d ON p.doc_id = d.doc_id
+WHERE COALESCE(d.n_dup_spans, 0) > 0
+ORDER BY p.doc_id
+""",
+    tags=("pipeline", "curation"),
+)
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection: documents whose word 8-grams
+    appear in >=2 distinct docs corpus-wide — the n-gram-granularity
+    substring dedup that whole-document MinHash misses (boilerplate,
+    templates, quoted passages)."""
+    from duckdb_miint_spark.pipeline.curation import duplicated_spans
+
+    docs = T(spark, sf_dir, "documents")
+    out = duplicated_spans(docs, n=8, min_df=2).withColumnRenamed("id", "doc_id")
+    return (
+        out.filter(F.col("n_dup_spans") > 0)
+        .select(
+            "doc_id", "n_dup_spans", "n_spans",
+            F.round("dup_span_ratio", 6).alias("dup_span_ratio"),
+        )
+        .orderBy("doc_id")
+    )
