@@ -77,3 +77,30 @@ def stratified_quota(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple = (0.8, 0.1, 0.1),
+    seed: str = "split0",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash threshold.
+
+    The split is a pure function of the row id (same md5 convention as
+    ``hash_sample``): stable across engines, runs, partitionings, and —
+    critically for dataset curation — across *dataset versions*: a doc
+    keeps its split when rows are added or removed, so evaluation sets
+    never silently absorb training data. Pure projection — no shuffle.
+
+    Adds a ``split`` column ('train' | 'val' | 'test').
+    """
+    if len(weights) != 3 or abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must be 3 fractions summing to 1, got {weights}")
+    t1 = hash_threshold(weights[0])
+    t2 = hash_threshold(weights[0] + weights[1])
+    key = _hash_key(F.col(id_col), seed)
+    return df.withColumn(
+        "split",
+        F.when(key < t1, F.lit("train")).when(key < t2, F.lit("val")).otherwise(F.lit("test")),
+    )

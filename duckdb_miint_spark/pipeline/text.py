@@ -254,9 +254,12 @@ def repetition_stats(
         F.col(id_col).alias("id"),
         F.filter(F.split(F.col(text_col), " "), lambda w: w != "").alias("__w"),
     )
+    # NB sequence(1, 0) in Spark DESCENDS to [1, 0] — short docs need an
+    # explicit empty-array branch, not a greatest() clamp.
     g = F.expr(
-        f"transform(sequence(1, greatest(size(__w) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(__w, i, {n})))"
+        f"if(size(__w) < {n}, array(), "
+        f"transform(sequence(1, size(__w) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__w, i, {n}))))"
     )
     gram_stats = words.select(
         "id",
@@ -283,3 +286,110 @@ def repetition_stats(
         )
     )
     return gram_stats.join(tok_stats, "id")
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained bigram-LM fluency score per document.
+
+    The standard cheap stand-in for perplexity filtering in training-data
+    curation: fit an MLE bigram model ON THE CORPUS ITSELF
+    (P(w2|w1) = c(w1,w2)/c(w1,·) over bigram counts), then score each doc
+    by its mean bigram log-probability. Repetitive/templated text scores
+    high, one-off noise scores low.
+
+    Scale shape: two count aggregations over the exploded bigram stream
+    (map-side combined — the shuffled relations are the DISTINCT bigram
+    and unigram vocabularies, not the token stream), one model join on
+    (w1, w2) (AQE broadcasts it when the vocabulary is small), one
+    per-doc aggregation. Cross-engine determinism: per-bigram log-probs
+    are rounded to 6 dp and carried as fixed-point ints, so the per-doc
+    sum is order-independent; the mean is rounded to 6 dp.
+
+    Output: (id_col, n_bigrams, avg_logprob — NULL for docs under 2 words).
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "").alias("__w"),
+    )
+    bg = words.select(
+        "id",
+        F.explode(
+            F.expr(
+                "if(size(__w) < 2, array(), "
+                "transform(sequence(1, size(__w) - 1), "
+                "i -> struct(element_at(__w, i) AS w1, element_at(__w, i + 1) AS w2)))"
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    w1c = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    model = bgc.join(w1c, "w1").select(
+        "w1",
+        "w2",
+        F.round(F.log(F.col("cb").cast("double") / F.col("cw")) * 1000000, 0)
+        .cast("long")
+        .alias("lp"),
+    )
+    per_doc = (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp").alias("slp"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.col("slp").cast("double") / 1000000.0 / F.col("n_bigrams"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def top_ngrams_per_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k word bigrams per group by frequency (vocabulary reporting).
+
+    Count aggregation over the exploded bigram stream (map-side combine;
+    the shuffle carries the distinct (group, bigram) vocabulary), then a
+    per-group top-k window — partitions = #groups, the standard top-k
+    form. Ties break lexicographically. Output: (group_col, term, n, rk).
+    """
+    from pyspark.sql import Window as W
+
+    words = df.select(
+        F.col(group_col).alias("g"),
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "").alias("__w"),
+    )
+    term = words.select(
+        "g",
+        F.explode(
+            F.expr(
+                "if(size(__w) < 2, array(), "
+                "transform(sequence(1, size(__w) - 1), "
+                "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1))))"
+            )
+        ).alias("term"),
+    )
+    counts = term.groupBy("g", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("g").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("g").alias(group_col),
+            "term",
+            F.col("n").cast("long").alias("n"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -1,0 +1,354 @@
+"""Corpus-analytics queries: clustering, LM scoring, splits, layout.
+
+Round-5 additions to the training-data-pipeline layer — each one is an
+operator a 100 TB curation pipeline runs routinely (topic clustering,
+perplexity-proxy filtering, vocabulary reporting, dataset splits, funnel
+analysis, multi-dimensional layout), restated as a deterministic Spark
+plan with an exact DuckDB oracle (fixed-point sums, shared fold order,
+ROUND(6) on every reported float — the repo-wide convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_miint_spark.pipeline.cluster import kmeans_fit_predict, label_centroid_outliers
+from duckdb_miint_spark.pipeline.sampling import hash_threshold, train_val_test_split
+from duckdb_miint_spark.pipeline.text import bigram_lm_scores, top_ngrams_per_group
+from duckdb_miint_spark.registry import register
+from duckdb_miint_spark.session import read_table
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- k-means
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled Lloyd's iterations in DuckDB SQL (same arithmetic as
+    ``kmeans_fit_predict``: sequential-fold distances, fixed-point means,
+    carry-forward for empty clusters, ties to the lowest cid)."""
+    dist = (
+        "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)"
+        " + list_dot_product(c.cv, c.cv)"
+    )
+    sql = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {k})"""
+    for t in range(iters):
+        sql += f""",
+a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dist} ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN c{t} c
+  ) t WHERE rn = 1
+),
+u{t} AS (
+  SELECT cid, pos, SUM(CAST(ROUND(val * 1000000, 0) AS BIGINT)) AS s, COUNT(*) AS n
+  FROM (
+    SELECT a.cid, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS val
+    FROM e JOIN a{t} a USING (vec_id)
+  ) GROUP BY cid, pos
+),
+c{t + 1} AS (
+  SELECT p.cid, list(COALESCE(CAST(u.s AS DOUBLE) / 1000000.0 / u.n, p.val) ORDER BY p.pos) AS cv
+  FROM (SELECT cid, generate_subscripts(cv, 1) AS pos, unnest(cv) AS val FROM c{t}) p
+  LEFT JOIN u{t} u ON u.cid = p.cid AND u.pos = p.pos
+  GROUP BY p.cid
+)"""
+    sql += f"""
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster, ROUND(dist, 6) AS dist FROM (
+  SELECT e.vec_id, c.cid, {dist} AS dist,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dist} ASC, c.cid ASC) AS rn
+  FROM e CROSS JOIN c{iters} c
+) t WHERE rn = 1 ORDER BY vec_id
+"""
+    return sql
+
+
+@register(
+    "kmeans_clusters",
+    oracle=_kmeans_oracle(k=4, iters=2),
+    tags=("pipeline", "cluster"),
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (k=4, 2 update rounds) over the
+    embeddings table. Assignment is a zero-shuffle projection (centroids
+    are plan literals, argmin over codegen'd unrolled distances); each
+    update is one map-side-combined aggregation — the textbook distributed
+    k-means shape. Only the k x dim model reaches the driver."""
+    out = kmeans_fit_predict(
+        T(spark, sf_dir, "embeddings"), k=4, iters=2, id_col="vec_id", vec_col="embedding"
+    )
+    return out.orderBy("vec_id")
+
+
+@register(
+    "embedding_label_outliers",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+u AS (
+  SELECT label, pos, SUM(CAST(ROUND(val * 1000000, 0) AS BIGINT)) AS s, COUNT(*) AS n
+  FROM (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM e)
+  GROUP BY label, pos
+),
+c AS (
+  SELECT label, list(CAST(s AS DOUBLE) / 1000000.0 / n ORDER BY pos) AS cv
+  FROM u GROUP BY label
+),
+sc AS (
+  SELECT e.label, e.vec_id,
+         list_dot_product(e.v, c.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cosd
+  FROM e JOIN c USING (label)
+)
+SELECT CAST(label AS BIGINT) AS label, vec_id,
+       ROUND(cosd, 6) AS cos_centroid, CAST(rk AS BIGINT) AS outlier_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY cosd ASC, vec_id ASC) AS rk
+  FROM sc
+) t
+WHERE rk <= 5
+ORDER BY label, outlier_rank
+""",
+    tags=("pipeline", "cluster"),
+)
+def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + the 5 least-central vectors per label
+    (embedding-space mislabel/outlier diagnostics). One shuffle for the
+    centroid aggregation, broadcast join back, per-label top-N window."""
+    out = label_centroid_outliers(T(spark, sf_dir, "embeddings"), n_outliers=5)
+    return out.orderBy("label", "outlier_rank")
+
+
+# ------------------------------------------------------- bigram LM score
+
+@register(
+    "bigram_lm_scores",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (
+    SELECT doc_id, unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS p
+    FROM words WHERE len(w) >= 2
+  ) t
+),
+bgc AS (SELECT w1, w2, COUNT(*) AS cb FROM b GROUP BY w1, w2),
+w1c AS (SELECT w1, COUNT(*) AS cw FROM b GROUP BY w1),
+model AS (
+  SELECT w1, w2,
+         CAST(ROUND(ln(CAST(cb AS DOUBLE) / cw) * 1000000, 0) AS BIGINT) AS lp
+  FROM bgc JOIN w1c USING (w1)
+),
+sc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp) AS slp
+  FROM b JOIN model USING (w1, w2) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       ROUND(CAST(sc.slp AS DOUBLE) / 1000000.0 / sc.n_bigrams, 6) AS avg_logprob
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY d.doc_id
+""",
+    tags=("pipeline", "text"),
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM mean log-probability per document — the
+    cheap stand-in for perplexity filtering. Per-bigram log-probs are
+    6-dp-rounded fixed-point ints, so the per-doc sum is
+    order-independent at any parallelism."""
+    out = bigram_lm_scores(T(spark, sf_dir, "documents"))
+    return out.orderBy("doc_id")
+
+
+@register(
+    "ngram_top_terms",
+    oracle="""
+WITH words AS (
+  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+term AS (
+  SELECT lang, p[1] || ' ' || p[2] AS term
+  FROM (
+    SELECT lang, unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS p
+    FROM words WHERE len(w) >= 2
+  ) t
+),
+counts AS (SELECT lang, term, COUNT(*) AS n FROM term GROUP BY lang, term)
+SELECT lang, term, n, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT lang, term, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS rk
+  FROM counts
+) t
+WHERE rk <= 10
+ORDER BY lang, rk
+""",
+    tags=("pipeline", "text"),
+)
+def q_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 word bigrams per language by frequency (vocabulary
+    reporting). The shuffle carries the distinct (lang, bigram)
+    vocabulary, never the token stream."""
+    out = top_ngrams_per_group(T(spark, sf_dir, "documents"), group_col="lang", k=10)
+    return out.orderBy("lang", "rk")
+
+
+# ------------------------------------------------------- dataset splits
+
+_SPLIT_T1 = hash_threshold(0.8)
+_SPLIT_T2 = hash_threshold(0.8 + 0.1)
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN k < '{_SPLIT_T1}' THEN 'train'
+            WHEN k < '{_SPLIT_T2}' THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, substring(md5('split0:' || CAST(doc_id AS VARCHAR)), 1, 8) AS k
+  FROM documents
+) t
+ORDER BY doc_id
+""",
+    tags=("pipeline", "sampling"),
+)
+def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5 hash
+    threshold — a pure projection (no shuffle), stable across engines,
+    runs, and dataset versions (a doc keeps its split when rows are
+    added or removed)."""
+    out = train_val_test_split(T(spark, sf_dir, "documents"), weights=(0.8, 0.1, 0.1))
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+# --------------------------------------------------------- event funnel
+
+@register(
+    "event_funnel_1h",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, MIN(ts) AS first_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+)
+SELECT c.user_id, c.first_click,
+       COUNT(p.ts) AS purchases_1h,
+       COUNT(p.ts) > 0 AS converted
+FROM clicks c
+LEFT JOIN events p
+  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+ AND p.ts >= c.first_click AND p.ts <= c.first_click + INTERVAL 1 HOUR
+GROUP BY c.user_id, c.first_click
+ORDER BY c.user_id
+""",
+    tags=("relational", "events"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase funnel: for each user's FIRST click, count
+    purchases within the following hour. The join is an equi-join on
+    user_id with the time range as a residual filter — at scale the
+    first-click side is pre-aggregated (one row per user) before the
+    join, so the shuffled volume is users + purchase events only."""
+    ev = T(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = clicks.join(
+        purch,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("first_click"))
+        & (F.col("p_ts") <= F.col("first_click") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return (
+        joined.groupBy("user_id", "first_click")
+        .agg(F.count("p_ts").alias("purchases_1h"))
+        .select(
+            "user_id",
+            "first_click",
+            "purchases_1h",
+            (F.col("purchases_1h") > 0).alias("converted"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------- z-order layout
+
+_Z_BITS = 16
+
+
+def _zorder_oracle() -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(((o_custkey >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((o_orderkey >> {i}) & 1) << {2 * i + 1})")
+    zexpr = " | ".join(terms)
+    return f"""
+WITH z AS (SELECT CAST({zexpr} AS BIGINT) AS zval FROM orders)
+SELECT CAST(zval >> 22 AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       MIN(zval) AS min_z, MAX(zval) AS max_z
+FROM z GROUP BY 1 ORDER BY bucket
+"""
+
+
+def zorder_key(x, y, bits: int = _Z_BITS):
+    """Morton (Z-order) interleave of the low ``bits`` of two int columns.
+
+    The layout primitive for multi-dimensional data clustering: sorting /
+    range-partitioning a 100 TB table by ``zorder_key(a, b)`` before a
+    parquet write co-locates rows close in BOTH dimensions, so min/max
+    row-group stats prune scans filtered on either column (the same
+    technique Delta/Iceberg expose as OPTIMIZE ZORDER). Pure bitwise
+    projection — no shuffle, codegen'd."""
+    z = F.lit(0).cast("long")
+    xl = x.cast("long")
+    yl = y.cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(xl, i).bitwiseAND(F.lit(1)), 2 * i))
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(yl, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return z
+
+
+@register(
+    "zorder_order_buckets",
+    oracle=_zorder_oracle(),
+    tags=("pipeline", "layout"),
+)
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key over (o_custkey, o_orderkey) + per-bucket
+    histogram of the top 10 bits — the data-layout primitive behind
+    multi-dimensional file skipping (see ``zorder_key``)."""
+    orders = T(spark, sf_dir, "orders")
+    z = orders.select(zorder_key(F.col("o_custkey"), F.col("o_orderkey")).alias("zval"))
+    return (
+        z.groupBy(F.shiftright(F.col("zval"), 22).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("zval").alias("min_z"),
+            F.max("zval").alias("max_z"),
+        )
+        .orderBy("bucket")
+    )

