@@ -170,7 +170,12 @@ def main() -> None:
     # would run. SPARK_GRAFT_AQE=0 measures the latency-tuned static profile
     # (slightly better on sub-second queries at tiny scales).
     aqe = os.environ.get("SPARK_GRAFT_AQE", "1") not in ("0", "false")
-    spark = get_spark("bench", cpus=cpus, aqe=aqe, shuffle_partitions=8)
+    # Partitioning is left to the session defaults: AQE coalesces down from
+    # initialPartitionNum (4x cores) per stage, so tiny stages still run in
+    # a handful of tasks while sf10-size shuffles use every core. (A static
+    # shuffle_partitions=8 was measured equivalent at sf1 but costs 2-4x on
+    # every shuffle-heavy query at sf10 — see PERF.md scale validations.)
+    spark = get_spark("bench", cpus=cpus, aqe=aqe)
     reg = load_all()
 
     # Warm-up: pin every input table (read_table repartitions small inputs

@@ -352,3 +352,176 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ------------------------------------------------- interval range frames
+
+@register(
+    "window_range_7d",
+    oracle="""
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_events_7d,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+         AS sum_value_7d
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+)
+ORDER BY event_id
+""",
+    tags=("relational", "window"),
+)
+def q_window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day RANGE window per user (count + fixed-point value
+    sum). The frame is over epoch MICROseconds — second-truncated
+    unix_timestamp would merge distinct event times into one peer group.
+    One shuffle on user_id; value sums ride fixed-point ints so the
+    result is partition-order independent."""
+    from pyspark.sql import Window as W
+
+    # parquet batch reads may infer TIMESTAMP_NTZ; unix_micros needs TZ
+    # (session tz is pinned UTC, so the cast is a deterministic relabel)
+    ev = T(spark, sf_dir, "events").withColumn(
+        "__us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("__us"))
+        .rangeBetween(-7 * 86400 * 1000000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_events_7d"),
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).over(w).cast("double")
+                / 100.0
+            ).alias("sum_value_7d"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ----------------------------------------------------- fuzzy match join
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+SELECT a.p_partkey AS a_partkey, b.p_partkey AS b_partkey,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+  AND levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY a_partkey, b_partkey
+""",
+    tags=("pipeline", "fuzzy"),
+)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match join: part-name pairs within levenshtein
+    distance 2, blocked on p_brand. The block key turns the quadratic
+    all-pairs into per-block self-joins (an equi-join shuffle on the
+    block key — AQE-splittable if a block is skewed); the length-delta
+    prefilter is the standard cheap guard (|len a - len b| bounds the
+    edit distance from below) evaluated before the O(n*m) DP."""
+    part = T(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("a_partkey"),
+        F.col("p_name").alias("a_name"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("b_partkey"),
+        F.col("p_name").alias("b_name"),
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("a_partkey") < F.col("b_partkey"))
+        .filter(F.abs(F.length("a_name") - F.length("b_name")) <= 2)
+        .withColumn("dist", F.levenshtein("a_name", "b_name").cast("long"))
+        .filter(F.col("dist") <= 2)
+        .select("a_partkey", "b_partkey", "dist")
+        .orderBy("a_partkey", "b_partkey")
+    )
+
+
+# ------------------------------------------------------------ KMV sketch
+
+_KMV_K = 64
+
+
+@register(
+    "kmv_distinct_tokens",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+),
+keyed AS (
+  SELECT lang, t, substring(md5(t), 1, 8) AS k FROM tok
+),
+ranked AS (
+  SELECT lang, k, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k ASC, t ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n_exact
+  FROM keyed
+)
+SELECT lang, CAST(n_exact AS BIGINT) AS n_exact,
+       ROUND(
+         COALESCE(
+           ({_KMV_K} - 1)
+             / (CAST(CAST('0x' || k AS BIGINT) AS DOUBLE) / 4294967296.0),
+           CAST(n_exact AS DOUBLE)
+         ), 6) AS est_kmv
+FROM ranked
+WHERE rn = {_KMV_K} OR (n_exact < {_KMV_K} AND rn = 1)
+ORDER BY lang
+""",
+    tags=("pipeline", "sketch"),
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable approximate distinct count: a KMV (k-minimum-
+    values) sketch over md5 keys. Unlike HLL registers, the k smallest
+    hash values are a deterministic, mergeable, ENGINE-INDEPENDENT
+    sketch — both engines compute the identical estimate
+    (k-1)/u_(k) where u_(k) is the kth-smallest hash mapped to (0,1].
+    At 100 TB the sketch is an aggregate carrying at most k hex keys per
+    group (map-side combined top-k); groups under k distinct values fall
+    back to the exact count. Exact counts are carried alongside for the
+    error report."""
+    from pyspark.sql import Window as W
+
+    docs = T(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "lang",
+            F.explode(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias("t"),
+        )
+        .distinct()
+    )
+    keyed = tok.withColumn("k", F.substring(F.md5(F.col("t")), 1, 8))
+    w = W.partitionBy("lang").orderBy(F.col("k").asc(), F.col("t").asc())
+    ranked = keyed.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_exact", F.count(F.lit(1)).over(W.partitionBy("lang"))
+    )
+    kth_u = F.conv(F.col("k"), 16, 10).cast("double") / F.lit(4294967296.0)
+    return (
+        ranked.filter(
+            (F.col("rn") == _KMV_K) | ((F.col("n_exact") < _KMV_K) & (F.col("rn") == 1))
+        )
+        .select(
+            "lang",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round(
+                F.coalesce(
+                    F.lit(float(_KMV_K - 1)) / kth_u,
+                    F.col("n_exact").cast("double"),
+                ),
+                6,
+            ).alias("est_kmv"),
+        )
+        .orderBy("lang")
+    )

@@ -53,6 +53,20 @@ def get_spark(
         aqe = os.environ.get("SPARK_GRAFT_AQE", "1") not in ("0", "false")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or max(cpus, 8)
+    # AQE decides the real per-stage partition count by coalescing DOWN from
+    # initialPartitionNum — so the initial number must be sized for the
+    # LARGEST stage, not the average one. 4x cores keeps every core busy on
+    # data-heavy stages (sf10 validation: 8 static reduce tasks on 32 cores
+    # was a 2-4x tax on every shuffle-heavy query) while small stages
+    # coalesce back to a handful of tasks at no cost.
+    initial_partitions = max(shuffle_partitions, 4 * cpus)
+    # Dimension-table broadcast must survive scale-up: the 10 MB default
+    # stops broadcasting a TPC-H customer/supplier dim long before a real
+    # cluster would (q5 at sf10 degraded to sort-merge-shuffling the 60M-row
+    # fact — 33x vs DuckDB; broadcast restores the canonical star-join
+    # plan). 64 MB is conservative for 100 TB clusters with multi-GB
+    # executor heaps; override with SPARK_GRAFT_BROADCAST.
+    broadcast_threshold = os.environ.get("SPARK_GRAFT_BROADCAST", "64MB")
     # Executor Python workers must be able to import this package no matter
     # the caller's cwd: Python DataSources and pandas UDFs deserialize by
     # module reference. PYTHONPATH is read by the launched python workers
@@ -69,7 +83,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(initial_partitions))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", broadcast_threshold)
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", broadcast_threshold)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
