@@ -170,12 +170,24 @@ def main() -> None:
     # would run. SPARK_GRAFT_AQE=0 measures the latency-tuned static profile
     # (slightly better on sub-second queries at tiny scales).
     aqe = os.environ.get("SPARK_GRAFT_AQE", "1") not in ("0", "false")
-    # Partitioning is left to the session defaults: AQE coalesces down from
-    # initialPartitionNum (4x cores) per stage, so tiny stages still run in
-    # a handful of tasks while sf10-size shuffles use every core. (A static
-    # shuffle_partitions=8 was measured equivalent at sf1 but costs 2-4x on
-    # every shuffle-heavy query at sf10 — see PERF.md scale validations.)
-    spark = get_spark("bench", cpus=cpus, aqe=aqe)
+    # Partitioning is sized to the INPUT, the way a production job (or AQE
+    # from map-output stats) would: one shuffle partition per ~32 MB of
+    # input, clamped to [cores, 4x cores]. At the sf1 headline that lands
+    # on 32 (= cores; 8-vs-32 measured equivalent there, 18.9 s vs 20.0 s
+    # back-to-back — inside this box's run noise); at sf10 it lands at ~54,
+    # which keeps all 32 cores busy on the multi-second shuffles (a
+    # hardwired 8 cost 2-4x on every shuffle-heavy query there — PERF.md
+    # scale validations). The initialPartitionNum AQE coalesces down from
+    # is pinned to the same number; session defaults outside the bench
+    # stay at 4x cores.
+    dir_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    target_parts = max(cpus, min(4 * cpus, dir_bytes // (32 << 20)))
+    os.environ.setdefault("SPARK_GRAFT_INITIAL_PARTS", str(target_parts))
+    spark = get_spark("bench", cpus=cpus, aqe=aqe, shuffle_partitions=target_parts)
     reg = load_all()
 
     # Warm-up: pin every input table (read_table repartitions small inputs

@@ -525,3 +525,118 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------------------ hourly anomalies
+
+@register(
+    "events_hourly_anomaly",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY event_type, h
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS nh, SUM(n) AS s, SUM(n * n) AS ss
+  FROM hourly GROUP BY event_type
+),
+z AS (
+  SELECT h.event_type, h.h, h.n,
+         ROUND(
+           (CAST(h.n AS DOUBLE) - CAST(st.s AS DOUBLE) / st.nh)
+             / sqrt((CAST(st.ss AS DOUBLE) - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.nh)
+                    / NULLIF(st.nh - 1, 0)),
+           6) AS zscore
+  FROM hourly h JOIN stats st USING (event_type)
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       n, zscore, abs(zscore) > 2.0 AS flagged
+FROM z ORDER BY event_type, hour
+""",
+    tags=("pipeline", "monitoring"),
+)
+def q_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type hourly volume z-scores (ingest anomaly detection).
+
+    Two aggregations — hourly counts, then per-type moment sums (count /
+    sum / sum-of-squares, all BIGINT-exact so mean/variance are
+    bit-identical at any parallelism) — and a broadcast join back
+    (#event-types rows). The z-score is rounded before the |z|>2 flag so
+    the boolean can't flip on representation noise."""
+    ev = T(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("h", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("nh")
+    var = (
+        F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / F.col("nh")
+    ) / F.nullif(F.col("nh") - F.lit(1), F.lit(0))
+    z = F.round((F.col("n").cast("double") - mean) / F.sqrt(var), 6)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", z)
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n",
+            "zscore",
+            (F.abs(F.col("zscore")) > 2.0).alias("flagged"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+# --------------------------------------------------- weighted sampling
+
+@register(
+    "weighted_sample_topk",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ROUND(
+           ln((CAST(CAST('0x' || substring(md5('ws0:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 AS DOUBLE) + 0.5) / 4294967296.0)
+             / n_chars,
+           9) AS skey
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars AS weight, skey, CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT doc_id, n_chars, skey,
+         ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id ASC) AS rk
+  FROM keyed
+) t
+WHERE rk <= 50
+ORDER BY rank
+""",
+    tags=("pipeline", "sampling"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement (Efraimidis-
+    Spirakis): key = ln(u)/w with u a uniform md5 hash of the id — the
+    top-k keys are a weight-proportional draw, reproducible across
+    engines, runs, and partitionings (no RNG state). The ranking is a
+    map-side projection + global top-k; ties and ulp noise are pinned by
+    9-dp rounding with id tie-break."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    key8 = F.substring(
+        F.md5(F.concat(F.lit("ws0:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    u = (F.conv(key8, 16, 10).cast("double") + 0.5) / F.lit(4294967296.0)
+    skey = F.round(F.log(u) / F.col("n_chars"), 9)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("skey").desc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", F.col("n_chars").alias("weight"), skey.alias("skey"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 50)
+        .orderBy("rank")
+    )

@@ -59,7 +59,9 @@ def get_spark(
     # data-heavy stages (sf10 validation: 8 static reduce tasks on 32 cores
     # was a 2-4x tax on every shuffle-heavy query) while small stages
     # coalesce back to a handful of tasks at no cost.
-    initial_partitions = max(shuffle_partitions, 4 * cpus)
+    initial_partitions = int(os.environ.get("SPARK_GRAFT_INITIAL_PARTS", "0")) or max(
+        shuffle_partitions, 4 * cpus
+    )
     # Dimension-table broadcast must survive scale-up: the 10 MB default
     # stops broadcasting a TPC-H customer/supplier dim long before a real
     # cluster would (q5 at sf10 degraded to sort-merge-shuffling the 60M-row
