@@ -640,3 +640,100 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 50)
         .orderBy("rank")
     )
+
+
+# ----------------------------------------------------- skew-safe aggregate
+
+@register(
+    "salted_event_value_sums",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("pipeline", "skew"),
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation through ``salted_aggregate``: the
+    GROUP BY key is salted into 8 sub-keys (hot keys spread over 8
+    reducers), partially aggregated, then re-aggregated — the answer is
+    bit-identical to the direct GROUP BY (the oracle IS the direct
+    GROUP BY). event_type has only 5 values, the canonical
+    few-hot-keys shape this primitive exists for."""
+    from duckdb_miint_spark.pipeline.skew import salted_aggregate
+
+    ev = T(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        group_cols=["event_type"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("ps"),
+        ],
+        final_aggs=[
+            F.sum("pn").alias("n"),
+            (F.sum("ps").cast("double") / 100.0).alias("sum_value"),
+        ],
+        n_salts=8,
+        unique_col="event_id",
+    )
+    return out.orderBy("event_type")
+
+
+# -------------------------------------------------------- inverted index
+
+@register(
+    "inverted_index_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+),
+tf AS (SELECT t, doc_id, COUNT(*) AS f FROM tok GROUP BY t, doc_id),
+idx AS (
+  SELECT t AS term, COUNT(*) AS df, SUM(f) AS total_tf,
+         (list(doc_id ORDER BY f DESC, doc_id ASC))[1:3] AS top_docs
+  FROM tf GROUP BY t
+)
+SELECT term, df, total_tf, top_docs
+FROM idx WHERE df >= 50 ORDER BY term
+""",
+    tags=("pipeline", "index"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per term, document frequency, total
+    term frequency, and the top-3 posting doc_ids by tf. The posting-
+    list order is pinned (tf DESC, doc_id ASC via sort_array over
+    (-tf, doc_id) structs — collect_list alone is partition-order
+    nondeterministic). Two count aggregations over the token stream
+    (map-side combined); the per-term state is bounded by the slice, so
+    a 100 TB corpus shuffles vocabulary-sized relations only."""
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias("t"),
+    )
+    tf = tok.groupBy("t", "doc_id").agg(F.count(F.lit(1)).alias("f"))
+    idx = (
+        tf.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("f").alias("total_tf"),
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct((-F.col("f")).alias("nf"), F.col("doc_id")))
+                    ),
+                    lambda s: s["doc_id"],
+                ),
+                1,
+                3,
+            ).alias("top_docs"),
+        )
+    )
+    return (
+        idx.filter(F.col("df") >= 50)
+        .select(F.col("t").alias("term"), "df", "total_tf", "top_docs")
+        .orderBy("term")
+    )

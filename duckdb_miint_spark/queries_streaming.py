@@ -170,3 +170,58 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     shutil.rmtree(stage, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {sink}").orderBy("user_id", "ts_s", "event_type")
+
+
+@register(
+    "streaming_enriched_counts",
+    oracle="""
+WITH ut AS (SELECT user_id, COUNT(*) AS total FROM events GROUP BY user_id)
+SELECT e.event_type,
+       CASE WHEN ut.total >= 67 THEN 'heavy' ELSE 'light' END AS segment,
+       COUNT(*) AS n
+FROM events e JOIN ut USING (user_id)
+GROUP BY event_type, segment
+ORDER BY event_type, segment
+""",
+    tags=("streaming", "join"),
+)
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream is enriched per-row with a
+    STATIC dimension (per-user lifetime volume → heavy/light segment,
+    itself computed batch-side), then aggregated by (event_type,
+    segment). The static side is broadcast into every micro-batch — the
+    canonical enrich-on-ingest shape (stream joins dim table); no state
+    is kept for the join itself, only for the complete-mode aggregate.
+    Drained with availableNow; must equal the batch join+agg (oracle)."""
+    src = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(src)
+    static = (
+        batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .withColumn(
+            "segment",
+            F.when(F.col("total") >= 67, F.lit("heavy")).otherwise(F.lit("light")),
+        )
+        .select("user_id", "segment")
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.join(F.broadcast(static), "user_id")
+        .groupBy("event_type", "segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {sink}").orderBy("event_type", "segment")
