@@ -119,7 +119,16 @@ def kmeans_fit_predict(
             new[r["cluster"]] = [float(r[f"s{j}"]) / FIXED_SCALE / n for j in range(dim)]
         centroids = new
 
-    out = _assign(base, "__v", centroids)
+    # Rebuild the final assignment from the raw input (centroids are plan
+    # literals) so the returned DataFrame does not depend on the cached
+    # iteration frame, then release the cache — repeated calls in a
+    # long-lived session would otherwise leak storage.
+    base.unpersist()
+    out = _assign(
+        emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v")),
+        "__v",
+        centroids,
+    )
     return out.select(
         F.col(id_col),
         F.col("cluster").cast("long").alias("cluster"),

@@ -39,7 +39,13 @@ WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {k})"""
+c0 AS (
+  -- k lowest vec_ids renumbered 0..k-1, mirroring the Spark init exactly
+  -- (robust to 1-based or sparse ids, unlike `WHERE vec_id < k`).
+  SELECT rn - 1 AS cid, v AS cv
+  FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS rn FROM e) t
+  WHERE rn <= {k}
+)"""
     for t in range(iters):
         sql += f""",
 a{t} AS (
@@ -471,11 +477,10 @@ ranked AS (
 )
 SELECT lang, CAST(n_exact AS BIGINT) AS n_exact,
        ROUND(
-         COALESCE(
-           ({_KMV_K} - 1)
-             / (CAST(CAST('0x' || k AS BIGINT) AS DOUBLE) / 4294967296.0),
-           CAST(n_exact AS DOUBLE)
-         ), 6) AS est_kmv
+         CASE WHEN n_exact < {_KMV_K} THEN CAST(n_exact AS DOUBLE)
+              ELSE ({_KMV_K} - 1)
+                   / (CAST(CAST('0x' || k AS BIGINT) AS DOUBLE) / 4294967296.0)
+         END, 6) AS est_kmv
 FROM ranked
 WHERE rn = {_KMV_K} OR (n_exact < {_KMV_K} AND rn = 1)
 ORDER BY lang
@@ -488,10 +493,12 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash values are a deterministic, mergeable, ENGINE-INDEPENDENT
     sketch — both engines compute the identical estimate
     (k-1)/u_(k) where u_(k) is the kth-smallest hash mapped to (0,1].
-    At 100 TB the sketch is an aggregate carrying at most k hex keys per
-    group (map-side combined top-k); groups under k distinct values fall
-    back to the exact count. Exact counts are carried alongside for the
-    error report."""
+    At 100 TB the heavy vocabulary never funnels through one reducer:
+    a per-(lang, input-partition) top-k prefilter bounds the final
+    per-lang window to k x num_partitions candidate rows (local top-k
+    then merge is exact for the global k smallest), and the exact
+    counts come from a separate map-side-combined groupBy joined back.
+    Groups under k distinct values fall back to the exact count."""
     from pyspark.sql import Window as W
 
     docs = T(spark, sf_dir, "documents")
@@ -503,9 +510,22 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     keyed = tok.withColumn("k", F.substring(F.md5(F.col("t")), 1, 8))
+    # Exact per-lang distinct counts: map-side combined aggregate, not a
+    # window over the full token set.
+    counts = keyed.groupBy("lang").agg(F.count(F.lit(1)).alias("n_exact"))
+    # Local top-k per (lang, partition) bounds what reaches the per-lang
+    # global window; taking the k smallest of each partition's k smallest
+    # is exact for the global k smallest.
+    w_local = W.partitionBy("lang", "pid").orderBy(F.col("k").asc(), F.col("t").asc())
+    cand = (
+        keyed.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrn", F.row_number().over(w_local))
+        .filter(F.col("lrn") <= _KMV_K)
+        .drop("pid", "lrn")
+    )
     w = W.partitionBy("lang").orderBy(F.col("k").asc(), F.col("t").asc())
-    ranked = keyed.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n_exact", F.count(F.lit(1)).over(W.partitionBy("lang"))
+    ranked = cand.withColumn("rn", F.row_number().over(w)).join(
+        F.broadcast(counts), "lang"
     )
     kth_u = F.conv(F.col("k"), 16, 10).cast("double") / F.lit(4294967296.0)
     return (
@@ -516,10 +536,9 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.col("n_exact").cast("long").alias("n_exact"),
             F.round(
-                F.coalesce(
-                    F.lit(float(_KMV_K - 1)) / kth_u,
-                    F.col("n_exact").cast("double"),
-                ),
+                F.when(
+                    F.col("n_exact") < _KMV_K, F.col("n_exact").cast("double")
+                ).otherwise(F.lit(float(_KMV_K - 1)) / kth_u),
                 6,
             ).alias("est_kmv"),
         )
@@ -622,9 +641,12 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sample without replacement (Efraimidis-
     Spirakis): key = ln(u)/w with u a uniform md5 hash of the id — the
     top-k keys are a weight-proportional draw, reproducible across
-    engines, runs, and partitionings (no RNG state). The ranking is a
-    map-side projection + global top-k; ties and ulp noise are pinned by
-    9-dp rounding with id tie-break."""
+    engines, runs, and partitionings (no RNG state). The top-k itself is
+    orderBy().limit(k) — Spark's TakeOrderedAndProject, a per-partition
+    bounded top-k merged at the coordinator, so no single-reducer global
+    sort ever materializes; ranks are then numbered over the k-row
+    result only. Ties and ulp noise are pinned by 9-dp rounding with id
+    tie-break."""
     docs = T(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     key8 = F.substring(
         F.md5(F.concat(F.lit("ws0:"), F.col("doc_id").cast("string"))), 1, 8
@@ -633,13 +655,14 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     skey = F.round(F.log(u) / F.col("n_chars"), 9)
     from pyspark.sql import Window as W
 
-    w = W.orderBy(F.col("skey").desc(), F.col("doc_id").asc())
-    return (
+    top = (
         docs.select("doc_id", F.col("n_chars").alias("weight"), skey.alias("skey"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 50)
-        .orderBy("rank")
+        .orderBy(F.col("skey").desc(), F.col("doc_id").asc())
+        .limit(50)
     )
+    # Window runs over the 50-row top-k result, not the corpus.
+    w = W.orderBy(F.col("skey").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).orderBy("rank")
 
 
 # ----------------------------------------------------- skew-safe aggregate
@@ -696,7 +719,7 @@ idx AS (
          (list(doc_id ORDER BY f DESC, doc_id ASC))[1:3] AS top_docs
   FROM tf GROUP BY t
 )
-SELECT term, df, total_tf, top_docs
+SELECT term, df, total_tf, array_to_string(top_docs, ',') AS top_docs
 FROM idx WHERE df >= 50 ORDER BY term
 """,
     tags=("pipeline", "index"),
@@ -734,6 +757,13 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         idx.filter(F.col("df") >= 50)
-        .select(F.col("t").alias("term"), "df", "total_tf", "top_docs")
+        .select(
+            F.col("t").alias("term"),
+            "df",
+            "total_tf",
+            # Stringified for the driver's canonicalizer (raw arrays are
+            # unhashable in the pandas-based value hash).
+            F.array_join(F.col("top_docs").cast("array<string>"), ",").alias("top_docs"),
+        )
         .orderBy("term")
     )

@@ -42,13 +42,23 @@ def test_kmeans_assignment_is_nearest(spark):
 
 
 def test_kmeans_empty_cluster_carries_forward(spark):
-    """With k vectors all identical to centroid 0's init, clusters beyond
-    the populated ones keep their init centroid instead of NaN-ing."""
-    rows = [(i, [float(i % 2), 0.0]) for i in range(8)]
+    """Centroid 1 genuinely loses all members in iteration 1 (both init
+    centroids are [0,0]; ties go to the lowest cid, so everything lands in
+    cluster 0) and must carry its init forward instead of NaN-ing. The
+    carried-forward centroid then captures the origin points in iteration
+    2 — observable in the final assignment:
+
+      init c0=c1=[0,0]; iter1: all->c0, c0=[3.75,0], c1 keeps [0,0];
+      iter2: [0,0]-points->c1, [5,0]-points->c0; final c0=[5,0], c1=[0,0].
+    """
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0])] + [(i, [5.0, 0.0]) for i in range(2, 8)]
     df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
-    out = kmeans_fit_predict(df, k=2, iters=3).collect()
+    out = {r["vec_id"]: r for r in kmeans_fit_predict(df, k=2, iters=2).collect()}
     assert len(out) == 8
-    assert all(r["dist"] == 0.0 for r in out)  # two exact point-clusters
+    for i in (0, 1):  # origin points end up on the carried-forward centroid
+        assert out[i]["cluster"] == 1 and out[i]["dist"] == 0.0
+    for i in range(2, 8):
+        assert out[i]["cluster"] == 0 and out[i]["dist"] == 0.0
 
 
 def test_label_outliers_broadcast_plan(spark):
@@ -119,3 +129,46 @@ def test_zorder_key_golden(spark):
     assert got[(2, 3)] == 0b1110
     assert got[(0, 0)] == 0
     assert got[(65535, 0)] == 0x55555555  # all 16 x bits land on even positions
+
+
+def test_kmv_sketch_path_vs_oracle(spark, tmp_path):
+    """The KMV estimator's two branches, both checked against the DuckDB
+    oracle on a synthetic corpus: a lang with >= 64 distinct tokens must
+    take the sketch path ((k-1)/u_k — an *estimate*, not the exact count)
+    and a lang under 64 must fall back to the exact count. The shipped
+    sf* data has only ~31 distinct tokens per lang, so without this
+    fixture the sketch formula would never be exercised."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_miint_spark.registry import load_all
+
+    big = " ".join(f"tok{i:03d}" for i in range(200))  # 200 distinct
+    small = " ".join(f"s{i}" for i in range(10))  # 10 distinct
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": [big, big, small],
+        "lang": ["en", "en", "xx"],
+        "source": ["t", "t", "t"],
+        "n_chars": [len(big), len(big), len(small)],
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+
+    qd = load_all()["kmv_distinct_tokens"]
+    got = {r["lang"]: r for r in qd.spark_fn(spark, str(tmp_path)).collect()}
+    assert got["en"]["n_exact"] == 200 and got["xx"]["n_exact"] == 10
+    # sketch path: an estimate in a plausible band but not the exact count
+    assert got["en"]["est_kmv"] != 200.0
+    assert 100.0 < got["en"]["est_kmv"] < 400.0
+    # exact fallback path
+    assert got["xx"]["est_kmv"] == 10.0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = {r[0]: r for r in con.execute(qd.oracle).fetchall()}
+    for lang in ("en", "xx"):
+        assert oracle[lang][1] == got[lang]["n_exact"]
+        assert abs(oracle[lang][2] - got[lang]["est_kmv"]) < 1e-9
