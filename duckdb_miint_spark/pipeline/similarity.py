@@ -258,12 +258,47 @@ def ivf_ann_topk(
     )
 
 
+def _resolve_side_dir(spark, side_dir: str | None) -> str:
+    """Resolve where the staged side matrix lives — a location EVERY
+    executor can read.
+
+    Order: explicit ``side_dir`` arg > ``spark.graft.sideDir`` conf >
+    the warehouse dir when it is already on shared storage (non-file
+    scheme, e.g. hdfs:// or s3a://) > a driver-local tempdir on a
+    local[*] master (where driver and executors share a filesystem).
+    On a non-local master with none of those available this RAISES
+    rather than silently staging to a path remote executors cannot
+    read."""
+    if side_dir:
+        return side_dir
+    conf_dir = spark.conf.get("spark.graft.sideDir", None)
+    if conf_dir:
+        return conf_dir
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    scheme = warehouse.split("://", 1)[0] if "://" in warehouse else ""
+    if scheme and scheme != "file":
+        return warehouse.rstrip("/") + "/_graft_side"
+    master = spark.conf.get("spark.master", "")
+    if master.startswith("local"):
+        import tempfile
+
+        return tempfile.mkdtemp(prefix="cosine_side_")
+    raise ValueError(
+        "cosine_threshold_pairs_exact: on a non-local master the staged "
+        "side matrix must live on SHARED storage readable by every "
+        "executor (HDFS/S3/NFS). Pass side_dir=..., set the "
+        "spark.graft.sideDir conf, or point spark.sql.warehouse.dir at "
+        "shared storage."
+    )
+
+
 def cosine_threshold_pairs_exact(
     corpus: DataFrame,
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_broadcast_vectors: int = 2_000_000,
+    side_dir: str | None = None,
 ) -> DataFrame:
     """(id1, id2, sim) — EXACT cosine-threshold self-join via tiled BLAS.
 
@@ -284,10 +319,14 @@ def cosine_threshold_pairs_exact(
     similarity joins.
 
     No driver materialization: the (id, vector) matrix is STAGED to a
-    parquet side file by the executors (``side_dir``, a DFS path on a
-    real cluster) and loaded at most once per Python worker process
-    (process-level cache) — the driver never holds the vectors, so the
-    cap bounds worker memory, not driver memory.
+    parquet side file (``side_dir`` — see ``_resolve_side_dir`` for how
+    a shared-storage location is chosen on a real cluster) and loaded at
+    most once per Python worker process (process-level cache) — the
+    driver never holds the vectors, so the cap bounds worker memory, not
+    driver memory. The staged file is removed at interpreter exit
+    (best-effort); repeated calls with the same resolved dir reuse the
+    same path with mode=overwrite, so steady-state storage is one
+    matrix.
     """
     spark = corpus.sparkSession
     total = corpus.count()
@@ -298,10 +337,8 @@ def cosine_threshold_pairs_exact(
         )
     if total == 0:
         return spark.createDataFrame([], "id1 long, id2 long, sim double")
-    import tempfile
-
-    side_dir = tempfile.mkdtemp(prefix="cosine_side_")
-    side_path = side_dir + "/matrix.parquet"
+    side_path = _resolve_side_dir(spark, side_dir).rstrip("/") + "/matrix.parquet"
+    _register_side_cleanup(side_path)
     (
         corpus.select(
             F.col(id_col).cast("long").alias("id"),
@@ -338,6 +375,31 @@ def cosine_threshold_pairs_exact(
     # round JVM-side: F.round is HALF_UP like the DuckDB oracle's ROUND
     # (np.round is half-to-even)
     return raw.select("id1", "id2", F.round("sim", 6).alias("sim"))
+
+
+_SIDE_CLEANUP_PATHS: set = set()
+
+
+def _register_side_cleanup(side_path: str) -> None:
+    """Best-effort removal of staged side matrices at interpreter exit.
+
+    Local paths are removed with shutil; remote (scheme-qualified) paths
+    are left to the storage layer's retention policy — deleting them
+    through the Hadoop FS would race with executors of still-running
+    jobs, and the overwrite-in-place convention bounds steady-state
+    usage to one matrix per resolved dir anyway."""
+    if not _SIDE_CLEANUP_PATHS:
+        import atexit
+
+        def _cleanup():
+            import shutil
+
+            for p in _SIDE_CLEANUP_PATHS:
+                if "://" not in p or p.startswith("file:"):
+                    shutil.rmtree(p.replace("file:", "", 1), ignore_errors=True)
+
+        atexit.register(_cleanup)
+    _SIDE_CLEANUP_PATHS.add(side_path)
 
 
 _SIDE_MATRIX_CACHE: dict = {}

@@ -221,6 +221,16 @@ def _is_gzip(path: str) -> bool:
         return f.read(2) == b"\x1f\x8b"
 
 
+def _is_bgzf(path: str) -> bool:
+    """True for BGZF (bgzip) files — gzip members carrying the BC extra
+    subfield. Plain gzip is NOT splittable; BGZF is, on block bounds."""
+    from duckdb_miint_spark.sources.sam import _bgzf_block_size
+
+    with open(path, "rb") as f:
+        head = f.read(18)
+    return len(head) == 18 and _bgzf_block_size(head, 0) is not None
+
+
 def _sniff_fastq(path: str) -> bool:
     """True if the first record marker is '@' (FASTQ), False for '>'."""
     with open(path, "rb") as f:
@@ -447,6 +457,254 @@ def read_fastx_range_rows(
         yield row
 
 
+# --- BGZF (bgzip) byte-range splitting ---------------------------------------
+#
+# BGZF-compressed FASTX (the 100 TB norm for read sets — bgzip output) is
+# splittable on its block boundaries with the machinery BAM already uses
+# (sources/sam.py:385-525): ranges are COMPRESSED offset intervals
+# [cb_start, cb_end); ownership of boundary-straddling records follows the
+# Hadoop LineRecordReader convention lifted to the decompressed stream:
+#
+#   cutoff(cb) = start of the line FOLLOWING the first newline whose byte
+#                lies in a BGZF block with compressed offset >= cb
+#
+# A reader for [cb_start, cb_end) emits records from the first heuristic
+# record start at-or-after cutoff(cb_start) (range 0 starts at decompressed
+# byte 0) and stops before the first record start at-or-after
+# cutoff(cb_end), decompressing past cb_end as needed to finish its last
+# record. Both sides of every boundary compute the same cutoff from the
+# same bytes, so the union over ranges is exactly the whole file. FASTQ
+# requires strict 4-line records (same contract as the uncompressed
+# splitter); FASTA is fully general.
+
+
+class _BgzfLineReader:
+    """Line-at-a-time reader over a BGZF stream, tagging each line with
+    the compressed offset of the blocks holding its first and last byte."""
+
+    def __init__(self, path: str, start_block: int):
+        from duckdb_miint_spark.sources.sam import _BgzfStream
+
+        self.s = _BgzfStream(path, start_block)
+
+    def close(self) -> None:
+        self.s.close()
+
+    def readline(self):
+        """(line_incl_newline, first_byte_block, last_byte_block); start
+        block is None at EOF."""
+        s = self.s
+        start_blk = s.next_byte_block()
+        if start_blk is None:
+            return b"", None, None
+        chunks: list[bytes] = []
+        while True:
+            buf, pos = s.buf, s.buf_pos
+            nl = buf.find(b"\n", pos)
+            if nl >= 0:
+                chunks.append(buf[pos : nl + 1])
+                s.buf_pos = nl + 1
+                return b"".join(chunks), start_blk, s.cur_block_off
+            chunks.append(buf[pos:])
+            s.buf_pos = len(buf)
+            if not s._ensure():  # final line without trailing newline
+                return b"".join(chunks), start_blk, s.cur_block_off
+
+
+def _sniff_bgzf_fastq(path: str) -> bool:
+    """True if the first decompressed record marker is '@' (FASTQ)."""
+    from duckdb_miint_spark.sources.sam import _BgzfStream
+
+    s = _BgzfStream(path, 0)
+    try:
+        while True:
+            ch = s.read(1)
+            if not ch:
+                raise FastxError("Empty file")
+            if ch in (b" ", b"\t", b"\r", b"\n"):
+                continue
+            if ch == b"@":
+                return True
+            if ch == b">":
+                return False
+            raise FastxError(f"Malformed FASTX record near: {ch!r}")
+    finally:
+        s.close()
+
+
+def iter_bgzf_fastx_range(
+    path: str, cb_start: int, cb_end: int
+) -> Iterator[tuple[str, str, str, str | None]]:
+    """Records owned by compressed range [cb_start, cb_end) — see the
+    section comment for the boundary convention."""
+    from itertools import chain
+
+    from duckdb_miint_spark.sources.sam import find_bgzf_block
+
+    is_fastq = _sniff_bgzf_fastq(path)
+    if cb_start == 0:
+        lr = _BgzfLineReader(path, 0)
+    else:
+        b0 = find_bgzf_block(path, cb_start)
+        if b0 is None or b0 >= cb_end:
+            return
+        lr = _BgzfLineReader(path, b0)
+    try:
+        def lines():
+            # yields (line, beyond): beyond=True once an EARLIER line's
+            # terminating newline sat in a block >= cb_end — i.e. this
+            # line is at-or-after cutoff(cb_end)
+            past = False
+            while True:
+                line, sb, eb = lr.readline()
+                if sb is None:
+                    return
+                yield line, past
+                if eb is not None and eb >= cb_end:
+                    past = True
+
+        it = lines()
+        if cb_start > 0:
+            if next(it, None) is None:  # discard up to cutoff(cb_start)
+                return
+            window: list[tuple[bytes, bool]] = []
+            for _ in range(8):
+                nxt = next(it, None)
+                if nxt is None:
+                    break
+                window.append(nxt)
+            start_i = None
+            if is_fastq:
+                for i in range(max(0, len(window) - 3)):
+                    if (
+                        window[i][0][:1] == b"@"
+                        and window[i + 2][0][:1] == b"+"
+                        and len(window[i + 1][0].strip()) == len(window[i + 3][0].strip())
+                    ):
+                        start_i = i
+                        break
+            else:
+                for i, (l, _) in enumerate(window):
+                    if l[:1] == b">":
+                        start_i = i
+                        break
+                if start_i is None:  # long FASTA record: keep scanning
+                    while True:
+                        nxt = next(it, None)
+                        if nxt is None:
+                            return
+                        if nxt[1]:  # first '>' at-or-after cutoff belongs to the next range
+                            return
+                        if nxt[0][:1] == b">":
+                            window, start_i = [nxt], 0
+                            break
+            if start_i is None:
+                return
+            stream = chain(window[start_i:], it)
+        else:
+            stream = it
+
+        item = next(stream, None)
+        while item is not None:
+            line, beyond = item
+            s = line.strip()
+            if not s:
+                if is_fastq:
+                    raise FastxError(
+                        "blank line in FASTQ: split mode requires strict "
+                        "4-line records — pass max_split_bytes=None"
+                    )
+                item = next(stream, None)
+                continue
+            if beyond:
+                return  # owned by the next range
+            if is_fastq:
+                if s[:1] != b"@":
+                    raise FastxError(
+                        f"Malformed FASTX record near: {s[:50].decode('ascii', 'replace')}"
+                    )
+                header = s[1:].decode("ascii")
+                parts = header.split(None, 1)
+                name = parts[0] if parts else ""
+                comment = parts[1] if len(parts) > 1 else ""
+                l2, l3, l4 = (next(stream, None) for _ in range(3))
+                if l2 is None or l3 is None or l4 is None:
+                    raise FastxError(f"Truncated FASTQ record: {name}")
+                seq = l2[0].strip().decode("ascii")
+                if l3[0][:1] != b"+":
+                    raise FastxError(f"FASTQ record missing '+' separator: {name}")
+                qual = l4[0].strip().decode("ascii")
+                if len(qual) != len(seq):
+                    raise FastxError(
+                        f"FASTQ quality length {len(qual)} != sequence length "
+                        f"{len(seq)} for {name} (multi-line records cannot be "
+                        "split — pass max_split_bytes=None)"
+                    )
+                yield name, comment, seq, qual
+                item = next(stream, None)
+            else:
+                if s[:1] != b">":
+                    raise FastxError(
+                        f"Malformed FASTX record near: {s[:50].decode('ascii', 'replace')}"
+                    )
+                header = s[1:].decode("ascii")
+                parts = header.split(None, 1)
+                name = parts[0] if parts else ""
+                comment = parts[1] if len(parts) > 1 else ""
+                seq_parts: list[bytes] = []
+                item = next(stream, None)
+                while item is not None and item[0][:1] != b">":
+                    seq_parts.append(b"".join(item[0].split()))
+                    item = next(stream, None)
+                yield name, comment, b"".join(seq_parts).decode("ascii"), None
+    finally:
+        lr.close()
+
+
+def plan_bgzf_splits(path: str, target_bytes: int) -> list[tuple[int, int]]:
+    """[(start, end)] raw compressed ranges — block/record alignment
+    happens executor-side (same shape as plan_bam_splits)."""
+    if target_bytes <= 0:
+        raise FastxError(f"max_split_bytes must be positive, got {target_bytes}")
+    size = os.path.getsize(path)
+    n_chunks = max(1, size // target_bytes)
+    bounds = [k * size // n_chunks for k in range(n_chunks)] + [size]
+    return [(a, b) for a, b in zip(bounds, bounds[1:]) if a < b]
+
+
+def count_bgzf_fastx_range(path: str, start: int, end: int) -> int:
+    """Record count in a compressed range. BGZF has no in-phase byte
+    shortcut (cutoffs are line- not record-aligned), so this parses;
+    the cost is one extra decompression pass, paid in parallel."""
+    return sum(1 for _ in iter_bgzf_fastx_range(path, start, end))
+
+
+def read_bgzf_fastx_range_rows(
+    path: str,
+    start: int,
+    end: int,
+    index_offset: int,
+    qual_offset: int,
+    include_filepath: bool,
+) -> Iterator[tuple]:
+    """Rows for one BGZF range; sequence_index continues at index_offset+1."""
+    idx = index_offset
+    for name, comment, seq, qual in iter_bgzf_fastx_range(path, start, end):
+        idx += 1
+        row = (
+            idx,
+            base_read_id(name),
+            comment or None,
+            seq,
+            None,
+            decode_qual(qual, qual_offset),
+            None,
+        )
+        if include_filepath:
+            row = row + (path,)
+        yield row
+
+
 # --- file-list resolution (bind-time) ----------------------------------------
 
 
@@ -483,12 +741,14 @@ class FastxPartition(InputPartition):
         start: int = 0,
         end: int | None = None,
         index_offset: int = 0,
+        bgzf: bool = False,
     ):
         self.path1 = path1
         self.path2 = path2
         self.start = start
         self.end = end
         self.index_offset = index_offset
+        self.bgzf = bgzf
 
 
 class FastxReader(DataSourceReader):
@@ -511,7 +771,12 @@ class FastxReader(DataSourceReader):
                 FastxPartition(d["p1"], d["p2"])
                 if d["kind"] == "pair"
                 else FastxPartition(
-                    d["path"], None, d["start"], d["end"], d["offset"]
+                    d["path"],
+                    None,
+                    d["start"],
+                    d["end"],
+                    d["offset"],
+                    bgzf=d["kind"] == "bgzf",
                 )
                 for d in self.splits
             ]
@@ -523,7 +788,16 @@ class FastxReader(DataSourceReader):
         # instead of a pickled tuple per record
         from duckdb_miint_spark.sources.arrow_batch import batched
 
-        if partition.end is not None:
+        if partition.end is not None and partition.bgzf:
+            rows = read_bgzf_fastx_range_rows(
+                partition.path1,
+                partition.start,
+                partition.end,
+                partition.index_offset,
+                self.qual_offset,
+                self.include_filepath,
+            )
+        elif partition.end is not None:
             rows = read_fastx_range_rows(
                 partition.path1,
                 partition.start,
@@ -595,30 +869,49 @@ def plan_split_partitions(
 
     Unpaired uncompressed files larger than ``max_split_bytes`` become
     ``{"kind": "range", "path", "start", "end", "offset"}`` descriptors;
-    everything else stays a ``{"kind": "pair", "p1", "p2"}`` whole-file
-    partition (gzip is not splittable; R1/R2 pairs read in lockstep).
-    A parallel count pass (one Spark job over all ranges — memchr-speed
-    byte scan, no parsing) converts per-range record counts into exact
-    per-file ``sequence_index`` offsets, so split output is identical to
-    the unsplit scan."""
+    unpaired BGZF (bgzip) files that large become ``{"kind": "bgzf",
+    ...}`` compressed-offset ranges (block-boundary splits — see the BGZF
+    section comment); everything else stays a ``{"kind": "pair", "p1",
+    "p2"}`` whole-file partition (plain gzip is not splittable; R1/R2
+    pairs read in lockstep). A parallel count pass (one Spark job over
+    all ranges — memchr-speed byte scan for uncompressed, one
+    decompression pass for BGZF) converts per-range record counts into
+    exact per-file ``sequence_index`` offsets, so split output is
+    identical to the unsplit scan."""
     out: list[dict] = []
-    to_count: list[tuple[int, str, int, int, int]] = []  # (slot, path, s, e, size)
+    # (slot, kind, path, s, e, size)
+    to_count: list[tuple[int, str, str, int, int, int]] = []
     for p1, p2 in pairs:
         size = os.path.getsize(p1)
-        if p2 is not None or size <= max_split_bytes or _is_gzip(p1):
+        if p2 is not None or size <= max_split_bytes:
             out.append({"kind": "pair", "p1": p1, "p2": p2})
             continue
+        if _is_gzip(p1):
+            if not _is_bgzf(p1):
+                out.append({"kind": "pair", "p1": p1, "p2": p2})
+                continue
+            for s, e in plan_bgzf_splits(p1, max_split_bytes):
+                to_count.append((len(out), "bgzf", p1, s, e, size))
+                out.append(
+                    {"kind": "bgzf", "path": p1, "start": s, "end": e, "offset": 0}
+                )
+            continue
         for s, e in plan_fastx_splits(p1, max_split_bytes):
-            to_count.append((len(out), p1, s, e, size))
+            to_count.append((len(out), "range", p1, s, e, size))
             out.append({"kind": "range", "path": p1, "start": s, "end": e, "offset": 0})
+
+    def _count(t):
+        slot, kind, path, s, e, size = t
+        if kind == "bgzf":
+            return (slot, count_bgzf_fastx_range(path, s, e))
+        return (slot, count_fastx_range(path, s, e, size))
+
     if to_count:
         counts = dict(
-            spark.sparkContext.parallelize(to_count, len(to_count))
-            .map(lambda t: (t[0], count_fastx_range(t[1], t[2], t[3], t[4])))
-            .collect()
+            spark.sparkContext.parallelize(to_count, len(to_count)).map(_count).collect()
         )
         running: dict[str, int] = {}
-        for slot, path, _s, _e, _size in to_count:
+        for slot, _kind, path, _s, _e, _size in to_count:
             out[slot]["offset"] = running.get(path, 0)
             running[path] = out[slot]["offset"] + counts[slot]
     return out
@@ -669,7 +962,7 @@ def read_fastx(
         reader = reader.option("sequence2", sequence2)
     if max_split_bytes is not None:
         parts = plan_split_partitions(spark, pairs, max_split_bytes)
-        if any(p["kind"] == "range" for p in parts):
+        if any(p["kind"] != "pair" for p in parts):
             reader = reader.option("splits", json.dumps(parts))
     return (
         reader.option("include_filepath", "true" if include_filepath else "false")

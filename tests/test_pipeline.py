@@ -466,3 +466,37 @@ def test_jaccard_prefix_ceil_epsilon(spark):
     for t in (0.7, 0.8, 0.9, 0.99, 1.0):
         pairs = jaccard_join_prefix(docs, threshold=t).collect()
         assert [(r.id1, r.id2, r.jaccard) for r in pairs] == [("d1", "d2", 1.0)], t
+
+
+def test_exact_pairs_explicit_side_dir(spark, tmp_path):
+    """An explicit side_dir is honored (the staged matrix lands there)
+    and the result is identical to the default-tempdir path."""
+    from duckdb_miint_spark.pipeline.similarity import (
+        _resolve_side_dir,
+        cosine_threshold_pairs_exact,
+    )
+
+    e = emb(spark)
+    side = str(tmp_path / "stage")
+    out = {
+        (r["id1"], r["id2"], r["sim"])
+        for r in cosine_threshold_pairs_exact(e, threshold=0.45, side_dir=side).collect()
+    }
+    import os
+
+    assert os.path.isdir(os.path.join(side, "matrix.parquet")), "matrix not staged in side_dir"
+    default = {
+        (r["id1"], r["id2"], r["sim"])
+        for r in cosine_threshold_pairs_exact(e, threshold=0.45).collect()
+    }
+    assert out == default and out
+
+    # conf-based resolution wins over warehouse/tempdir fallbacks
+    spark.conf.set("spark.graft.sideDir", str(tmp_path / "conf_stage"))
+    try:
+        assert _resolve_side_dir(spark, None) == str(tmp_path / "conf_stage")
+        assert _resolve_side_dir(spark, "/explicit") == "/explicit"
+    finally:
+        spark.conf.unset("spark.graft.sideDir")
+    # local master without conf: a fresh tempdir, never an error
+    assert _resolve_side_dir(spark, None)

@@ -312,3 +312,79 @@ def test_split_with_filepath_and_glob(spark, tmp_path):
         .collect()
     }
     assert mx == {a: (1, 400), b: (1, 300)}
+
+
+def _bgzip(src_path, dst_path, level=1):
+    from duckdb_miint_spark.sinks.bam_sink import BgzfWriter
+
+    with open(src_path, "rb") as fin, open(dst_path, "wb") as fout:
+        w = BgzfWriter(fout, level=level)
+        w.write(fin.read())
+        w.close()
+    return dst_path
+
+
+def test_bgzf_fastq_split_identical_to_whole(spark, tmp_path):
+    """bgzip'd FASTQ splits on BGZF block boundaries: split scan is
+    row-identical to the whole-file scan (which decompresses the same
+    bytes through the plain-gzip path) and actually uses >1 partition."""
+    plain = _write_fastq(str(tmp_path / "big.fastq"), 4000)
+    bgz = _bgzip(plain, str(tmp_path / "big.fastq.gz"))
+    whole = read_fastx(spark, bgz)
+    split = read_fastx(spark, bgz, max_split_bytes=48 * 1024)
+    assert whole.rdd.getNumPartitions() == 1
+    assert split.rdd.getNumPartitions() > 3, "bgzf file did not split"
+    assert _rows(split) == _rows(whole)
+    assert split.count() == 4000
+    # sequence_index is the per-file ordinal across ranges
+    idx = sorted(r.sequence_index for r in split.select("sequence_index").collect())
+    assert idx == list(range(1, 4001))
+
+
+def test_bgzf_fasta_split_identical_to_whole(spark, tmp_path):
+    plain = _write_fasta(str(tmp_path / "big.fasta"), 2000)
+    bgz = _bgzip(plain, str(tmp_path / "big.fasta.gz"))
+    whole = read_fastx(spark, bgz)
+    split = read_fastx(spark, bgz, max_split_bytes=32 * 1024)
+    assert split.rdd.getNumPartitions() > 3
+    assert _rows(split) == _rows(whole)
+    assert split.count() == 2000
+
+
+def test_bgzf_range_union_covers_exactly_once(tmp_path):
+    """Every record appears in exactly one compressed range, whatever the
+    boundary placement (sweep several target sizes)."""
+    from duckdb_miint_spark.sources.fastx import (
+        count_bgzf_fastx_range,
+        iter_bgzf_fastx_range,
+        plan_bgzf_splits,
+    )
+
+    plain = _write_fastq(str(tmp_path / "u.fastq"), 700, seed=23)
+    bgz = _bgzip(plain, str(tmp_path / "u.fastq.gz"))
+    import os
+
+    size = os.path.getsize(bgz)
+    whole = list(iter_bgzf_fastx_range(bgz, 0, size))
+    assert len(whole) == 700
+    for target in (7 * 1024, 11 * 1024, 23 * 1024):
+        ranges = plan_bgzf_splits(bgz, target)
+        if len(ranges) < 2:
+            continue
+        got = []
+        for s, e in ranges:
+            got.extend(iter_bgzf_fastx_range(bgz, s, e))
+        assert got == whole, f"target={target}: split union != whole"
+        assert sum(count_bgzf_fastx_range(bgz, s, e) for s, e in ranges) == 700
+
+
+def test_plain_gzip_still_never_splits(spark, tmp_path):
+    """Non-BGZF gzip (no BC subfield) stays a whole-file partition even
+    over the threshold."""
+    plain = _write_fastq(str(tmp_path / "p.fastq"), 1500)
+    gz = str(tmp_path / "p.fastq.gz")
+    with open(plain, "rb") as fin, gzip.open(gz, "wb") as fout:
+        fout.write(fin.read())
+    df = read_fastx(spark, gz, max_split_bytes=8 * 1024)
+    assert df.rdd.getNumPartitions() == 1
+    assert df.count() == 1500
