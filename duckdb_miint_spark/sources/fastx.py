@@ -21,9 +21,10 @@ Semantics reproduced exactly:
 - gzip sniffed from magic bytes, not extension.
 
 Scale shape: one input partition per file (pair) by default — identical to
-the reference's file-claiming thread model (read_fastx.cpp:181-212). gzip
-text is not splittable without an index, so compressed files keep the file
-as the unit. For LARGE uncompressed single files, ``max_split_bytes``
+the reference's file-claiming thread model (read_fastx.cpp:181-212). Plain
+gzip text is not splittable, so such files keep the file as the unit; BGZF
+(bgzip) compression IS splittable on its block boundaries (see the BGZF
+section below). For LARGE uncompressed single files, ``max_split_bytes``
 enables byte-range splitting so one multi-GB FASTQ is N parallel tasks,
 not one straggler:
 

@@ -592,6 +592,112 @@ def _bam_ref_names(path: str) -> list[str]:
         return _read_bam_header(g)
 
 
+# --- BAI/CSI index-guided splits ---------------------------------------------
+#
+# When a coordinate-sorted BAM ships with its .bai/.csi, the index's
+# virtual offsets (coffset << 16 | uoffset) are EXACT record starts —
+# chunk begins, the BAI linear index, CSI bin loffsets, and the
+# pseudo-bin's unmapped-region start. A split reader enters at the
+# largest known record start strictly before its range, then walks
+# record-by-record (length-prefixed skips, no decoding) until it reaches
+# the first record whose start block is inside the range — no guessing.
+# The record-start guesser (above) stays as the fallback for index-less
+# files. Spec: SAMv1.pdf sections 5.1.3 (BAI) / CSIv1 (public HTS specs).
+
+_BAI_PSEUDO_BIN = 37450
+_INDEX_CACHE: dict = {}
+
+
+def _parse_bai_voffsets(data: bytes) -> list[int]:
+    offs: set[int] = set()
+    (n_ref,) = struct.unpack_from("<i", data, 4)
+    p = 8
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", data, p)
+        p += 4
+        for _ in range(n_bin):
+            bin_id, n_chunk = struct.unpack_from("<Ii", data, p)
+            p += 8
+            if bin_id == _BAI_PSEUDO_BIN:
+                # chunk 1 = (unmapped_beg, unmapped_end): beg is a record
+                # start; chunk 2 = (n_mapped, n_unmapped) counts — skip
+                if n_chunk >= 1:
+                    offs.add(struct.unpack_from("<Q", data, p)[0])
+                p += 16 * n_chunk
+                continue
+            for _ in range(n_chunk):
+                (beg,) = struct.unpack_from("<Q", data, p)
+                offs.add(beg)
+                p += 16
+        (n_intv,) = struct.unpack_from("<i", data, p)
+        p += 4
+        for k in range(n_intv):
+            (io,) = struct.unpack_from("<Q", data, p + 8 * k)
+            if io:
+                offs.add(io)
+        p += 8 * n_intv
+    offs.discard(0)
+    return sorted(offs)
+
+
+def _parse_csi_voffsets(data: bytes) -> list[int]:
+    _min_shift, depth, l_aux = struct.unpack_from("<iii", data, 4)
+    max_bin = ((1 << (3 * (depth + 1))) - 1) // 7
+    p = 16 + l_aux
+    (n_ref,) = struct.unpack_from("<i", data, p)
+    p += 4
+    offs: set[int] = set()
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", data, p)
+        p += 4
+        for _ in range(n_bin):
+            bin_id, loffset, n_chunk = struct.unpack_from("<IQi", data, p)
+            p += 16
+            if bin_id > max_bin:  # CSI pseudo-bin: same layout as BAI's
+                if n_chunk >= 1:
+                    offs.add(struct.unpack_from("<Q", data, p)[0])
+                p += 16 * n_chunk
+                continue
+            if loffset:
+                offs.add(loffset)
+            for _ in range(n_chunk):
+                (beg,) = struct.unpack_from("<Q", data, p)
+                offs.add(beg)
+                p += 16
+    offs.discard(0)
+    return sorted(offs)
+
+
+def _bam_index_voffsets(path: str) -> list[int] | None:
+    """Sorted record-start virtual offsets from ``<path>.bai`` /
+    ``<path>.csi`` (also ``x.bai`` next to ``x.bam``), or None when no
+    index exists / it holds no offsets. Cached per (path, mtime)."""
+    candidates = [path + ".bai", path + ".csi"]
+    root, ext = os.path.splitext(path)
+    if ext == ".bam":
+        candidates += [root + ".bai", root + ".csi"]
+    for idx_path in candidates:
+        if not os.path.exists(idx_path):
+            continue
+        key = (idx_path, os.path.getmtime(idx_path))
+        hit = _INDEX_CACHE.get(key)
+        if hit is not None:
+            return hit or None
+        raw = open(idx_path, "rb").read()
+        if raw[:4] == b"\x1f\x8b\x08\x04" or raw[:2] == b"\x1f\x8b":
+            raw = gzip.decompress(raw)  # CSI is BGZF-compressed; BAI may be
+        if raw[:4] == b"BAI\x01":
+            offs = _parse_bai_voffsets(raw)
+        elif raw[:4] == b"CSI\x01":
+            offs = _parse_csi_voffsets(raw)
+        else:
+            raise SamError(f"Unrecognized index magic in {idx_path}: {raw[:4]!r}")
+        _INDEX_CACHE.clear()
+        _INDEX_CACHE[key] = offs
+        return offs or None
+    return None
+
+
 def _decode_bam_record(
     rec: bytes,
     ref_names: list[str],
@@ -683,6 +789,34 @@ def read_bam_range(
             for _ in range(nr):
                 (l_name,) = struct.unpack("<i", stream.read(4))
                 stream.skip(l_name + 4)
+            yield from _emit_bam_records(
+                stream, end, ref_names, include_seq_qual, filepath
+            )
+        finally:
+            stream.close()
+        return
+    voffs = _bam_index_voffsets(path)
+    if voffs is not None:
+        # index-guided: enter at the largest known record start strictly
+        # before this range's first block, then length-prefix-skip
+        # (no decoding) up to the first record starting at block >= start
+        import bisect
+
+        i = bisect.bisect_left(voffs, start << 16)
+        entry = voffs[i - 1] if i > 0 else voffs[0]
+        stream = _BgzfStream(path, entry >> 16)
+        try:
+            stream.skip(entry & 0xFFFF)
+            while True:
+                blk = stream.next_byte_block()
+                if blk is None:
+                    return
+                if blk >= start:
+                    break
+                head = stream.read(4)
+                if len(head) < 4:
+                    return
+                stream.skip(struct.unpack("<i", head)[0])
             yield from _emit_bam_records(
                 stream, end, ref_names, include_seq_qual, filepath
             )

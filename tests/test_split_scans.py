@@ -388,3 +388,137 @@ def test_plain_gzip_still_never_splits(spark, tmp_path):
     df = read_fastx(spark, gz, max_split_bytes=8 * 1024)
     assert df.rdd.getNumPartitions() == 1
     assert df.count() == 1500
+
+
+def _voffsets_of_records(bam_path):
+    """True (coffset<<16|uoffset) virtual offsets of every BAM record,
+    derived by walking blocks + the decompressed record chain."""
+    import gzip as _gz
+    import struct
+    from duckdb_miint_spark.sources.sam import _BgzfStream
+
+    # block table: (coffset, cumulative decompressed start)
+    blocks = []
+    cum = 0
+    s = _BgzfStream(bam_path, 0)
+    while s._load_next_block():
+        blocks.append((s.cur_block_off, cum))
+        cum += len(s.buf)
+    s.close()
+
+    def to_voffset(doff):
+        for coff, dstart in reversed(blocks):
+            if doff >= dstart:
+                return (coff << 16) | (doff - dstart)
+        raise AssertionError(doff)
+
+    data = _gz.decompress(open(bam_path, "rb").read())
+    (l_text,) = struct.unpack_from("<i", data, 4)
+    p = 8 + l_text
+    (n_ref,) = struct.unpack_from("<i", data, p)
+    p += 4
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", data, p)
+        p += 4 + l_name + 4
+    offs = []
+    while p < len(data):
+        offs.append(to_voffset(p))
+        (bs,) = struct.unpack_from("<i", data, p)
+        p += 4 + bs
+    return offs
+
+
+def _write_bai(bai_path, voffsets):
+    """Minimal .bai whose linear index carries the given record starts."""
+    import struct
+
+    with open(bai_path, "wb") as f:
+        f.write(b"BAI\x01" + struct.pack("<i", 1))
+        f.write(struct.pack("<i", 0))  # n_bin
+        f.write(struct.pack("<i", len(voffsets)))
+        for v in voffsets:
+            f.write(struct.pack("<Q", v))
+
+
+def test_bam_split_uses_bai_exact_offsets(spark, tmp_path, monkeypatch):
+    """With a .bai present, split boundaries come from the index's
+    virtual offsets — the record-start guesser is never invoked — and
+    the output is identical to the guess-based and whole-file scans."""
+    import duckdb_miint_spark.sources.sam as sam_mod
+    from duckdb_miint_spark.sinks.bam_sink import copy_bam
+    from duckdb_miint_spark.sources.sam import plan_bam_splits, read_alignments
+
+    sam = _write_sam(str(tmp_path / "src.sam"), 9000)
+    bam = str(tmp_path / "indexed.bam")
+    aln = read_alignments(spark, sam, include_seq_qual=True)
+    copy_bam(aln, bam, [("chr1", 100000), ("chr2", 50000)], compression_level=1)
+
+    whole = _rows(read_alignments(spark, bam))
+    guess_split = _rows(read_alignments(spark, bam, max_split_bytes=24 * 1024))
+    assert guess_split == whole
+
+    voffs = _voffsets_of_records(bam)
+    assert len(voffs) == 9000
+    _write_bai(bam + ".bai", voffs[::37] or voffs)  # sparse linear index
+
+    # driver-side proof the guesser is bypassed when the index exists
+    def _no_guess(*a, **k):
+        raise AssertionError("guesser invoked despite .bai")
+
+    monkeypatch.setattr(sam_mod, "_guess_first_record", _no_guess)
+    ranges = plan_bam_splits(bam, 24 * 1024)
+    assert len(ranges) > 3
+    got = []
+    for s, e in ranges:
+        got.extend(sam_mod.read_bam_range(bam, s, e, False, None))
+    monkeypatch.undo()
+    assert len(got) == 9000
+    assert sorted(got) == sorted(
+        tuple(r) for r in read_alignments(spark, bam).collect()
+    )
+
+    # full Spark scan with the index present
+    idx_split = _rows(read_alignments(spark, bam, max_split_bytes=24 * 1024))
+    assert idx_split == whole
+
+
+def test_bam_index_parsers_bai_csi(tmp_path):
+    """BAI and CSI parsers extract the same record starts (pseudo-bin
+    metadata chunks excluded; zero voffsets dropped)."""
+    import struct
+    from duckdb_miint_spark.sources.sam import (
+        _bam_index_voffsets,
+        _parse_bai_voffsets,
+        _parse_csi_voffsets,
+    )
+
+    voffs = [(100 << 16) | 5, (2000 << 16) | 0, (65000 << 16) | 123]
+    # BAI: one ref, one real bin + pseudo-bin 37450, linear index with a 0
+    bai = bytearray(b"BAI\x01" + struct.pack("<i", 1))
+    bai += struct.pack("<i", 2)  # n_bin
+    bai += struct.pack("<Ii", 4681, 1) + struct.pack("<QQ", voffs[0], voffs[1])
+    bai += struct.pack("<Ii", 37450, 2)
+    bai += struct.pack("<QQ", voffs[2], (70000 << 16))  # unmapped beg/end
+    bai += struct.pack("<QQ", 123, 456)  # counts — must be ignored
+    bai += struct.pack("<i", 2) + struct.pack("<QQ", 0, voffs[1])
+    got_bai = _parse_bai_voffsets(bytes(bai))
+    assert got_bai == sorted(set(voffs))
+    assert 123 not in got_bai and 456 not in got_bai and 0 not in got_bai
+
+    # CSI: min_shift=14 depth=5, loffset carries voffs[1]
+    csi = bytearray(b"CSI\x01" + struct.pack("<iii", 14, 5, 0))
+    csi += struct.pack("<i", 1)  # n_ref
+    csi += struct.pack("<i", 2)  # n_bin
+    csi += struct.pack("<IQi", 4681, voffs[1], 1) + struct.pack("<QQ", voffs[0], voffs[1])
+    max_bin = ((1 << (3 * 6)) - 1) // 7
+    csi += struct.pack("<IQi", max_bin + 1, 0, 2)
+    csi += struct.pack("<QQ", voffs[2], (70000 << 16))
+    csi += struct.pack("<QQ", 99, 101)
+    got_csi = _parse_csi_voffsets(bytes(csi))
+    assert got_csi == sorted(set(voffs))
+
+    # discovery: x.bam -> x.bam.csi
+    bam = str(tmp_path / "x.bam")
+    open(bam, "wb").close()
+    open(bam + ".csi", "wb").write(bytes(csi))
+    assert _bam_index_voffsets(bam) == sorted(set(voffs))
