@@ -187,14 +187,13 @@ def main() -> None:
     # scale validations). The initialPartitionNum AQE coalesces down from
     # is pinned to the same number; session defaults outside the bench
     # stay at 4x cores.
-    dir_bytes = sum(
-        os.path.getsize(os.path.join(sf_dir, f))
-        for f in os.listdir(sf_dir)
-        if f.endswith(".parquet")
-    )
+    from duckdb_miint_spark.session import dir_parquet_bytes, size_session_for_input
+
+    dir_bytes = dir_parquet_bytes(sf_dir)
     target_parts = max(cpus, min(4 * cpus, dir_bytes // (32 << 20)))
     os.environ.setdefault("SPARK_GRAFT_INITIAL_PARTS", str(target_parts))
     spark = get_spark("bench", cpus=cpus, aqe=aqe, shuffle_partitions=target_parts)
+    size_session_for_input(spark, dir_bytes)
     reg = load_all()
 
     # Warm-up: pin every input table (read_table repartitions small inputs

@@ -101,6 +101,37 @@ def get_spark(
     return spark
 
 
+def dir_parquet_bytes(sf_dir: str) -> int:
+    """Total bytes of the *.parquet inputs under ``sf_dir``."""
+    try:
+        return sum(
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        return 0
+
+
+def size_session_for_input(spark: SparkSession, input_bytes: int) -> int:
+    """Resize the AQE initial-partition count to the ACTUAL input: one
+    shuffle partition per ~32 MB, clamped to [cores, 4x cores].
+
+    ``initialPartitionNum`` is a runtime SQL conf, so this applies to an
+    existing session. The 4x-cores static default in :func:`get_spark` is
+    sized for the largest stage of a big job; on small inputs it is pure
+    scheduling tax — measured at sf1 (170 MB): having_big_orders
+    1.69 s -> 2.81 s and woltka_ogu_per_sample 2.12 s -> 2.84 s going
+    from input-sized (32) to 4x cores (128), medians of 3 (PERF.md r6
+    A/B). Call this whenever the input size is known (bench.py does)."""
+    cores = spark.sparkContext.defaultParallelism
+    target = max(cores, min(4 * cores, input_bytes // (32 << 20)))
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(target)
+    )
+    return target
+
+
 # Per-process cache of small repartitioned inputs (keyed by Spark app id so
 # a stopped/recreated session never serves stale DataFrames).
 _SMALL_INPUT_CACHE: dict = {}
