@@ -70,9 +70,18 @@ def compress_intervals_islands(
     group_cols = list(group_cols)
     s = F.least(F.col(start_col), F.col(stop_col)).alias("__s")
     e = F.greatest(F.col(start_col), F.col(stop_col)).alias("__e")
+    # Dedup before merging: union is idempotent, duplicate intervals are
+    # common in deep alignment data (sf1: 120k intervals per contig over a
+    # 100k coordinate space), and unique (group, s, e) rows make the
+    # window's ORDER BY a total order — removing any dependence on how an
+    # engine breaks sort ties between window passes (the instability that
+    # broke the DuckDB oracle at sf1; Spark computes same-spec windows in
+    # one pass and was deterministic either way).
     base = (
         df.filter(F.col(start_col).isNotNull() & F.col(stop_col).isNotNull())
-        .select(*group_cols, s, e, F.spark_partition_id().alias("__pid"))
+        .select(*group_cols, s, e)
+        .distinct()
+        .withColumn("__pid", F.spark_partition_id())
     )
     local = _island_pass(base, group_cols + ["__pid"]).drop("__pid")
     return (

@@ -159,9 +159,17 @@ FROM part
 # Window-island interval union in plain SQL — the scale-correct formulation
 # of the reference's compress_intervals aggregate (IntervalCompressor.cpp:5-55)
 # — parameterized over a CTE named `aln`.
+#
+# `ranked` is DISTINCT on purpose (round-6 sf1 finding): with duplicate
+# (s, e) rows, the engine may sort the `flagged` and `islands` windows'
+# ties in different orders, pairing new_island flags with different rows —
+# DuckDB at sf1 returned overlapping, run-to-run-varying "islands"
+# (86/83/79 across three trials of identical SQL; ground truth 50).
+# Interval union is idempotent, so dedup changes nothing semantically and
+# makes ORDER BY (s, e) a total order per partition.
 ISLANDS_SQL = """
 ranked AS (
-  SELECT reference,
+  SELECT DISTINCT reference,
          LEAST(position, stop_position) AS s,
          GREATEST(position, stop_position) AS e
   FROM aln

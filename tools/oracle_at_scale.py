@@ -4,17 +4,24 @@ The driver's correctness gate runs at sf0.01 (MB-scale inputs); this
 runner replays the identical Spark-vs-DuckDB comparison at a larger
 scale (default: the bench's sf1x10 replication) to catch scale-dependent
 wrongness — fixed-point overflow, skew-cap truncation, AQE plan
-divergence — that small inputs cannot surface.
+divergence, window-tie instability — that small inputs cannot surface.
+(Round 6 it caught a real one: the compress_intervals oracle's island
+windows were tie-order-unstable at sf1 — see queries_domain.ISLANDS_SQL.)
 
 Usage:
     python tools/oracle_at_scale.py [sf_dir] [out_json]
 
-Writes {name: {rows_match, schema_match, hash_match, spark_rows,
-oracle_rows, spark_sec, oracle_sec, err}} to out_json (default
-CORRECTNESS_sf1.json). Oracles that exceed ORACLE_TIMEOUT_SEC (default
-600 — some oracles are deliberately O(n^2) restatements whose cost at
-sf1 is the asymmetry the Spark plan exists to avoid) are interrupted and
-recorded as err="oracle timeout", not failures.
+Differences from tests/test_oracle.py (which stays the authority at
+sf0.01):
+- results larger than SMALL_ROWS are compared VECTORIZED (Arrow →
+  pandas: columns name-sorted, values canonicalized per dtype, rows
+  sorted, exact equality) instead of per-tuple — a 23M-row answer is
+  minutes of Python tuples but seconds of numpy. The pandas path is
+  validated against the tuple path on every query at sf0.01.
+- per-query TIMEOUTS on both engines (Spark: cancelAllJobs from a
+  watchdog thread; DuckDB: con.interrupt) — recorded as errors, never
+  hangs.
+- incremental out-file writes; a rerun resumes past clean rows.
 """
 
 from __future__ import annotations
@@ -33,6 +40,8 @@ os.environ.setdefault("SPARK_GRAFT_PIN_BYTES", str(4 * 1024**3))
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 
 from duckdb_miint_spark.registry import load_all  # noqa: E402
 from duckdb_miint_spark.session import (  # noqa: E402
@@ -42,7 +51,9 @@ from duckdb_miint_spark.session import (  # noqa: E402
     size_session_for_input,
 )
 
-ORACLE_TIMEOUT_SEC = float(os.environ.get("ORACLE_TIMEOUT_SEC", "600"))
+SPARK_TIMEOUT_SEC = float(os.environ.get("SPARK_TIMEOUT_SEC", "900"))
+ORACLE_TIMEOUT_SEC = float(os.environ.get("ORACLE_TIMEOUT_SEC", "900"))
+SMALL_ROWS = 500_000  # tuple-normalize threshold
 
 
 def normalize(rows, colnames):
@@ -50,11 +61,24 @@ def normalize(rows, colnames):
     canonicalization as tests/test_oracle.py)."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
+    import datetime as _dt
+
     def norm_val(v):
         if v is None:
             return None
         if isinstance(v, bool):
             return bool(v)
+        if isinstance(v, (pd.Timestamp, _dt.datetime)):
+            # DATE columns surface as date (Spark) vs midnight datetime64
+            # (DuckDB fetch_df) — fold midnight timestamps to the date
+            if (
+                v.hour == v.minute == v.second == 0
+                and getattr(v, "microsecond", 0) == 0
+            ):
+                return v.date().isoformat()
+            return v.isoformat()
+        if isinstance(v, _dt.date):
+            return v.isoformat()
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
@@ -72,6 +96,82 @@ def normalize(rows, colnames):
     return out
 
 
+def canonical_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Name-sorted columns, dtype-canonical values, row-sorted frame."""
+    out = {}
+    for c in sorted(pdf.columns):
+        s = pdf[c]
+        if pd.api.types.is_bool_dtype(s):
+            out[c] = s.astype("float64")  # align bool vs 0/1 int oracles
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("float64")  # same int->float fold as normalize()
+        elif pd.api.types.is_float_dtype(s):
+            out[c] = s.astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            out[c] = s.map(
+                lambda v: "\x00NULL"
+                if pd.isna(v)
+                else (
+                    v.date().isoformat()
+                    if v.hour == v.minute == v.second == 0 and v.microsecond == 0
+                    else v.isoformat()
+                )
+            )
+        else:
+            import datetime as _dt
+
+            def _obj(v):
+                if v is None or v is pd.NaT:
+                    return "\x00NULL"
+                if isinstance(v, (pd.Timestamp, _dt.datetime)):
+                    if (
+                        v.hour == v.minute == v.second == 0
+                        and getattr(v, "microsecond", 0) == 0
+                    ):
+                        return v.date().isoformat()
+                    return v.isoformat()
+                if isinstance(v, _dt.date):
+                    return v.isoformat()
+                return str(v)
+
+            out[c] = s.map(_obj)
+    cf = pd.DataFrame(out)
+    cf = cf.sort_values(by=list(cf.columns), kind="mergesort").reset_index(drop=True)
+    return cf
+
+
+def frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    if list(a.columns) != list(b.columns) or len(a) != len(b):
+        return False
+    for c in a.columns:
+        x, y = a[c].to_numpy(), b[c].to_numpy()
+        if x.dtype.kind == "f" and y.dtype.kind == "f":
+            if not np.array_equal(x, y, equal_nan=True):
+                return False
+        elif not np.array_equal(x, y):
+            return False
+    return True
+
+
+def run_spark_with_timeout(spark, fn, timeout: float):
+    """fn() under a watchdog that cancels all Spark jobs on expiry."""
+    expired = threading.Event()
+
+    def _cancel():
+        expired.set()
+        try:
+            spark.sparkContext.cancelAllJobs()
+        except Exception:
+            pass
+
+    timer = threading.Timer(timeout, _cancel)
+    timer.start()
+    try:
+        return fn(), expired.is_set()
+    finally:
+        timer.cancel()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, ".bench", "sf1x10")
     out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "CORRECTNESS_sf1.json")
@@ -79,6 +179,23 @@ def main() -> None:
         from tools.make_scaled_sf import ensure_scaled
 
         sf_dir = ensure_scaled("/root/testdata/sf0.1", sf_dir, 10)
+
+    results: dict[str, dict] = {}
+    if os.path.exists(out_path):
+        try:
+            prior = json.load(open(out_path))
+            if prior.get("sf_dir") == sf_dir:
+                results = {
+                    n: r
+                    for n, r in prior.get("results", {}).items()
+                    if not r.get("err")
+                    and r.get("rows_match") is not False
+                    and r.get("schema_match") is not False
+                    and r.get("hash_match") is not False
+                }
+                print(f"resuming: {len(results)} clean rows carried over", flush=True)
+        except (OSError, ValueError):
+            pass
 
     spark = get_spark("oracle-at-scale", aqe=True)
     size_session_for_input(spark, dir_parquet_bytes(sf_dir))
@@ -90,8 +207,14 @@ def main() -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     reg = load_all()
-    results: dict[str, dict] = {}
+
+    def flush():
+        with open(out_path, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "results": results}, fh, indent=1)
+
     for name in sorted(reg):
+        if name in results:
+            continue
         qd = reg[name]
         row: dict = {
             "rows_match": None,
@@ -107,13 +230,16 @@ def main() -> None:
         try:
             t0 = time.perf_counter()
             sdf = qd.spark_fn(spark, sf_dir)
-            spark_rows = [tuple(r) for r in sdf.collect()]
+            spark_pdf, expired = run_spark_with_timeout(
+                spark, lambda: sdf.toPandas(), SPARK_TIMEOUT_SEC
+            )
             row["spark_sec"] = round(time.perf_counter() - t0, 2)
-            row["spark_rows"] = len(spark_rows)
+            row["spark_rows"] = len(spark_pdf)
             if not qd.oracle:
-                row["rows_match"] = row["schema_match"] = len(spark_rows) >= 0
+                row["rows_match"] = row["schema_match"] = True
                 row["hash_match"] = None  # rows-only query
-                print(f"{name}: rows-only {len(spark_rows)} rows", flush=True)
+                print(f"{name}: rows-only {len(spark_pdf)} rows", flush=True)
+                flush()
                 continue
             timer = threading.Timer(ORACLE_TIMEOUT_SEC, con.interrupt)
             timer.start()
@@ -121,19 +247,28 @@ def main() -> None:
                 t0 = time.perf_counter()
                 res = con.execute(qd.oracle)
                 duck_cols = [d[0] for d in res.description]
-                duck_rows = res.fetchall()
+                duck_pdf = res.fetch_df()
                 row["oracle_sec"] = round(time.perf_counter() - t0, 2)
             finally:
                 timer.cancel()
-            row["oracle_rows"] = len(duck_rows)
-            row["rows_match"] = len(spark_rows) == len(duck_rows)
-            row["schema_match"] = sorted(sdf.columns) == sorted(duck_cols)
-            s = normalize(spark_rows, sdf.columns)
-            d = normalize(duck_rows, duck_cols)
-            row["hash_match"] = s == d
-            status = "OK" if (row["rows_match"] and row["schema_match"] and row["hash_match"]) else "MISMATCH"
+            row["oracle_rows"] = len(duck_pdf)
+            row["rows_match"] = len(spark_pdf) == len(duck_pdf)
+            row["schema_match"] = sorted(spark_pdf.columns) == sorted(duck_cols)
+            if not (row["rows_match"] and row["schema_match"]):
+                row["hash_match"] = False
+            elif len(spark_pdf) <= SMALL_ROWS:
+                s = normalize([tuple(r) for r in map(tuple, spark_pdf.itertuples(index=False))], list(spark_pdf.columns))
+                d = normalize([tuple(r) for r in map(tuple, duck_pdf.itertuples(index=False))], duck_cols)
+                row["hash_match"] = s == d
+            else:
+                row["hash_match"] = frames_equal(
+                    canonical_frame(spark_pdf), canonical_frame(duck_pdf)
+                )
+                row["compare"] = "vectorized"
+            ok = row["rows_match"] and row["schema_match"] and row["hash_match"]
             print(
-                f"{name}: {status} spark={row['spark_rows']}r/{row['spark_sec']}s "
+                f"{name}: {'OK' if ok else 'MISMATCH'} "
+                f"spark={row['spark_rows']}r/{row['spark_sec']}s "
                 f"duck={row['oracle_rows']}r/{row['oracle_sec']}s",
                 flush=True,
             )
@@ -141,13 +276,15 @@ def main() -> None:
             raise
         except Exception as e:  # noqa: BLE001 — record and continue
             msg = str(e).splitlines()[0][:300] if str(e) else type(e).__name__
-            if "INTERRUPT" in msg.upper():
+            up = msg.upper()
+            if "INTERRUPT" in up:
                 msg = f"oracle timeout after {ORACLE_TIMEOUT_SEC}s"
+            elif "CANCELLED" in up or "CANCELED" in up:
+                msg = f"spark timeout after {SPARK_TIMEOUT_SEC}s"
             row["err"] = msg
             print(f"{name}: ERR {msg}", flush=True)
+        flush()
 
-    with open(out_path, "w") as fh:
-        json.dump({"sf_dir": sf_dir, "results": results}, fh, indent=1)
     bad = [
         n
         for n, r in results.items()
