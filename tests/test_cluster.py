@@ -172,3 +172,50 @@ def test_kmv_sketch_path_vs_oracle(spark, tmp_path):
     for lang in ("en", "xx"):
         assert oracle[lang][1] == got[lang]["n_exact"]
         assert abs(oracle[lang][2] - got[lang]["est_kmv"]) < 1e-9
+
+
+def test_fuzzy_pairs_value_dedup_matches_naive(spark):
+    """The value-dedup'd fuzzy join must return exactly the naive
+    per-brand self-join's pairs (including same-name pairs, both name
+    orders collapsed by partkey<) on data WITH heavy value duplication."""
+    rows = []
+    names = ["hot plate", "hot plata", "cold gear", "cold gearx", "blue ring"]
+    k = 0
+    for brand in ("B1", "B2"):
+        for n in names:
+            for _ in range(4):  # duplicated values — the dedup's case
+                rows.append((k, n, brand))
+                k += 1
+    df = spark.createDataFrame(rows, "p_partkey: long, p_name: string, p_brand: string")
+    df.createOrReplaceTempView("part_fuzzy_test")
+
+    from duckdb_miint_spark import queries_analytics as QA
+
+    orig = QA.T
+    try:
+        QA.T = lambda spark, sf_dir, name: df  # route the query to the fixture
+        got = {
+            (r["a_partkey"], r["b_partkey"], r["dist"])
+            for r in QA.q_fuzzy_pairs(spark, "ignored").collect()
+        }
+    finally:
+        QA.T = orig
+    # exact naive reference via python-side levenshtein
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    naive = set()
+    for i, (ka, na, ba) in enumerate(rows):
+        for kb, nb, bb in rows[i + 1 :]:
+            if ba != bb or abs(len(na) - len(nb)) > 2:
+                continue
+            d = lev(na, nb)
+            if d <= 2:
+                lo, hi = (ka, kb) if ka < kb else (kb, ka)
+                naive.add((lo, hi, d))
+    assert got == naive and got, f"{len(got)} vs {len(naive)}"
