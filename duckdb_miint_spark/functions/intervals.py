@@ -70,20 +70,21 @@ def compress_intervals_islands(
     group_cols = list(group_cols)
     s = F.least(F.col(start_col), F.col(stop_col)).alias("__s")
     e = F.greatest(F.col(start_col), F.col(stop_col)).alias("__e")
-    # Dedup before merging: union is idempotent, duplicate intervals are
-    # common in deep alignment data (sf1: 120k intervals per contig over a
-    # 100k coordinate space), and unique (group, s, e) rows make the
-    # window's ORDER BY a total order — removing any dependence on how an
-    # engine breaks sort ties between window passes (the instability that
-    # broke the DuckDB oracle at sf1; Spark computes same-spec windows in
-    # one pass and was deterministic either way).
+    # No input dedup: phase 1's local island merge absorbs duplicate
+    # intervals for free (they fall into the same island), so the big
+    # data is shuffled exactly once — a pre-`distinct()` would add a
+    # second full-data exchange for nothing (measured 1.5x on the sf1
+    # gate query). Phase 2's input IS deduped (tiny) so its window's
+    # ORDER BY (s, e) is a total order — Spark evaluates same-spec
+    # windows in one pass and is tie-safe either way, but the dedup
+    # removes any dependence on that engine detail (the tie instability
+    # that broke the DuckDB oracle at sf1; its `ranked` CTE is DISTINCT
+    # for the same reason — queries_domain.ISLANDS_SQL).
     base = (
         df.filter(F.col(start_col).isNotNull() & F.col(stop_col).isNotNull())
-        .select(*group_cols, s, e)
-        .distinct()
-        .withColumn("__pid", F.spark_partition_id())
+        .select(*group_cols, s, e, F.spark_partition_id().alias("__pid"))
     )
-    local = _island_pass(base, group_cols + ["__pid"]).drop("__pid")
+    local = _island_pass(base, group_cols + ["__pid"]).drop("__pid").distinct()
     return (
         _island_pass(local, group_cols)
         .withColumnRenamed("__s", "start")

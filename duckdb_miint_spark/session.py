@@ -129,6 +129,19 @@ def size_session_for_input(spark: SparkSession, input_bytes: int) -> int:
     spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(target)
     )
+    # Scan-side parallelism follows the same logic: the 128 MB
+    # maxPartitionBytes default turns a 170 MB table into a 2-task scan
+    # no matter how many row groups it has. One scan split per
+    # ~input/(2*cores), clamped to [4 MB, 128 MB], keeps every core busy
+    # on small-but-hot inputs and converges to the default at scale.
+    split = max(4 << 20, min(128 << 20, input_bytes // (2 * cores) or (4 << 20)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    # openCostInBytes floors the split size (maxSplitBytes >= openCost):
+    # the 4 MB default makes a 6 MB compressed-text table a 2-task scan,
+    # serializing CPU-heavy per-row work. Scale it down with the input,
+    # clamped so many-small-file reads at 100 TB don't over-fragment.
+    open_cost = max(256 << 10, min(4 << 20, input_bytes // (8 * cores)))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
     return target
 
 
