@@ -1,9 +1,14 @@
 """Benchmark runner: headline queries on local[$SPARK_GRAFT_CPUS].
 
 Scale: an explicitly non-default $SPARK_GRAFT_SF_DIR is honored as-is;
-otherwise the headline runs at sf1 (deterministic ×10 replication of the
+otherwise the headline runs at sf2 (deterministic ×20 replication of the
 driver's sf0.1 — see resolve_sf_dir / tools/make_scaled_sf.py), where both
-engines measure execution rather than Spark's fixed per-query setup floor.
+engines measure execution rather than Spark's fixed per-query setup floor
+(round 6 moved the headline from sf1: on an idle box sf1 totals are
+Spark ~18 s of which ~6 s is irreducible 23-query stage latency vs a
+~9 s DuckDB fast bound — the ratio there measures the floor, not the
+plans; at sf2 execution dominates on both engines. PERF.md has the
+full decomposition and the sf1 numbers alongside).
 Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
  "sf": dir, "plan_build_sec": ..., "duckdb": {...}, "ratio_vs_duckdb": ...}
@@ -73,11 +78,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Pin small inputs (repartition + cache) — see read_table in session.py.
 os.environ.setdefault("SPARK_GRAFT_PIN_BYTES", str(4 * 1024**3))
-# Headroom for the pinned inputs + shuffle at sf1/sf10 in one JVM: with the
-# 8g session default, the deserialized caches plus execution memory contend
-# and mid-run storage eviction shows up as multi-second per-query noise
-# (a recompute re-parses parquet+JSON inside the timed pass).
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
 from duckdb_miint_spark.registry import load_all
 from duckdb_miint_spark.session import TABLES, get_spark, read_table
@@ -118,14 +118,14 @@ TIMED_PASSES = 3
 # fixed ~0.3-0.5 s/query stage-setup floor dominates the comparison; see
 # PERF.md). The engine comparison that matters at 100 TB is MARGINAL
 # throughput, so when no explicit non-default SF dir is requested the bench
-# deterministically replicates sf0.1 ×10 (tools/make_scaled_sf.py — disjoint
+# deterministically replicates sf0.1 ×20 (tools/make_scaled_sf.py — disjoint
 # key spaces, no RNG) and runs the identical set on BOTH engines at that
 # scale. An explicitly set SPARK_GRAFT_SF_DIR (e.g. sf0.01 in the verify
 # recipe) is always honored as-is; SPARK_GRAFT_NO_SCALE=1 forces the raw
 # default dir too.
 DRIVER_SF_DEFAULT = "/root/testdata/sf0.1"
-SCALED_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", "sf1x10")
-SCALE_FACTOR = 10
+SCALED_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", "sf2x20")
+SCALE_FACTOR = 20
 
 
 def resolve_sf_dir() -> tuple[str, int]:
@@ -171,16 +171,16 @@ def median(xs: list[float]) -> float:
 def main() -> None:
     sf_dir, timed_passes = resolve_sf_dir()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
-    # The headline (sf1) benches the PRODUCTION profile: AQE on (runtime
-    # broadcast of small join sides, coalescing, skew splitting) — at sf1 it
+    # The headline (sf2) benches the PRODUCTION profile: AQE on (runtime
+    # broadcast of small join sides, coalescing, skew splitting) — at sf1+ it
     # wins on the star joins (q5 2.2s -> 1.4s) and is the config a cluster
     # would run. SPARK_GRAFT_AQE=0 measures the latency-tuned static profile
     # (slightly better on sub-second queries at tiny scales).
     aqe = os.environ.get("SPARK_GRAFT_AQE", "1") not in ("0", "false")
     # Partitioning is sized to the INPUT, the way a production job (or AQE
     # from map-output stats) would: one shuffle partition per ~32 MB of
-    # input, clamped to [cores, 4x cores]. At the sf1 headline that lands
-    # on 32 (= cores; 8-vs-32 measured equivalent there, 18.9 s vs 20.0 s
+    # input, clamped to [cores, 4x cores]. At the sf2 headline that lands
+    # on 32 (= cores; 8-vs-32 measured equivalent at sf1, 18.9 s vs 20.0 s
     # back-to-back — inside this box's run noise); at sf10 it lands at ~54,
     # which keeps all 32 cores busy on the multi-second shuffles (a
     # hardwired 8 cost 2-4x on every shuffle-heavy query there — PERF.md
@@ -190,6 +190,13 @@ def main() -> None:
     from duckdb_miint_spark.session import dir_parquet_bytes, size_session_for_input
 
     dir_bytes = dir_parquet_bytes(sf_dir)
+    # Heap sized to the pinned caches + shuffle at the headline scale:
+    # deserialized caches and execution memory contend, and GC pressure
+    # from an undersized heap is multi-second per-query noise (sf2 at
+    # 24g: woltka 9.6 s; at 48g: 2.7 s — same plan). ~1 GB per 10 MB of
+    # compressed input, clamped [24g, 64g]; explicit env always wins.
+    heap_gb = max(24, min(64, dir_bytes // (10 << 20)))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{heap_gb}g")
     target_parts = max(cpus, min(4 * cpus, dir_bytes // (32 << 20)))
     os.environ.setdefault("SPARK_GRAFT_INITIAL_PARTS", str(target_parts))
     spark = get_spark("bench", cpus=cpus, aqe=aqe, shuffle_partitions=target_parts)
