@@ -479,6 +479,35 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "passjoin_name_pairs",
+    oracle="""
+SELECT a.p_partkey AS a_sid, b.p_partkey AS b_sid,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY a_sid, b_sid
+""",
+    tags=("pipeline", "fuzzy"),
+)
+def q_passjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL edit-distance join (levenshtein <= 2, no blocking key at
+    all) via PassJoin segment pigeonhole — the scalable complement to
+    ``fuzzy_name_pairs``'s value-dedup: linear equi-join candidate
+    generation that holds even when every value is unique. The oracle is
+    the naive all-pairs join; at the gate's sf0.01 that is ~4M DP evals
+    for DuckDB while the Spark side generates candidates by segment
+    join. See pipeline/editjoin.py for the completeness argument."""
+    from duckdb_miint_spark.pipeline.editjoin import passjoin_pairs
+
+    part = T(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("text")
+    )
+    return passjoin_pairs(part, k=2, id_col="id", text_col="text").orderBy(
+        "a_sid", "b_sid"
+    )
+
+
 # ------------------------------------------------------------ KMV sketch
 
 _KMV_K = 64

@@ -500,3 +500,74 @@ def test_exact_pairs_explicit_side_dir(spark, tmp_path):
         spark.conf.unset("spark.graft.sideDir")
     # local master without conf: a fresh tempdir, never an error
     assert _resolve_side_dir(spark, None)
+
+
+def test_passjoin_exact_vs_naive(spark):
+    """PassJoin (segment pigeonhole) must return EXACTLY the naive
+    all-pairs levenshtein<=k result — mostly-unique values, mixed
+    lengths, short strings through the fallback branch."""
+    import random
+
+    from duckdb_miint_spark.pipeline.editjoin import passjoin_pairs
+
+    rng = random.Random(41)
+    vocab = "abcdef"
+    base = ["".join(rng.choice(vocab) for _ in range(rng.randint(1, 14))) for _ in range(120)]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t))
+    # planted near-duplicates: 1-2 edits off existing strings
+    nid = len(base)
+    for j in range(0, len(base), 3):
+        t = list(base[j])
+        for _ in range(rng.randint(1, 2)):
+            op = rng.choice("sid")
+            p = rng.randrange(max(1, len(t)))
+            if op == "s" and t:
+                t[p] = rng.choice(vocab)
+            elif op == "i":
+                t.insert(p, rng.choice(vocab))
+            elif t:
+                del t[p]
+        rows.append((nid, "".join(t)))
+        nid += 1
+    df = spark.createDataFrame(rows, "id: long, text: string")
+
+    got = {
+        (r["a_sid"], r["b_sid"], r["dist"])
+        for r in passjoin_pairs(df, k=2, id_col="id", text_col="text").collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    naive = set()
+    for i, (ida, ta) in enumerate(rows):
+        for idb, tb in rows[i + 1 :]:
+            d = lev(ta, tb)
+            if d <= 2:
+                lo, hi = (ida, idb) if ida < idb else (idb, ida)
+                naive.add((lo, hi, d))
+    assert naive, "fixture produced no near pairs"
+    missing = naive - got
+    extra = got - naive
+    assert not missing, f"passjoin missed {len(missing)} true pairs: {sorted(missing)[:5]}"
+    assert not extra, f"passjoin emitted {len(extra)} false pairs: {sorted(extra)[:5]}"
+
+
+def test_passjoin_no_cartesian_plan(spark):
+    """The candidate generation must be an equi-join — no
+    CartesianProduct / BroadcastNestedLoopJoin on the long-string path."""
+    from duckdb_miint_spark.pipeline.editjoin import passjoin_pairs
+
+    rows = [(i, f"abcdefgh{i:04d}xyz") for i in range(50)]
+    df = spark.createDataFrame(rows, "id: long, text: string")
+    out = passjoin_pairs(df, k=2, id_col="id", text_col="text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
