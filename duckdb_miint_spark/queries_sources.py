@@ -705,6 +705,38 @@ def q_read_fastx_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "read_fastx_bgzf_split",
+    oracle=_fastq_split_oracle(),
+    tags=("source", "fastx", "split", "bgzf"),
+)
+def q_read_fastx_bgzf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGZF-block split scan of one bgzip-compressed FASTQ ≡ its known
+    contents — same generator and expected constants as
+    ``read_fastx_split`` but through the compressed-split path
+    (sources/fastx.py BGZF section): block-boundary ranges with the
+    line-cutoff ownership convention. ``was_split`` pins >1 input
+    partition so a regression to whole-file gzip handling fails loudly.
+    Compressed read sets are the 100 TB norm; this gate keeps the
+    splittable path honest per-round."""
+    from duckdb_miint_spark.sources.synth import fastq_text, materialize_bgzf
+
+    path = materialize_bgzf(fastq_text(), ".fastq")
+    # the ~440 KB FASTQ compresses to ~31 KB of BGZF blocks; 6 KiB ranges
+    # force ~5 block-aligned partitions
+    df = read_fastx(spark, path, max_split_bytes=6 * 1024)
+    df = df.withColumn("_pid", F.spark_partition_id())
+    return df.agg(
+        F.count(F.lit(1)).alias("n_reads"),
+        F.sum(F.length("sequence1")).alias("sum_seq_len"),
+        F.sum(F.aggregate("qual1", F.lit(0).cast("long"), lambda a, x: a + x)).alias(
+            "sum_qual"
+        ),
+        F.sum("sequence_index").alias("sum_idx"),
+        (F.countDistinct("_pid") >= F.lit(2)).alias("was_split"),
+    )
+
+
 def _sam_split_oracle() -> str:
     from duckdb_miint_spark.sources.synth import sam_expected
 

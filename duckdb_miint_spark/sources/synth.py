@@ -104,3 +104,22 @@ def materialize(text: str, suffix: str) -> str:
             fh.write(text)
         os.replace(tmp, path)
     return path
+
+
+def materialize_bgzf(text: str, suffix: str) -> str:
+    """Like :func:`materialize` but BGZF-compressed (bgzip-style blocks),
+    for exercising block-boundary split scans of compressed FASTX."""
+    digest = hashlib.md5(text.encode()).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_synth")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"synth_{digest}{suffix}.gz")
+    if not os.path.exists(path):
+        from duckdb_miint_spark.sinks.bam_sink import BgzfWriter
+
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            w = BgzfWriter(fh, level=4)
+            w.write(text.encode("ascii"))
+            w.close()
+        os.replace(tmp, path)
+    return path
