@@ -66,10 +66,17 @@ def passjoin_pairs(
         raise ValueError(f"k must be >= 1, got {k}")
     n = k + 1
     short_max = 2 * n  # both-sides-short threshold for the fallback branch
-    s = strings.select(
-        F.col(id_col).cast("long").alias("sid"),
-        F.col(text_col).alias("txt"),
-        F.length(text_col).alias("L"),
+    rows = strings.select(
+        F.col(id_col).cast("long").alias("sid"), F.col(text_col).alias("txt")
+    )
+    # VALUE DEDUP first: the segment machinery runs over DISTINCT texts
+    # (value id = min row id), so duplicated-value corpora don't amplify
+    # the candidate join; row pairs come back from an expansion join at
+    # the end. On mostly-unique data this is a near-no-op.
+    s = (
+        rows.groupBy("txt")
+        .agg(F.min("sid").alias("sid"), F.count(F.lit(1)).alias("__copies"))
+        .select("sid", "txt", F.length("txt").alias("L"), "__copies")
     )
     long_side = s.filter(F.col("L") >= short_max)
     short_side = s.filter(F.col("L") < short_max)
@@ -170,4 +177,34 @@ def passjoin_pairs(
         )
         .distinct()
     )
-    return long_pairs.unionByName(sh)
+    value_pairs = long_pairs.unionByName(sh)  # pairs between DISTINCT texts
+
+    # Expand value pairs back to row pairs (both orientations so the row
+    # id order is free), and add identical-text row pairs (dist 0).
+    va = s.select(F.col("sid").alias("a_sid"), F.col("txt").alias("a_txt"))
+    vb = s.select(F.col("sid").alias("b_sid"), F.col("txt").alias("b_txt"))
+    vp = value_pairs.join(va, "a_sid").join(vb, "b_sid").select("a_txt", "b_txt", "dist")
+    oriented = vp.unionByName(
+        vp.select(
+            F.col("b_txt").alias("a_txt"), F.col("a_txt").alias("b_txt"), "dist"
+        )
+    )
+    ra = rows.select(F.col("txt").alias("a_txt"), F.col("sid").alias("a_sid"))
+    rb = rows.select(F.col("txt").alias("b_txt"), F.col("sid").alias("b_sid"))
+    cross_pairs = (
+        oriented.join(ra, "a_txt")
+        .join(rb, "b_txt")
+        .filter(F.col("a_sid") < F.col("b_sid"))
+        .select("a_sid", "b_sid", "dist")
+    )
+    same_pairs = (
+        rows.alias("x")
+        .join(rows.alias("y"), "txt")
+        .filter(F.col("x.sid") < F.col("y.sid"))
+        .select(
+            F.col("x.sid").alias("a_sid"),
+            F.col("y.sid").alias("b_sid"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+    )
+    return cross_pairs.unionByName(same_pairs)

@@ -531,6 +531,11 @@ def test_passjoin_exact_vs_naive(spark):
                 del t[p]
         rows.append((nid, "".join(t)))
         nid += 1
+    # exact duplicate values — exercises the internal value-dedup and the
+    # identical-text (dist 0) expansion
+    for j in range(0, 20, 2):
+        rows.append((nid, base[j]))
+        nid += 1
     df = spark.createDataFrame(rows, "id: long, text: string")
 
     got = {
