@@ -768,7 +768,7 @@ WITH tok AS (
 ),
 tf AS (SELECT t, doc_id, COUNT(*) AS f FROM tok GROUP BY t, doc_id),
 idx AS (
-  SELECT t AS term, COUNT(*) AS df, SUM(f) AS total_tf,
+  SELECT t AS term, COUNT(*) AS df, CAST(SUM(f) AS BIGINT) AS total_tf,
          (list(doc_id ORDER BY f DESC, doc_id ASC))[1:3] AS top_docs
   FROM tf GROUP BY t
 )
