@@ -259,8 +259,8 @@ def ivf_ann_topk(
 
 
 def _resolve_side_dir(spark, side_dir: str | None) -> str:
-    """Resolve where the staged side matrix lives — a location EVERY
-    executor can read.
+    """Resolve the BASE directory for staged side matrices — a location
+    EVERY executor can read.
 
     Order: explicit ``side_dir`` arg > ``spark.graft.sideDir`` conf >
     the warehouse dir when it is already on shared storage (non-file
@@ -290,6 +290,42 @@ def _resolve_side_dir(spark, side_dir: str | None) -> str:
         "spark.graft.sideDir conf, or point spark.sql.warehouse.dir at "
         "shared storage."
     )
+
+
+_SIDE_STAGE_COUNTER = iter(range(1 << 62))
+
+
+def _stage_side_path(spark, side_dir: str | None) -> str:
+    """A UNIQUE staging path for ONE call's side matrix.
+
+    Every call writes to a fresh ``<base>/<appId>-<n>/matrix.parquet``
+    subdirectory instead of overwriting a shared path. Two failure modes
+    that uniqueness closes (both silent-wrong-result on a cluster):
+
+    - long-lived Python workers cache the loaded matrix per PATH
+      (``_load_side_matrix``) with no freshness check — an overwrite of a
+      reused path would serve call #1's vectors to call #2;
+    - Spark plans are lazy — a still-unexecuted DataFrame from call #1
+      would read call #2's matrix after an overwrite.
+
+    The appId prefix keeps concurrent sessions sharing one
+    ``spark.graft.sideDir`` from colliding; the counter keeps calls
+    within a session apart. Stagings this process created are removed at
+    interpreter exit (local paths only); the base dir itself is never
+    deleted unless this call created it via mkdtemp."""
+    import tempfile
+
+    explicit = bool(side_dir) or spark.conf.get("spark.graft.sideDir", None)
+    base = _resolve_side_dir(spark, side_dir)
+    app_id = spark.sparkContext.applicationId
+    staging = f"{base.rstrip('/')}/{app_id}-{next(_SIDE_STAGE_COUNTER)}"
+    # Remove what THIS process created: the per-call staging always; the
+    # base too when _resolve_side_dir mkdtemp'd it (never a user-owned
+    # explicit/conf dir — retention there belongs to the caller).
+    _register_side_cleanup(staging)
+    if not explicit and base.startswith(tempfile.gettempdir()):
+        _register_side_cleanup(base)
+    return staging + "/matrix.parquet"
 
 
 def cosine_threshold_pairs_exact(
@@ -323,10 +359,11 @@ def cosine_threshold_pairs_exact(
     a shared-storage location is chosen on a real cluster) and loaded at
     most once per Python worker process (process-level cache) — the
     driver never holds the vectors, so the cap bounds worker memory, not
-    driver memory. The staged file is removed at interpreter exit
-    (best-effort); repeated calls with the same resolved dir reuse the
-    same path with mode=overwrite, so steady-state storage is one
-    matrix.
+    driver memory. Each call stages to a UNIQUE subdirectory of the
+    resolved dir (``_stage_side_path``) so a later call can never
+    invalidate a still-lazy plan or a worker's path-keyed cache from an
+    earlier one; stagings this process created are removed at
+    interpreter exit (best-effort, local paths only).
     """
     spark = corpus.sparkSession
     total = corpus.count()
@@ -337,8 +374,7 @@ def cosine_threshold_pairs_exact(
         )
     if total == 0:
         return spark.createDataFrame([], "id1 long, id2 long, sim double")
-    side_path = _resolve_side_dir(spark, side_dir).rstrip("/") + "/matrix.parquet"
-    _register_side_cleanup(side_path)
+    side_path = _stage_side_path(spark, side_dir)
     (
         corpus.select(
             F.col(id_col).cast("long").alias("id"),
@@ -383,11 +419,12 @@ _SIDE_CLEANUP_PATHS: set = set()
 def _register_side_cleanup(side_path: str) -> None:
     """Best-effort removal of staged side matrices at interpreter exit.
 
-    Local paths are removed with shutil; remote (scheme-qualified) paths
-    are left to the storage layer's retention policy — deleting them
-    through the Hadoop FS would race with executors of still-running
-    jobs, and the overwrite-in-place convention bounds steady-state
-    usage to one matrix per resolved dir anyway."""
+    Only paths THIS process created are registered (per-call staging
+    subdirs, plus mkdtemp bases — see ``_stage_side_path``), so a
+    user-owned ``side_dir``/conf dir is never rmtree'd. Local paths are
+    removed with shutil; remote (scheme-qualified) paths are left to the
+    storage layer's retention policy — deleting them through the Hadoop
+    FS would race with executors of still-running jobs."""
     if not _SIDE_CLEANUP_PATHS:
         import atexit
 
@@ -408,7 +445,9 @@ _SIDE_MATRIX_CACHE: dict = {}
 def _load_side_matrix(path: str):
     """(ids int64[n], matrix f64[n,d], norms f64[n]) from a staged parquet
     side file — cached per Python worker process so a task wave pays one
-    load, not one per batch/task."""
+    load, not one per batch/task. Keying on the bare path is sound
+    because ``_stage_side_path`` never reuses one: a staged path is
+    written exactly once, so a cache hit can never be stale."""
     hit = _SIDE_MATRIX_CACHE.get(path)
     if hit is not None:
         return hit

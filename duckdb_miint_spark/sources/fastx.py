@@ -224,12 +224,17 @@ def _is_gzip(path: str) -> bool:
 
 def _is_bgzf(path: str) -> bool:
     """True for BGZF (bgzip) files — gzip members carrying the BC extra
-    subfield. Plain gzip is NOT splittable; BGZF is, on block bounds."""
+    subfield. Plain gzip is NOT splittable; BGZF is, on block bounds.
+
+    Reads a full 64 KiB header window, not just the fixed 18-byte
+    prefix: a valid BGZF extra field may carry additional subfields
+    before/after BC (xlen > 6), and an under-read would misclassify such
+    files as unsplittable plain gzip (silent loss of scan parallelism)."""
     from duckdb_miint_spark.sources.sam import _bgzf_block_size
 
     with open(path, "rb") as f:
-        head = f.read(18)
-    return len(head) == 18 and _bgzf_block_size(head, 0) is not None
+        head = f.read(65536)
+    return len(head) >= 18 and _bgzf_block_size(head, 0) is not None
 
 
 def _sniff_fastq(path: str) -> bool:

@@ -40,6 +40,7 @@ import io
 import json
 import os
 import struct
+import warnings
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -671,7 +672,11 @@ def _parse_csi_voffsets(data: bytes) -> list[int]:
 def _bam_index_voffsets(path: str) -> list[int] | None:
     """Sorted record-start virtual offsets from ``<path>.bai`` /
     ``<path>.csi`` (also ``x.bai`` next to ``x.bam``), or None when no
-    index exists / it holds no offsets. Cached per (path, mtime)."""
+    index exists / it holds no offsets / it is STALE (older than the
+    BAM — a rewritten BAM under an old index would yield virtual offsets
+    that are not record starts, and the length-prefix walk would
+    misparse). Cached per (index path, index mtime, BAM mtime)."""
+    bam_mtime = os.path.getmtime(path) if os.path.exists(path) else 0.0
     candidates = [path + ".bai", path + ".csi"]
     root, ext = os.path.splitext(path)
     if ext == ".bam":
@@ -679,7 +684,14 @@ def _bam_index_voffsets(path: str) -> list[int] | None:
     for idx_path in candidates:
         if not os.path.exists(idx_path):
             continue
-        key = (idx_path, os.path.getmtime(idx_path))
+        if os.path.getmtime(idx_path) < bam_mtime:
+            warnings.warn(
+                f"Ignoring stale index {idx_path} (older than {path}); "
+                "falling back to record-start scanning",
+                stacklevel=2,
+            )
+            continue
+        key = (idx_path, os.path.getmtime(idx_path), bam_mtime)
         hit = _INDEX_CACHE.get(key)
         if hit is not None:
             return hit or None

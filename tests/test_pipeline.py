@@ -469,8 +469,12 @@ def test_jaccard_prefix_ceil_epsilon(spark):
 
 
 def test_exact_pairs_explicit_side_dir(spark, tmp_path):
-    """An explicit side_dir is honored (the staged matrix lands there)
-    and the result is identical to the default-tempdir path."""
+    """An explicit side_dir is honored (the staged matrix lands in a
+    unique per-call subdirectory of it) and the result is identical to
+    the default-tempdir path."""
+    import glob as _glob
+    import os
+
     from duckdb_miint_spark.pipeline.similarity import (
         _resolve_side_dir,
         cosine_threshold_pairs_exact,
@@ -482,9 +486,8 @@ def test_exact_pairs_explicit_side_dir(spark, tmp_path):
         (r["id1"], r["id2"], r["sim"])
         for r in cosine_threshold_pairs_exact(e, threshold=0.45, side_dir=side).collect()
     }
-    import os
-
-    assert os.path.isdir(os.path.join(side, "matrix.parquet")), "matrix not staged in side_dir"
+    staged = _glob.glob(os.path.join(side, "*", "matrix.parquet"))
+    assert staged, "matrix not staged under side_dir"
     default = {
         (r["id1"], r["id2"], r["sim"])
         for r in cosine_threshold_pairs_exact(e, threshold=0.45).collect()
@@ -500,6 +503,33 @@ def test_exact_pairs_explicit_side_dir(spark, tmp_path):
         spark.conf.unset("spark.graft.sideDir")
     # local master without conf: a fresh tempdir, never an error
     assert _resolve_side_dir(spark, None)
+
+
+def test_exact_pairs_side_dir_reuse_not_stale(spark, tmp_path):
+    """Two calls sharing one side_dir must not cross-contaminate: the
+    FIRST call's plan, collected only after the SECOND call staged a
+    different corpus, still scores the first corpus (regression for the
+    overwrite-in-place staging + path-keyed worker cache)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_miint_spark.pipeline.similarity import cosine_threshold_pairs_exact
+
+    side = str(tmp_path / "shared")
+    c1 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])], ["vec_id", "embedding"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    c2 = spark.createDataFrame(
+        [(10, [0.0, 1.0]), (11, [1.0, 0.0])], ["vec_id", "embedding"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+
+    lazy1 = cosine_threshold_pairs_exact(c1, threshold=0.99, side_dir=side)
+    out2 = {
+        (r["id1"], r["id2"])
+        for r in cosine_threshold_pairs_exact(c2, threshold=0.99, side_dir=side).collect()
+    }
+    out1 = {(r["id1"], r["id2"]) for r in lazy1.collect()}  # collected AFTER call 2
+    assert out1 == {(1, 2)}, f"stale side matrix served to call 1: {out1}"
+    assert out2 == set(), f"corpus-2 vectors are orthogonal; got {out2}"
 
 
 def test_passjoin_exact_vs_naive(spark):

@@ -522,3 +522,43 @@ def test_bam_index_parsers_bai_csi(tmp_path):
     open(bam, "wb").close()
     open(bam + ".csi", "wb").write(bytes(csi))
     assert _bam_index_voffsets(bam) == sorted(set(voffs))
+
+    # a STALE index (older than a rewritten BAM) is ignored with a warning
+    import os
+    import warnings as warnings_mod
+
+    idx_mtime = os.path.getmtime(bam + ".csi")
+    os.utime(bam, (idx_mtime + 10, idx_mtime + 10))
+    with warnings_mod.catch_warnings(record=True) as w:
+        warnings_mod.simplefilter("always")
+        assert _bam_index_voffsets(bam) is None
+        assert any("stale index" in str(x.message).lower() for x in w)
+    # freshening the index restores it
+    os.utime(bam + ".csi", (idx_mtime + 20, idx_mtime + 20))
+    assert _bam_index_voffsets(bam) == sorted(set(voffs))
+
+
+def test_is_bgzf_extra_subfields(tmp_path):
+    """_is_bgzf recognizes BGZF whose gzip extra field carries subfields
+    besides BC (xlen > 6) — such files must keep block-bound splitting."""
+    import struct
+    import zlib
+
+    from duckdb_miint_spark.sources.fastx import _is_bgzf
+
+    payload = b"@r1\nACGT\n+\nIIII\n"
+    comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = comp.compress(payload) + comp.flush()
+    # extra: a 4-byte 'ZZ' subfield BEFORE BC, then BC
+    extra = b"ZZ" + struct.pack("<H", 4) + b"\x00" * 4
+    extra += b"BC" + struct.pack("<H", 2) + b"\x00\x00"
+    xlen = len(extra)
+    hdr = b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff" + struct.pack("<H", xlen) + extra
+    bsize = len(hdr) + len(body) + 8
+    blob = bytearray(hdr + body + struct.pack("<I", zlib.crc32(payload)) + struct.pack("<I", len(payload)))
+    # patch BSIZE (stored value = total block size - 1) into the BC subfield
+    bc_off = 12 + xlen - 2
+    blob[bc_off : bc_off + 2] = struct.pack("<H", bsize - 1)
+    p = str(tmp_path / "x.fastq.gz")
+    open(p, "wb").write(bytes(blob))
+    assert _is_bgzf(p), "BGZF with extra subfields before BC must be detected"
