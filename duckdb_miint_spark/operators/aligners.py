@@ -357,8 +357,10 @@ class MappyBackend:
         return rows
 
 
-def _mappy_backend(subjects, preset, k, w, max_secondary):
-    return MappyBackend(subjects, preset=preset, k=k, w=w, max_secondary=max_secondary)
+def _mappy_backend(subjects, preset, k, w, max_secondary, eqx=True):
+    return MappyBackend(
+        subjects, preset=preset, k=k, w=w, max_secondary=max_secondary, eqx=eqx
+    )
 
 
 # --- align_minimap2 ----------------------------------------------------------
@@ -373,15 +375,38 @@ def align_minimap2(
     max_secondary: int = 5,
     k: int | None = None,
     w: int | None = None,
+    eqx: bool = True,
+    per_subject_database: bool = False,
     backend_factory: Callable | None = None,
 ) -> DataFrame:
     """Align query reads against subjects; 21-column alignment output.
 
     Exactly one of ``subject_table`` / ``index_path`` (align_minimap2.cpp:
-    32-58). Real execution needs mappy/minimap2; tests inject
+    32-58). ``eqx`` toggles =/X CIGAR operators (align_minimap2.cpp named
+    parameter, default true; Minimap2Aligner.cpp:74-282).
+
+    ``per_subject_database=True`` (align_minimap2.cpp:49-58,149-195)
+    builds ONE INDEX PER SUBJECT and aligns every query against each
+    subject's own database — primary/secondary competition happens
+    within a single subject, so a query hits its best location in EVERY
+    subject instead of only the globally best subject. Incompatible with
+    ``index_path`` (a prebuilt index already contains all subjects).
+    Spark shape: the reference iterates subjects on one thread with all
+    queries in memory; here queries stay distributed (mapInPandas) and
+    each task loops the per-subject backends — same output union,
+    query-parallel. Each worker builds every subject's index once, so
+    keep per-subject mode for the many-queries × few-small-subjects
+    shape it exists for.
+
+    Real execution needs mappy/minimap2; tests inject
     ``backend_factory`` (e.g. ExactMatchBackend)."""
     if (subject_table is None) == (index_path is None):
         raise AlignerError("Exactly one of subject_table or index_path must be provided")
+    if per_subject_database and index_path is not None:
+        raise AlignerError(
+            "per_subject_database mode is incompatible with index_path. "
+            "Pre-built indexes contain all subjects."
+        )
     for col in ("read_id", "sequence1"):
         if col not in query_table.columns:
             raise AlignerError(f"query table missing required column: {col}")
@@ -392,7 +417,7 @@ def align_minimap2(
                 "of which is available in this container; pass backend_factory "
                 "to use a custom backend"
             )
-        backend_factory = lambda subs: _mappy_backend(subs, preset, k, w, max_secondary)  # noqa: E731
+        backend_factory = lambda subs: _mappy_backend(subs, preset, k, w, max_secondary, eqx)  # noqa: E731
 
     if subject_table is not None:
         for col in ("read_id", "sequence1"):
@@ -425,16 +450,24 @@ def align_minimap2(
     in_cols = ["read_id", "sequence1"] + (["sequence2"] if paired else [])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        backend = backend_factory(bc.value)
-        accepts_pair = paired and hasattr(backend, "_align_paired")
+        if per_subject_database:
+            # one single-subject backend per subject, reference subject
+            # order preserved (align_minimap2.cpp:178-195 iterates
+            # subjects in table order; union of rows is order-insensitive
+            # but secondary caps apply per subject here exactly as there)
+            backends = [backend_factory([s]) for s in bc.value]
+        else:
+            backends = [backend_factory(bc.value)]
+        accepts_pair = paired and all(hasattr(b, "_align_paired") for b in backends)
         for pdf in batches:
             rows: list[tuple] = []
             for rec in pdf.itertuples(index=False):
                 seq2 = getattr(rec, "sequence2", None) if paired else None
-                if accepts_pair and seq2:
-                    rows.extend(backend.align(rec.read_id, rec.sequence1 or "", seq2))
-                else:
-                    rows.extend(backend.align(rec.read_id, rec.sequence1 or ""))
+                for backend in backends:
+                    if accepts_pair and seq2:
+                        rows.extend(backend.align(rec.read_id, rec.sequence1 or "", seq2))
+                    else:
+                        rows.extend(backend.align(rec.read_id, rec.sequence1 or ""))
             yield pd.DataFrame(rows, columns=ALIGN_COLUMNS)
 
     return query_table.select(*in_cols).mapInPandas(run, schema_ddl)
@@ -505,6 +538,7 @@ def align_minimap2_sharded(
     read_to_shard: DataFrame,
     preset: str = "sr",
     max_secondary: int = 5,
+    eqx: bool = True,
     backend_factory: Callable | None = None,
     shard_subjects: dict[str, list[tuple[str, str]]] | None = None,
 ) -> DataFrame:
@@ -531,10 +565,10 @@ def align_minimap2_sharded(
             if isinstance(shard_or_subjects, str):
                 return MappyBackend(
                     os.path.join(shard_dir, f"{shard_or_subjects}.mmi"),
-                    preset=preset, max_secondary=max_secondary,
+                    preset=preset, max_secondary=max_secondary, eqx=eqx,
                 )
             return MappyBackend(
-                shard_or_subjects, preset=preset, max_secondary=max_secondary
+                shard_or_subjects, preset=preset, max_secondary=max_secondary, eqx=eqx
             )
 
     routed = (

@@ -216,6 +216,70 @@ def q_align_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "align_minimap2_per_subject",
+    oracle="""
+WITH queries AS (
+  SELECT * FROM (VALUES ('q1', 'ACGTACGT'), ('q2', 'TTTTT'), ('q4', 'ACGT'))
+  AS t(read_id, sequence1)
+),
+subjects AS (
+  SELECT * FROM (VALUES (1, 'ref1', 'AAAACGTACGTTTTT'), (2, 'ref2', 'GGGGACGTACGTCCCC'))
+  AS t(ord, name, seq)
+),
+hits AS (
+  SELECT q.read_id, s.ord, s.name AS reference, gs.i AS position,
+         gs.i + length(q.sequence1) AS stop_position,
+         length(q.sequence1) AS qlen
+  FROM queries q
+  JOIN subjects s ON TRUE
+  JOIN LATERAL (
+    SELECT CAST(unnest(range(1, length(s.seq) + 1)) AS BIGINT) AS i
+  ) gs ON substr(s.seq, CAST(gs.i AS INTEGER), length(q.sequence1)) = q.sequence1
+),
+ranked AS (
+  -- per-subject databases: primary/secondary ranking restarts per subject
+  SELECT read_id, ord, reference, position, stop_position, qlen,
+         ROW_NUMBER() OVER (PARTITION BY read_id, ord ORDER BY position) AS rn
+  FROM hits
+)
+SELECT read_id,
+       CASE WHEN rn = 1 THEN 0 ELSE 256 END AS flags,
+       reference, position, stop_position,
+       CAST(qlen AS STRING) || 'M' AS cigar
+FROM ranked
+UNION ALL
+SELECT q.read_id, 4 AS flags, '*' AS reference, CAST(0 AS BIGINT), CAST(0 AS BIGINT), '*'
+FROM queries q JOIN subjects s ON TRUE
+WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.read_id = q.read_id AND h.ord = s.ord)
+ORDER BY read_id, flags, reference, position
+""",
+    tags=("compute", "aligner"),
+)
+def q_align_per_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """align_minimap2(per_subject_database=True) — one index per subject
+    (align_minimap2.cpp:49-58,149-195): primary/secondary competition is
+    WITHIN each subject's own database, so q1 is primary in both refs
+    (combined mode demotes the ref2 hit to secondary), q4's duplicate
+    sites rank per subject, and an unmapped read reports once per
+    subject DB. Oracle restates the semantics with a per-(read, subject)
+    ROW_NUMBER."""
+    q = spark.createDataFrame(
+        [("q1", "ACGTACGT"), ("q2", "TTTTT"), ("q4", "ACGT")], ["read_id", "sequence1"]
+    )
+    s = spark.createDataFrame(
+        [("ref1", "AAAACGTACGTTTTT"), ("ref2", "GGGGACGTACGTCCCC")], ["read_id", "sequence1"]
+    )
+    out = align_minimap2(
+        spark, q, subject_table=s,
+        per_subject_database=True, backend_factory=ExactMatchBackend,
+    )
+    return out.select(
+        "read_id", F.col("flags").cast("int").alias("flags"), "reference",
+        "position", "stop_position", "cigar",
+    ).orderBy("read_id", "flags", "reference", "position")
+
+
+@register(
     "align_sharded_routing",
     oracle="""
 WITH queries AS (

@@ -90,6 +90,85 @@ def test_align_minimap2_validation(spark):
         align_minimap2(spark, q.drop("sequence1"), subject_table=s)
 
 
+def test_align_minimap2_per_subject_database(spark):
+    """per_subject_database=True (align_minimap2.cpp:49-58,149-195): every
+    query aligns against each subject's OWN single-subject index, so q1
+    (which hits both refs) gets a PRIMARY hit in each — not primary +
+    secondary as in combined-index mode — and the unmapped q3 reports
+    once per subject database."""
+    q = spark.createDataFrame(QUERIES, ["read_id", "sequence1"])
+    s = spark.createDataFrame(SUBJECTS, ["read_id", "sequence1"])
+    out = align_minimap2(
+        spark, q, subject_table=s,
+        per_subject_database=True, backend_factory=ExactMatchBackend,
+    )
+    rows = sorted(
+        (r["read_id"], r["flags"], r["reference"], r["position"])
+        for r in out.collect()
+    )
+    assert ("q1", 0, "ref1", 4) in rows
+    assert ("q1", 0, "ref2", 5) in rows  # PRIMARY in its own database
+    assert not any(f & 0x100 for _, f, _, _ in rows)  # no cross-subject secondaries
+    assert rows.count(("q3", 4, "*", 0)) == 2  # unmapped once per subject DB
+
+    # combined mode on the same input: q1's ref2 hit is a secondary
+    combined = align_minimap2(spark, q, subject_table=s, backend_factory=ExactMatchBackend)
+    crow = {(r["read_id"], r["reference"]): r["flags"] for r in combined.collect()}
+    assert crow[("q1", "ref2")] == 0x100
+
+
+def test_align_minimap2_per_subject_index_path_incompatible(spark):
+    q = spark.createDataFrame(QUERIES, ["read_id", "sequence1"])
+    with pytest.raises(AlignerError, match="incompatible with index_path"):
+        align_minimap2(
+            spark, q, index_path="x.mmi",
+            per_subject_database=True, backend_factory=ExactMatchBackend,
+        )
+
+
+def test_mappy_backend_eqx_passthrough(monkeypatch):
+    """eqx reaches mappy.Aligner's extra_flags through MappyBackend AND
+    through align_minimap2's default backend factory: eqx=False must drop
+    MM_F_EQX (M-op CIGARs), eqx=True (default) must set it."""
+    import sys
+    import types
+
+    from duckdb_miint_spark.operators.aligners import (
+        MM_F_EQX,
+        MM_F_OUT_MD,
+        MappyBackend,
+        _mappy_backend,
+    )
+
+    captured = {}
+
+    class FakeAligner:
+        def __init__(self, fn, **kwargs):
+            captured.update(kwargs)
+
+        def __bool__(self):
+            return True
+
+        def map(self, *a, **k):
+            return iter(())
+
+    fake = types.ModuleType("mappy")
+    fake.Aligner = FakeAligner
+    monkeypatch.setitem(sys.modules, "mappy", fake)
+
+    MappyBackend([("r", "ACGT")], eqx=False)
+    assert not captured["extra_flags"] & MM_F_EQX
+    assert captured["extra_flags"] & MM_F_OUT_MD  # MD stays on regardless
+
+    MappyBackend([("r", "ACGT")])  # default eqx=True
+    assert captured["extra_flags"] & MM_F_EQX
+
+    # default-factory path (what align_minimap2 builds when no
+    # backend_factory is injected) forwards the public kwarg
+    _mappy_backend([("r", "ACGT")], "sr", None, None, 5, False)
+    assert not captured["extra_flags"] & MM_F_EQX
+
+
 def test_align_minimap2_sharded_routing(spark):
     q = spark.createDataFrame(QUERIES, ["read_id", "sequence1"])
     routing = spark.createDataFrame(
