@@ -55,13 +55,23 @@ def passjoin_pairs(
     k: int = 2,
     id_col: str = "id",
     text_col: str = "text",
+    expand: bool = True,
 ) -> DataFrame:
     """(a_id, b_id, dist): all unordered pairs with levenshtein <= k.
 
     ``strings`` should carry one row per (id, text); ids must be
     distinct. Pairs are emitted once with a_id < b_id. Exact — see the
     module docstring for the completeness argument.
-    """
+
+    ``expand=False`` returns VALUE-level pairs with multiplicities
+    instead of expanded row pairs: (a_sid, b_sid, dist, n_pairs) where
+    a_sid/b_sid are canonical value ids (min row id per distinct text),
+    cross-value rows carry ``n_pairs = copies_a * copies_b`` and
+    same-value groups appear once as (vid, vid, 0, C(copies, 2)). The
+    information content equals the row-pair form, but the OUTPUT stays
+    linear in distinct-value pairs even on duplicate-heavy corpora where
+    the expanded form is quadratic in rows (e.g. 400k rows over 64
+    values → ~10⁹ row pairs, unmaterializable by any engine)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     n = k + 1
@@ -178,6 +188,25 @@ def passjoin_pairs(
         .distinct()
     )
     value_pairs = long_pairs.unionByName(sh)  # pairs between DISTINCT texts
+
+    if not expand:
+        na = s.select(F.col("sid").alias("a_sid"), F.col("__copies").alias("na"))
+        nb = s.select(F.col("sid").alias("b_sid"), F.col("__copies").alias("nb"))
+        cross_counted = (
+            value_pairs.join(na, "a_sid")
+            .join(nb, "b_sid")
+            .select(
+                "a_sid", "b_sid", "dist",
+                (F.col("na") * F.col("nb")).cast("long").alias("n_pairs"),
+            )
+        )
+        same_counted = s.filter(F.col("__copies") > 1).select(
+            F.col("sid").alias("a_sid"),
+            F.col("sid").alias("b_sid"),
+            F.lit(0).cast("long").alias("dist"),
+            F.expr("CAST(__copies * (__copies - 1) DIV 2 AS LONG)").alias("n_pairs"),
+        )
+        return cross_counted.unionByName(same_counted)
 
     # Expand value pairs back to row pairs (both orientations so the row
     # id order is free), and add identical-text row pairs (dist 0).

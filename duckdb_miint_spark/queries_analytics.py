@@ -481,11 +481,27 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "passjoin_name_pairs",
+    # Value-level gate: the driver's part corpus is duplicate-heavy
+    # (sf0.1: 20k rows over 64 distinct names), so the EXPANDED row-pair
+    # answer is quadratic in rows (sf2: ~10⁹ pairs — unmaterializable by
+    # either engine). Gating on distinct-value pairs + multiplicities
+    # carries identical information with output linear in value pairs,
+    # so the same gate holds from sf0.01 through the at-scale replays.
+    # Row-pair expansion itself is equivalence-tested against the naive
+    # all-pairs join in tests/test_pipeline.py::test_passjoin_exact_vs_naive.
     oracle="""
-SELECT a.p_partkey AS a_sid, b.p_partkey AS b_sid,
-       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WITH v AS (
+  SELECT p_name, CAST(MIN(p_partkey) AS BIGINT) AS vid, COUNT(*) AS n
+  FROM part GROUP BY p_name
+)
+SELECT a.vid AS a_sid, b.vid AS b_sid,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       a.n * b.n AS n_pairs
+FROM v a JOIN v b ON a.vid < b.vid
 WHERE levenshtein(a.p_name, b.p_name) <= 2
+UNION ALL
+SELECT vid, vid, CAST(0 AS BIGINT), n * (n - 1) // 2
+FROM v WHERE n > 1
 ORDER BY a_sid, b_sid
 """,
     tags=("pipeline", "fuzzy"),
@@ -494,16 +510,17 @@ def q_passjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GLOBAL edit-distance join (levenshtein <= 2, no blocking key at
     all) via PassJoin segment pigeonhole — the scalable complement to
     ``fuzzy_name_pairs``'s value-dedup: linear equi-join candidate
-    generation that holds even when every value is unique. The oracle is
-    the naive all-pairs join; at the gate's sf0.01 that is ~4M DP evals
-    for DuckDB while the Spark side generates candidates by segment
-    join. See pipeline/editjoin.py for the completeness argument."""
+    generation that holds even when every value is unique. Gated at the
+    value level (canonical id per distinct name, pair multiplicities)
+    so the comparison stays materializable on the duplicate-heavy part
+    corpus at every scale. See pipeline/editjoin.py for the
+    completeness argument."""
     from duckdb_miint_spark.pipeline.editjoin import passjoin_pairs
 
     part = T(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("id"), F.col("p_name").alias("text")
     )
-    return passjoin_pairs(part, k=2, id_col="id", text_col="text").orderBy(
+    return passjoin_pairs(part, k=2, id_col="id", text_col="text", expand=False).orderBy(
         "a_sid", "b_sid"
     )
 

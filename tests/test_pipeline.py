@@ -595,6 +595,54 @@ def test_passjoin_exact_vs_naive(spark):
     assert not extra, f"passjoin emitted {len(extra)} false pairs: {sorted(extra)[:5]}"
 
 
+def test_passjoin_value_level_matches_expansion(spark):
+    """expand=False (value pairs + multiplicities) must carry exactly the
+    information of the expanded row-pair form: expanding the counted
+    value pairs by value membership reproduces the row-level result, and
+    the multiplicities sum to the row-pair count."""
+    from duckdb_miint_spark.pipeline.editjoin import passjoin_pairs
+
+    rows = [
+        (1, "kettle"), (2, "kettle"), (3, "kettle"),   # 3 copies -> C(3,2) dist-0
+        (4, "kettles"), (5, "kettles"),                # dist 1 to kettle, 2 copies
+        (6, "cauldron"),                               # isolated
+        (7, "kettle"),                                 # late row id, same value
+        (8, "beetle"),                                 # dist 2 from kettle
+    ]
+    df = spark.createDataFrame(rows, "id: long, text: string")
+    row_pairs = {
+        (r["a_sid"], r["b_sid"], r["dist"])
+        for r in passjoin_pairs(df, k=2, id_col="id", text_col="text").collect()
+    }
+    value_pairs = [
+        (r["a_sid"], r["b_sid"], r["dist"], r["n_pairs"])
+        for r in passjoin_pairs(
+            df, k=2, id_col="id", text_col="text", expand=False
+        ).collect()
+    ]
+    # canonical ids: kettle -> 1 (4 copies), kettles -> 4 (2 copies)
+    assert sorted(value_pairs) == [(1, 1, 0, 6), (1, 4, 1, 8), (1, 8, 2, 4), (4, 4, 0, 1)]
+    # multiplicities account for every row pair
+    assert sum(n for *_ , n in value_pairs) == len(row_pairs)
+    # expanding by value membership reproduces the row-level answer
+    by_text: dict = {}
+    for i, t in rows:
+        by_text.setdefault(t, []).append(i)
+    canon = {min(ids): ids for ids in by_text.values()}
+    expanded = set()
+    for a_vid, b_vid, dist, _n in value_pairs:
+        if a_vid == b_vid:
+            ids = canon[a_vid]
+            expanded |= {
+                (x, y, 0) for i, x in enumerate(ids) for y in ids[i + 1:] if x < y
+            } | {(y, x, 0) for i, x in enumerate(ids) for y in ids[i + 1:] if y < x}
+        else:
+            for x in canon[a_vid]:
+                for y in canon[b_vid]:
+                    expanded.add((min(x, y), max(x, y), dist))
+    assert expanded == row_pairs
+
+
 def test_passjoin_no_cartesian_plan(spark):
     """The candidate generation must be an equi-join — no
     CartesianProduct / BroadcastNestedLoopJoin on the long-string path."""
