@@ -172,6 +172,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tests assert parquet pushdown on the raw scans, and at cluster scale
     inputs are many-file / many-row-group so the repair is moot.
     """
+    # Opt-in bucketed layout: when spark.graft.bucketedLayout=true and a
+    # catalog table graft_b_<name> exists (written by
+    # storage.write_bucketed, e.g. via tools/bucketed_ab.py), serve that
+    # instead of the plain parquet file. Joins/aggregations on the bucket
+    # key then run with NO Exchange on the bucketed side — the
+    # 100×-scale layout recommendation for fact-to-fact joins
+    # (orders ⋈ lineitem); see PERF.md "bucketed-layout A/B".
+    try:
+        if spark.conf.get("spark.graft.bucketedLayout", "false") == "true":
+            tbl = f"graft_b_{name}"
+            if spark.catalog.tableExists(tbl):
+                return spark.table(tbl)
+    except Exception:  # noqa: BLE001 — catalog access is best-effort
+        pass
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     pin = _pin_bytes()

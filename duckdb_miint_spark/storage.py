@@ -34,7 +34,28 @@ def write_bucketed(
 ) -> None:
     """Write ``df`` as a bucketed (and optionally per-bucket sorted)
     catalog table. Joins/aggregations on ``bucket_cols`` against any
-    table bucketed the same way run with no Exchange."""
+    table bucketed the same way run with no Exchange.
+
+    Overwrites an existing table of the same name; also clears a stale
+    managed-table LOCATION left by a previous process (the in-memory
+    catalog forgets the table at session exit but the warehouse files
+    survive, and saveAsTable refuses to reuse the location)."""
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    wh_path = None
+    if warehouse.startswith("file:"):
+        wh_path = warehouse[len("file:"):]
+    elif "://" not in warehouse:
+        wh_path = warehouse
+    if wh_path:
+        stale = os.path.join(wh_path, table.lower())
+        if os.path.exists(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+
     bucket_cols = list(bucket_cols)
     sort_cols = list(sort_cols) if sort_cols else bucket_cols
     writer = (

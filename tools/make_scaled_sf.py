@@ -78,7 +78,14 @@ def make_scaled(src_dir: str, out_dir: str, factor: int) -> None:
         if not os.path.exists(src):
             continue
         base = pq.read_table(src)
-        row_group_rows = max(64 * 1024, min(1 << 20, base.num_rows))
+        # Row-group granularity IS Spark's scan-split granularity: a task
+        # only does work if its byte range contains a row-group start, so
+        # a big table needs comfortably more groups than cores for native
+        # (unpinned) scan parallelism. 128k-row groups put lineitem at
+        # ~2 MB compressed per group (~95 groups at sf2, ~470 at sf10) —
+        # finer than the one-group-per-copy layout this replaced, while
+        # staying far above parquet's metadata-overhead floor.
+        row_group_rows = max(64 * 1024, min(128 * 1024, base.num_rows))
         with pq.ParquetWriter(os.path.join(out_dir, f"{t}.parquet"), base.schema) as w:
             for i in range(factor):
                 c = base if i == 0 else _shift_keys(base, keys, i)
