@@ -183,7 +183,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if spark.conf.get("spark.graft.bucketedLayout", "false") == "true":
             tbl = f"graft_b_{name}"
             if spark.catalog.tableExists(tbl):
-                return spark.table(tbl)
+                t = spark.table(tbl)
+                if _pin_bytes() > 0:
+                    # same warm-input treatment as the plain path, but
+                    # WITHOUT the repartition — a repartition would throw
+                    # away the bucketed distribution this layout exists
+                    # for. InMemoryRelation preserves the child's
+                    # HashPartitioning, so joins on the bucket key stay
+                    # Exchange-free off the cache.
+                    key = (spark.sparkContext.applicationId, "__bucketed__", tbl)
+                    cached = _SMALL_INPUT_CACHE.get(key)
+                    if cached is None:
+                        t = t.cache()
+                        t.count()
+                        _SMALL_INPUT_CACHE[key] = t
+                    else:
+                        t = cached
+                return t
     except Exception:  # noqa: BLE001 — catalog access is best-effort
         pass
     path = os.path.join(sf_dir, f"{name}.parquet")
