@@ -142,9 +142,15 @@ def size_session_for_input(spark: SparkSession, input_bytes: int) -> int:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     # openCostInBytes floors the split size (maxSplitBytes >= openCost):
     # the 4 MB default makes a 6 MB compressed-text table a 2-task scan,
-    # serializing CPU-heavy per-row work. Scale it down with the input,
-    # clamped so many-small-file reads at 100 TB don't over-fragment.
-    open_cost = max(256 << 10, min(4 << 20, input_bytes // (8 * cores)))
+    # serializing CPU-heavy per-row work. Scale it down with the input —
+    # aggressively (divisor 32*cores): a small compressed-text table
+    # (documents at sf2: 12 MB) carries seconds of per-row CPU, so its
+    # scan must split to full parallelism even though its share of the
+    # input bytes is tiny (r7: an 8*cores divisor floored it at 1.3 MB →
+    # 10 of 32 cores on simhash/token/quality scans, +1-3 s each
+    # unpinned). Clamped so many-small-file reads at 100 TB (where
+    # input_bytes is huge and the 4 MB cap binds) don't over-fragment.
+    open_cost = max(64 << 10, min(4 << 20, input_bytes // (32 * cores)))
     spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
     return target
 

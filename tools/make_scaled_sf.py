@@ -80,12 +80,15 @@ def make_scaled(src_dir: str, out_dir: str, factor: int) -> None:
         base = pq.read_table(src)
         # Row-group granularity IS Spark's scan-split granularity: a task
         # only does work if its byte range contains a row-group start, so
-        # a big table needs comfortably more groups than cores for native
-        # (unpinned) scan parallelism. 128k-row groups put lineitem at
-        # ~2 MB compressed per group (~95 groups at sf2, ~470 at sf10) —
-        # finer than the one-group-per-copy layout this replaced, while
-        # staying far above parquet's metadata-overhead floor.
-        row_group_rows = max(64 * 1024, min(128 * 1024, base.num_rows))
+        # every table needs comfortably more groups than cores for native
+        # (unpinned) scan parallelism — including SMALL tables with
+        # CPU-heavy columns (documents: 12 MB compressed at sf2, but its
+        # text scans are seconds of per-row work; one group per copy left
+        # 12 of 32 cores idle). Target ~128 groups per table, capped at
+        # 128k rows/group so big tables stay ~2 MB compressed per group
+        # (lineitem: ~128 groups at sf2, ~470 at sf10).
+        total_rows = base.num_rows * factor
+        row_group_rows = max(512, min(128 * 1024, total_rows // 128))
         with pq.ParquetWriter(os.path.join(out_dir, f"{t}.parquet"), base.schema) as w:
             for i in range(factor):
                 c = base if i == 0 else _shift_keys(base, keys, i)
