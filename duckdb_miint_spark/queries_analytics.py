@@ -525,6 +525,87 @@ def q_passjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "passjoin_hash_corpus",
+    # PassJoin's native shape: a MOSTLY-UNIQUE corpus (the duplicate-heavy
+    # part.p_name shape is fuzzy_name_pairs' territory). Both engines
+    # derive the same corpus from part: one 12-hex-char md5 prefix per
+    # partkey (unique), plus ~1% planted near-duplicates (the 11-char
+    # prefix of the NEXT partkey's string — edit distance 1 by
+    # construction). The oracle runs the SAME PassJoin segment-pigeonhole
+    # algorithm in SQL (provably complete: if ed(a,b)<=2, one of b's 3
+    # even-partition segments appears exactly in a within +-2 of its home
+    # position; the +-2 start window is a superset of PassJoin's tight
+    # multi-match windows, and exact levenshtein verification removes the
+    # extras) — validated pair-for-pair against the naive all-pairs join
+    # at sf0.01, and linear at every scale, so this gate proves PassJoin
+    # at the at-scale replay dirs where a naive oracle cannot run.
+    # Assumes all strings >= 2(k+1) chars (true by construction: 11/12).
+    oracle="""
+WITH corpus AS (
+  SELECT CAST(p_partkey AS BIGINT) AS id,
+         substr(md5(CAST(p_partkey AS VARCHAR)), 1, 12) AS text
+  FROM part
+  UNION ALL
+  SELECT CAST(p_partkey AS BIGINT) + 1000000000000 AS id,
+         substr(md5(CAST(p_partkey + 1 AS VARCHAR)), 1, 11) AS text
+  FROM part WHERE p_partkey % 97 = 0
+),
+s AS (SELECT id, text, CAST(length(text) AS BIGINT) AS len FROM corpus),
+seg AS (
+  SELECT id, text, len, ii.i AS i,
+         substr(text, (ii.i * (len // 3) + LEAST(ii.i, len % 3)) + 1,
+                      (len // 3 + CASE WHEN ii.i < len % 3 THEN 1 ELSE 0 END)) AS sgm
+  FROM s CROSS JOIN (VALUES (0), (1), (2)) AS ii(i)
+),
+probe AS (
+  SELECT s.id, s.len, g.i AS i, g.Lp AS Lp, substr(s.text, g.st + 1, g.slen) AS sgm
+  FROM s, LATERAL (
+    SELECT ii.i AS i, ll.Lp AS Lp,
+           (ii.i * (ll.Lp // 3) + LEAST(ii.i, ll.Lp % 3)) + dd.d AS st,
+           (ll.Lp // 3 + CASE WHEN ii.i < ll.Lp % 3 THEN 1 ELSE 0 END) AS slen
+    FROM (VALUES (0), (1), (2)) AS ii(i),
+         (SELECT unnest(range(s.len - 2, s.len + 3)) AS Lp) AS ll,
+         (VALUES (-2), (-1), (0), (1), (2)) AS dd(d)
+  ) g
+  WHERE g.st >= 0 AND g.st + g.slen <= s.len AND g.slen > 0
+),
+cand AS (
+  SELECT DISTINCT LEAST(p.id, x.id) AS a_sid, GREATEST(p.id, x.id) AS b_sid
+  FROM probe p JOIN seg x ON p.i = x.i AND p.sgm = x.sgm AND p.Lp = x.len AND p.id <> x.id
+)
+SELECT c.a_sid, c.b_sid, CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM cand c JOIN s a ON c.a_sid = a.id JOIN s b ON c.b_sid = b.id
+WHERE levenshtein(a.text, b.text) <= 2
+ORDER BY a_sid, b_sid
+""",
+    tags=("pipeline", "fuzzy"),
+)
+def q_passjoin_hash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PassJoin over a mostly-unique derived corpus — the at-scale proof
+    of the segment machinery itself (passjoin_name_pairs gates the
+    duplicate-heavy shape at the value level). Corpus and oracle are
+    derived identically in both engines; output is linear in corpus
+    size (planted dist-1 pairs + rare md5-prefix coincidences)."""
+    from duckdb_miint_spark.pipeline.editjoin import passjoin_pairs
+
+    part = T(spark, sf_dir, "part").select("p_partkey")
+    base = part.select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 12).alias("text"),
+    )
+    planted = part.filter(F.col("p_partkey") % 97 == 0).select(
+        (F.col("p_partkey").cast("long") + F.lit(10**12)).alias("id"),
+        F.substring(
+            F.md5((F.col("p_partkey") + 1).cast("string")), 1, 11
+        ).alias("text"),
+    )
+    corpus = base.unionByName(planted)
+    return passjoin_pairs(corpus, k=2, id_col="id", text_col="text").orderBy(
+        "a_sid", "b_sid"
+    )
+
+
 # ------------------------------------------------------------ KMV sketch
 
 _KMV_K = 64

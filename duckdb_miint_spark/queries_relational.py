@@ -346,13 +346,18 @@ FROM events GROUP BY event_type ORDER BY event_type
 def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction from a string column, aggregated.
 
-    ``from_json`` with a one-field schema parses each document once into a
-    typed struct (Jackson streaming, no per-path re-parse and no
-    intermediate string) — measurably faster than ``get_json_object``,
-    and the single-parse shape is what scales when more keys are added."""
+    Spark 4 VARIANT (``parse_json`` → ``try_variant_get``): one parse per
+    document into the binary variant encoding, typed path access with no
+    intermediate string. Measured fastest of the honest general-JSON
+    forms at sf2 (variant 0.49 s vs from_json 0.56 s vs get_json_object
+    0.63 s, median-of-3) — and variant is the representation that scales
+    when more keys/paths are added (columnar shredding). A regexp
+    extraction is ~2× faster still on this corpus but is not a JSON
+    parser (breaks on escaping/nesting), so it stays out of the engine
+    path."""
     ev = T(spark, sf_dir, "events")
     return (
-        ev.withColumn("k", F.from_json("props", "k bigint").getField("k"))
+        ev.withColumn("k", F.try_variant_get(F.parse_json("props"), "$.k", "bigint"))
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
         .orderBy("event_type")
