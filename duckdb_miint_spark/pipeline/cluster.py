@@ -79,21 +79,21 @@ def _assign(df: DataFrame, vec_col: str, centroids: dict[int, list[float]]) -> D
     return df.withColumn("cluster", best["cid"]).withColumn("dist", best["dist"])
 
 
-def kmeans_fit_predict(
+def kmeans_fit(
     emb: DataFrame,
     k: int = 4,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-) -> DataFrame:
-    """Deterministic Lloyd's k-means; returns (id, cluster, dist).
+) -> dict[int, list[float]]:
+    """Fit deterministic Lloyd's k-means; returns the centroid model
+    {cid: [coeffs]} — the only data that ever reaches the driver.
 
     Init = the vectors of the ``k`` lowest ids. Each iteration assigns
     (projection only) and recomputes centroids via per-dimension
     fixed-point sums; a cluster that loses all members keeps its previous
-    centroid. ``dist`` is the squared L2 to the final centroid, rounded
-    to 6 dp. Only k x dim model doubles ever reach the driver.
+    centroid.
     """
     if dim is None:
         dim = emb.select(F.size(vec_col)).first()[0]
@@ -101,6 +101,7 @@ def kmeans_fit_predict(
 
     init = base.orderBy(id_col).limit(k).collect()
     if len(init) < k:
+        base.unpersist()
         raise ValueError(f"need at least k={k} vectors, got {len(init)}")
     centroids = {i: list(row["__v"]) for i, row in enumerate(init)}
 
@@ -119,11 +120,27 @@ def kmeans_fit_predict(
             new[r["cluster"]] = [float(r[f"s{j}"]) / FIXED_SCALE / n for j in range(dim)]
         centroids = new
 
-    # Rebuild the final assignment from the raw input (centroids are plan
-    # literals) so the returned DataFrame does not depend on the cached
-    # iteration frame, then release the cache — repeated calls in a
-    # long-lived session would otherwise leak storage.
+    # Release the iteration cache — repeated calls in a long-lived
+    # session would otherwise leak storage.
     base.unpersist()
+    return centroids
+
+
+def kmeans_fit_predict(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means; returns (id, cluster, dist).
+
+    ``dist`` is the squared L2 to the final centroid, rounded to 6 dp.
+    The final assignment is built from the raw input with the centroids
+    as plan literals (zero-shuffle projection).
+    """
+    centroids = kmeans_fit(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim)
     out = _assign(
         emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v")),
         "__v",

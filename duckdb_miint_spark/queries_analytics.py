@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_miint_spark.pipeline.cluster import kmeans_fit_predict, label_centroid_outliers
+from duckdb_miint_spark.pipeline.packing import packing_oracle_sql
 from duckdb_miint_spark.pipeline.sampling import hash_threshold, train_val_test_split
 from duckdb_miint_spark.pipeline.text import bigram_lm_scores, top_ngrams_per_group
 from duckdb_miint_spark.registry import register
@@ -26,14 +27,18 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # ---------------------------------------------------------------- k-means
 
-def _kmeans_oracle(k: int, iters: int) -> str:
-    """Unrolled Lloyd's iterations in DuckDB SQL (same arithmetic as
-    ``kmeans_fit_predict``: sequential-fold distances, fixed-point means,
-    carry-forward for empty clusters, ties to the lowest cid)."""
-    dist = (
-        "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)"
-        " + list_dot_product(c.cv, c.cv)"
-    )
+_KM_DIST = (
+    "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)"
+    " + list_dot_product(c.cv, c.cv)"
+)
+
+
+def _kmeans_ctes(k: int, iters: int) -> str:
+    """Shared CTE chain: unrolled Lloyd's iterations in DuckDB SQL (same
+    arithmetic as ``kmeans_fit``: sequential-fold distances, fixed-point
+    means, carry-forward for empty clusters, ties to the lowest cid).
+    Ends with the final centroid table ``c{iters}``."""
+    dist = _KM_DIST
     sql = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -68,14 +73,44 @@ c{t + 1} AS (
   LEFT JOIN u{t} u ON u.cid = p.cid AND u.pos = p.pos
   GROUP BY p.cid
 )"""
-    sql += f"""
+    return sql
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    dist = _KM_DIST
+    return _kmeans_ctes(k, iters) + f"""
 SELECT vec_id, CAST(cid AS BIGINT) AS cluster, ROUND(dist, 6) AS dist FROM (
   SELECT e.vec_id, c.cid, {dist} AS dist,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dist} ASC, c.cid ASC) AS rn
   FROM e CROSS JOIN c{iters} c
 ) t WHERE rn = 1 ORDER BY vec_id
 """
-    return sql
+
+
+def _semdedup_oracle(k: int, iters: int, tau: float) -> str:
+    """SemDeDup keep/drop in DuckDB SQL: the kmeans CTE chain for the
+    final centroids, then within-cluster pairwise ROUND(cosine,6) >= tau
+    against every LOWER id — the identical rule, fold order, and rounding
+    as ``pipeline.semdedup.semantic_dedup``."""
+    dist = _KM_DIST
+    return _kmeans_ctes(k, iters) + f""",
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dist} ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN c{iters} c
+  ) t WHERE rn = 1
+),
+w AS (SELECT vec_id, v, cid, sqrt(list_dot_product(v, v)) AS nrm FROM assign),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM w a JOIN w b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {tau}
+)
+SELECT w.vec_id, CAST(w.cid AS BIGINT) AS cluster, (d.vec_id IS NULL) AS is_kept
+FROM w LEFT JOIN dup d ON w.vec_id = d.vec_id
+ORDER BY w.vec_id
+"""
 
 
 @register(
@@ -134,6 +169,57 @@ def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid aggregation, broadcast join back, per-label top-N window."""
     out = label_centroid_outliers(T(spark, sf_dir, "embeddings"), n_outliers=5)
     return out.orderBy("label", "outlier_rank")
+
+
+# --------------------------------------------------------- semantic dedup
+
+@register(
+    "semantic_dedup_keep",
+    oracle=_semdedup_oracle(k=8, iters=2, tau=0.4),
+    tags=("pipeline", "dedup", "cluster"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-bounded within-cluster cosine
+    pruning — the semantic layer exact/MinHash dedup can't see. Cluster
+    assignment is a zero-shuffle literal-centroid projection; the pairwise
+    stage shuffles on cluster id, Σ|cluster|² bounded (k scales with the
+    corpus at production sizes — module docstring)."""
+    from duckdb_miint_spark.pipeline.semdedup import semantic_dedup
+
+    out = semantic_dedup(T(spark, sf_dir, "embeddings"), k=8, iters=2, tau=0.4)
+    return out.orderBy("vec_id")
+
+
+# -------------------------------------------------------- sequence packing
+
+_PACK_TOKENS_SQL = "GREATEST(CAST(1 AS BIGINT), CAST(ceil(n_chars / 4.0) AS BIGINT))"
+
+
+@register(
+    "sequence_packing",
+    oracle=packing_oracle_sql(
+        "documents", "doc_id", _PACK_TOKENS_SQL, max_tokens=2048, shards=8
+    ),
+    tags=("pipeline", "packing"),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit packing of documents into 2048-token training
+    packs, sharded by md5(doc_id) for parallelism (greedy packing is
+    sequential only WITHIN a shard — shards >> cores is the scale knob).
+    One shuffle; per-task state is the shard's (id, tokens) pairs only.
+    The oracle runs the identical recurrence as a recursive CTE."""
+    from duckdb_miint_spark.pipeline.packing import pack_sequences
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.greatest(
+            F.lit(1).cast("long"), F.ceil(F.col("n_chars") / F.lit(4.0)).cast("long")
+        ).alias("tokens"),
+    )
+    out = pack_sequences(
+        docs, id_col="doc_id", tokens_col="tokens", max_tokens=2048, shards=8
+    )
+    return out.orderBy("doc_id")
 
 
 # ------------------------------------------------------- bigram LM score
