@@ -17,23 +17,29 @@ STOPWORDS = ("a", "an", "the", "and", "or", "of", "to", "in", "is", "it")
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, n_ws_tokens, n_re_tokens, n_chars_tok, avg_token_len).
 
-    Split/tokenize once in a projection, then reference the materialized
-    arrays — every reuse of a split *expression* re-splits the text
-    (interpreted, HOFs don't codegen)."""
+    Array-free where algebra allows: token chars = non-space chars
+    (split is on the single space char, so the concatenation of the
+    filtered tokens is exactly text minus ' ') — length(translate(...)),
+    no per-token fold; the BPE-ish count uses regexp_count, never
+    materializing the match array. Only n_ws_tokens still builds the
+    split array (a maximal-run count has no cheaper exact expression)."""
     t = F.col(text_col)
     base = df.select(
         F.col(id_col).alias("id"),
-        F.filter(F.split(t, " "), lambda w: w != "").alias("__ws"),
-        F.regexp_extract_all(t, F.lit(TOKEN_RE), 0).alias("__re"),
+        F.size(F.filter(F.split(t, " "), lambda w: w != "")).cast("long").alias(
+            "n_ws_tokens"
+        ),
+        F.regexp_count(t, F.lit(TOKEN_RE)).cast("long").alias("n_re_tokens"),
+        F.length(F.translate(t, " ", "")).cast("long").alias("n_chars_tok"),
     )
-    ws = F.col("__ws")
-    tok_chars = F.aggregate(ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
     return base.select(
         "id",
-        F.size(ws).cast("long").alias("n_ws_tokens"),
-        F.size(F.col("__re")).cast("long").alias("n_re_tokens"),
-        tok_chars.alias("n_chars_tok"),
-        (tok_chars.cast("double") / F.size(ws)).alias("avg_token_len"),
+        "n_ws_tokens",
+        "n_re_tokens",
+        "n_chars_tok",
+        (F.col("n_chars_tok").cast("double") / F.col("n_ws_tokens")).alias(
+            "avg_token_len"
+        ),
     )
 
 
@@ -392,4 +398,98 @@ def top_ngrams_per_group(
             F.col("n").cast("long").alias("n"),
             F.col("rk").cast("long").alias("rk"),
         )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, score, rk): top-k documents by Okapi BM25 for a fixed term
+    query (reference parity: ranked retrieval over the inverted-index
+    statistics the engine already builds — df/tf/doclen).
+
+    score(D,Q) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1-b+b*dl/avgdl)),
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)   (Lucene's BM25 idf).
+
+    Scale shape:
+    - doc length dl is a per-row array expression on the text column —
+      the full token stream is NEVER shuffled;
+    - the token stream is filtered to the |Q| query terms BEFORE the
+      (doc, term) count aggregate, so the shuffled relation is
+      O(matching docs x |Q|), not the corpus vocabulary;
+    - N/avgdl is a one-row broadcast aggregate, df a |Q|-row broadcast;
+    - the cross-term sum is pinned to the query-term order (one CASE
+      column per term, added left-to-right) so the double fold is
+      bit-identical across engines and partitionings — never a
+      SUM over an unordered term set.
+    """
+    terms = list(query_terms)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).cast(
+            "long"
+        ).alias("dl"),
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "").alias("__w"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tok = base.select("id", "dl", F.explode("__w").alias("t")).filter(
+        F.col("t").isin(terms)
+    )
+    tf = tok.groupBy("id", "dl", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    # Pinned-order cross-term fold: one conditional aggregate per term,
+    # summed left-to-right in the query's term order.
+    per_doc = scored.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.col("t") == F.lit(t), F.col("s"))).alias(f"__s{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    total = F.lit(0.0)
+    for i in range(len(terms)):
+        total = total + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+    # Two-level top-k: per-partition top-k first (exact — the global k
+    # best are each their partition's top-k), so the single global
+    # window sees k x num_partitions rows, never every matching doc.
+    w_local = W.partitionBy("pid").orderBy(F.desc("score"), F.asc("id"))
+    w = W.orderBy(F.desc("score"), F.asc("id"))
+    return (
+        per_doc.select("id", F.round(total, 6).alias("score"))
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn("lrn", F.row_number().over(w_local))
+        .filter(F.col("lrn") <= k)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(F.col("id").alias(id_col), "score", F.col("rk").cast("long").alias("rk"))
     )

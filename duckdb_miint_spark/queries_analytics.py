@@ -1004,3 +1004,277 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# ------------------------------------------------------------ BM25 retrieval
+
+_BM25_TERMS = ["hash", "merge", "spark"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle(terms: list[str], k: int, k1: float, b: float) -> str:
+    """Mirror of pipeline.text.bm25_topk: same tokenization, same idf,
+    same operand grouping, same pinned left-to-right cross-term fold
+    (one CASE aggregate per term), ROUND(score, 6)."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    cases = ",\n         ".join(
+        f"SUM(CASE WHEN t = '{t}' THEN s END) AS s{i}" for i, t in enumerate(terms)
+    )
+    total = " + ".join(f"COALESCE(s{i}, 0.0)" for i in range(len(terms)))
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM base
+),
+tok AS (
+  SELECT id, dl, unnest(w) AS t FROM base
+),
+tf AS (
+  SELECT id, dl, t, COUNT(*) AS tf FROM tok WHERE t IN ({tlist}) GROUP BY id, dl, t
+),
+dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT tf.id, tf.t,
+         ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * (tf.tf * {k1 + 1.0!r}) / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * tf.dl / stats.avgdl)) AS s
+  FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+),
+per_doc AS (
+  SELECT id,
+         {cases}
+  FROM scored GROUP BY id
+)
+SELECT id AS doc_id, score, rk FROM (
+  SELECT id, ROUND({total}, 6) AS score,
+         ROW_NUMBER() OVER (ORDER BY ROUND({total}, 6) DESC, id ASC) AS rk
+  FROM per_doc) t
+WHERE rk <= {k}
+ORDER BY rk
+"""
+
+
+@register(
+    "bm25_topk",
+    oracle=_bm25_oracle(_BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B),
+    tags=("pipeline", "index", "retrieval"),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed 3-term query. Doc length is a
+    per-row expression (the token stream never shuffles); the stream is
+    filtered to the query terms before the count aggregate; N/avgdl and
+    df are broadcast; the cross-term double fold is pinned to query
+    order; top-k is two-level (per-partition then global)."""
+    from duckdb_miint_spark.pipeline.text import bm25_topk
+
+    docs = T(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B).orderBy("rk")
+
+
+# ----------------------------------------------------- HyperLogLog sketch
+
+_HLL_P = 8          # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_P
+# alpha_m for m >= 128 (Flajolet et al. 2007)
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def _hll_oracle() -> str:
+    """Mirror of q_hll_distinct_tokens: md5-derived registers (first 2
+    hex chars = register, next 15 hex chars = 60-bit probe; rho = leading
+    zeros + 1), exact DECIMAL(38,0) sum of 2^(62 - rho) so the register
+    fold is order-independent, one double division at the end, the
+    standard linear-counting branch when zero registers remain."""
+    m = _HLL_M
+    return f"""
+WITH w AS (
+  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+tok AS (
+  SELECT lang,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS t
+  FROM w WHERE len(w) >= 3
+),
+h AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5(t), 1, 2)) AS INT) AS idx,
+         CAST(('0x' || substr(md5(t), 3, 15)) AS BIGINT) AS v
+  FROM tok
+),
+reg AS (
+  SELECT lang, idx,
+         MAX(CASE WHEN v = 0 THEN 61 ELSE 61 - len(bin(v)) END) AS rho
+  FROM h GROUP BY lang, idx
+),
+acc AS (
+  SELECT lang,
+         COUNT(*) AS n_used,
+         SUM(CAST((CAST(1 AS BIGINT) << (62 - rho)) AS DECIMAL(38,0))) AS s_used
+  FROM reg GROUP BY lang
+),
+est AS (
+  SELECT lang,
+         CAST({m} - n_used AS BIGINT) AS n_zero,
+         CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE) * {float(1 << 62)!r}
+           / (CAST(s_used AS DOUBLE) + ({m} - n_used) * {float(1 << 62)!r}) AS e_raw
+  FROM acc
+)
+SELECT lang, n_zero,
+       ROUND(CASE WHEN n_zero > 0 AND e_raw <= CAST({float(2.5 * m)!r} AS DOUBLE)
+                  THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / n_zero)
+                  ELSE e_raw END, 4) AS est_hll
+FROM est
+ORDER BY lang
+"""
+
+
+@register(
+    "hll_distinct_tokens",
+    oracle=_hll_oracle(),
+    tags=("pipeline", "sketch"),
+)
+def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog (p=8) over md5-keyed word 3-gram
+    shingles (the MinHash shingle space), per lang.
+
+    Complements the KMV gate: registers are fixed-memory (256 per
+    group) and mergeable by MAX — the shape a 100 TB distinct-count
+    actually uses (map-side partial MAX per register, 256-row shuffle
+    per group). Determinism: the register sum folds exact DECIMAL(38,0)
+    integers (2^(62 - rho)), so summation order cannot change a bit;
+    the only float ops are one division + the ln of the linear-counting
+    branch, identical expressions in both engines. est_hll lands within
+    the canonical ~1.04/sqrt(256) = 6.5% of the exact count (asserted in
+    tests, not here — the gate checks cross-engine equality)."""
+    m = _HLL_M
+    docs = T(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang",
+        F.filter(F.split(F.col("text"), " "), lambda w: w != "").alias("__w"),
+    ).filter(F.size("__w") >= 3)
+    tok = words.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__w) - 2), "
+                "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1), "
+                "' ', element_at(__w, i + 2)))"
+            )
+        ).alias("t"),
+    )
+    h = tok.select(
+        "lang",
+        F.conv(F.substring(F.md5("t"), 1, 2), 16, 10).cast("int").alias("idx"),
+        F.conv(F.substring(F.md5("t"), 3, 15), 16, 10).cast("long").alias("v"),
+    )
+    reg = h.groupBy("lang", "idx").agg(
+        F.max(
+            F.when(F.col("v") == 0, F.lit(61)).otherwise(
+                F.lit(61) - F.length(F.bin("v"))
+            )
+        ).alias("rho")
+    )
+    acc = reg.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 62 - rho) AS DECIMAL(38,0))")
+        ).alias("s_used"),
+    )
+    s_total = F.col("s_used").cast("double") + (F.lit(m) - F.col("n_used")) * F.lit(
+        float(1 << 62)
+    )
+    e_raw = (
+        F.lit(_HLL_ALPHA) * F.lit(float(m * m)) * F.lit(float(1 << 62)) / s_total
+    )
+    est = acc.select(
+        "lang",
+        (F.lit(m) - F.col("n_used")).cast("long").alias("n_zero"),
+        e_raw.alias("e_raw"),
+    )
+    return est.select(
+        "lang",
+        "n_zero",
+        F.round(
+            F.when(
+                (F.col("n_zero") > 0) & (F.col("e_raw") <= F.lit(float(2.5 * m))),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero")),
+            ).otherwise(F.col("e_raw")),
+            4,
+        ).alias("est_hll"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------- mixture reweighting
+
+@register(
+    "mixture_reweighting",
+    oracle="""
+WITH per AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(GREATEST(CAST(1 AS BIGINT), CAST(ceil(n_chars / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT COUNT(*) AS n_sources, SUM(n_tokens) AS all_tokens FROM per),
+w AS (
+  SELECT per.source, per.n_docs, per.n_tokens,
+         CAST(per.n_tokens AS DOUBLE) / tot.all_tokens AS actual_frac,
+         (1.0 / tot.n_sources) / (CAST(per.n_tokens AS DOUBLE) / tot.all_tokens) AS weight
+  FROM per CROSS JOIN tot
+)
+SELECT source, n_docs, n_tokens, ROUND(actual_frac, 6) AS actual_frac,
+       ROUND(weight / MAX(weight) OVER (), 6) AS sample_rate
+FROM w ORDER BY source
+""",
+    tags=("pipeline", "curation"),
+)
+def q_mixture_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling rates that move the corpus toward a uniform
+    token mixture (the domain-reweighting step of corpus curation:
+    rate_s proportional to target_share / actual_share, normalized so the
+    scarcest source keeps everything — downsampling only, never
+    upsampling). Token counts use the same ceil(n_chars/4) estimate as
+    sequence_packing. One map-side-combined aggregate over the corpus;
+    the weight math runs on the #sources-row relation (window over a
+    handful of rows)."""
+    docs = T(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("n_chars") / F.lit(4.0)).cast("long"),
+            )
+        ).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("n_sources"), F.sum("n_tokens").alias("all_tokens")
+    )
+    w = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("all_tokens")).alias("actual_frac"),
+        (
+            (F.lit(1.0) / F.col("n_sources"))
+            / (F.col("n_tokens").cast("double") / F.col("all_tokens"))
+        ).alias("weight"),
+    )
+    from pyspark.sql import Window as W
+
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("actual_frac", 6).alias("actual_frac"),
+        F.round(F.col("weight") / F.max("weight").over(W.partitionBy()), 6).alias(
+            "sample_rate"
+        ),
+    ).orderBy("source")

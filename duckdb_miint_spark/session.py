@@ -158,11 +158,34 @@ def size_session_for_input(spark: SparkSession, input_bytes: int) -> int:
 # Per-process cache of small repartitioned inputs (keyed by Spark app id so
 # a stopped/recreated session never serves stale DataFrames).
 _SMALL_INPUT_CACHE: dict = {}
+_PINNED_TOTALS: dict = {}
 
 
 def _pin_bytes() -> int:
-    """Size cap for input pinning; 0 (the default) disables it entirely."""
+    """Per-table size cap for input pinning; 0 (the default) disables it."""
     return int(os.environ.get("SPARK_GRAFT_PIN_BYTES", "0"))
+
+
+def _pin_total_bytes() -> int:
+    """CUMULATIVE compressed-bytes budget for pinning, per application.
+
+    Caching is only a win while every cached table actually stays in the
+    storage pool; past that point tables evict each other and every pass
+    re-scans AND re-caches (measured at sf10: q1 swung 10-80 s with all
+    1.7 GB of input pinned into a 64 g heap vs a stable 1.9 s unpinned —
+    the working set in columnar cache plus execution memory thrashes).
+    Default: 1/64 of the driver heap in compressed input bytes (a ~6 GB
+    columnar residency at the default 10-20x text/array expansion) —
+    everything pins at the sf2 headline (388 MB), facts stop pinning at
+    sf10+, where the multi-row-group native scans are pin-equivalent
+    anyway (PERF.md round-7). Explicit env always wins."""
+    env = os.environ.get("SPARK_GRAFT_PIN_TOTAL_BYTES")
+    if env is not None:
+        return int(env)
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g").lower().rstrip("b")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(mem[-1], 1)
+    heap = int(mem[:-1]) * mult if mem[-1] in "kmg" else int(mem)
+    return max(256 << 20, heap // 64)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -226,6 +249,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
     cached = _SMALL_INPUT_CACHE.get(key)
     if cached is None:
+        app = spark.sparkContext.applicationId
+        spent = _PINNED_TOTALS.get(app, 0)
+        if spent + size > _pin_total_bytes():
+            return df  # budget exhausted: stay on the native parallel scan
+        _PINNED_TOTALS[app] = spent + size
         cached = df.repartition(spark.sparkContext.defaultParallelism).cache()
         _SMALL_INPUT_CACHE[key] = cached
     return cached
