@@ -144,3 +144,44 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
         plan = plan_of(spark, q)
         assert "BroadcastNestedLoopJoin" not in plan, q
         assert "CartesianProduct" not in plan, q
+
+
+def test_bm25_zero_shuffle_before_topk(spark):
+    """bm25_topk computes tf/dl as per-row expressions and its stats as
+    one broadcast aggregate — the only Exchanges allowed are the
+    single-row stats exchange and the two top-k windows; there must be
+    NO explode (Generate) and no shuffle of the token stream."""
+    plan = plan_of(spark, "bm25_topk")
+    assert "Generate" not in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # token stream never shuffles: every hashpartitioning exchange in this
+    # plan operates on the tiny post-aggregate relations, never on `text`
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "text#" not in seg.split("Exchange")[0][:200]
+
+
+def test_packing_single_shuffle(spark):
+    """sequence_packing is one groupBy(shard) into applyInPandas — a
+    single hashpartitioning Exchange over (id, shard, tokens)."""
+    plan = plan_of(spark, "sequence_packing")
+    n_exch = plan.count("Exchange hashpartitioning")
+    assert n_exch == 1, plan[:2000]
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+
+
+def test_semdedup_no_pair_join(spark):
+    """semantic_dedup's pairwise stage is the per-cluster BLAS pandas
+    stage, never a row-pair join."""
+    plan = plan_of(spark, "semantic_dedup_keep")
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_two_aggregates_only(spark):
+    """HLL: register MAX then per-lang fold — two aggregate levels, no
+    joins, vocabulary-sized shuffles only."""
+    plan = plan_of(spark, "hll_distinct_tokens")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]
