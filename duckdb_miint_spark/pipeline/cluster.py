@@ -45,14 +45,6 @@ def _as_double(vec_col):
     return F.transform(vec_col, lambda x: x.cast("double"))
 
 
-def _dot_literal(vec_col, coeffs: list[float]):
-    """Left-to-right <vec, literal coeffs> — unrolled for codegen."""
-    expr = F.element_at(vec_col, 1) * F.lit(coeffs[0])
-    for j in range(1, len(coeffs)):
-        expr = expr + F.element_at(vec_col, j + 1) * F.lit(coeffs[j])
-    return expr
-
-
 def _self_dot(coeffs: list[float]) -> float:
     """Python-side left-to-right sum of squares (IEEE-identical to the
     engine folds: doubles, acc starts at 0.0, index order)."""
@@ -65,18 +57,120 @@ def _self_dot(coeffs: list[float]) -> float:
 def _assign(df: DataFrame, vec_col: str, centroids: dict[int, list[float]]) -> DataFrame:
     """Add ``cluster`` (int) and ``dist`` (squared L2, double) columns.
 
-    dist_c = <v,v> - 2*<v,c> + <c,c> with the shared fold order; argmin
-    via array_min over (dist, cid) structs — ties to the lowest cid.
+    dist_c = <v,v> - 2*<v,c> + <c,c>; argmin with ties to the lowest cid.
+    Zero-shuffle Arrow-batched numpy projection (mapInPandas): every
+    accumulation is the repo-wide LEFT-TO-RIGHT double fold, applied as a
+    j-loop of vectorized elementwise ops so each ROW sees the identical
+    IEEE add/mul sequence as the engine-expression / DuckDB forms —
+    bit-for-bit the same cluster ids and dists as the previous unrolled
+    literal-expression plan, without its ~30 µs/row eval cost and
+    multi-second per-iteration analysis/codegen of the k·dim-term tree.
     """
-    v = F.col(vec_col)
-    vv = _dot_fixed(v, v, len(next(iter(centroids.values()))))
-    entries = []
-    for cid in sorted(centroids):
-        c = centroids[cid]
-        dist = vv - F.lit(2.0) * _dot_literal(v, c) + F.lit(_self_dot(c))
-        entries.append(F.struct(dist.alias("dist"), F.lit(cid).alias("cid")))
-    best = F.array_min(F.array(*entries))
-    return df.withColumn("cluster", best["cid"]).withColumn("dist", best["dist"])
+    from pyspark.sql import types as T
+
+    cmat = _centroid_mat(centroids)
+    out_schema = T.StructType(
+        list(df.schema)
+        + [T.StructField("cluster", T.IntegerType()), T.StructField("dist", T.DoubleType())]
+    )
+
+    def _project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            best_c, best_d = _np_best(pdf[vec_col], cmat)
+            yield pdf.assign(cluster=best_c, dist=best_d)
+
+    return df.mapInPandas(_project, out_schema)
+
+
+def _centroid_mat(centroids: dict[int, list[float]]):
+    return [
+        (cid, list(map(float, centroids[cid])), _self_dot(centroids[cid]))
+        for cid in sorted(centroids)
+    ]
+
+
+def _np_best(vec_series, cmat):
+    """(cluster, dist) per row — the shared nearest-centroid kernel.
+
+    Every accumulation is the repo-wide LEFT-TO-RIGHT double fold applied
+    as a j-loop of vectorized elementwise ops, so each ROW sees the
+    identical IEEE add/mul sequence as the engine-expression / DuckDB
+    forms; ties go to the lowest cid (strict ``<`` keeps the earlier
+    winner).
+    """
+    import numpy as np
+
+    V = np.stack(vec_series.to_numpy()).astype(np.float64, copy=False)
+    n, dim = V.shape
+    vv = V[:, 0] * V[:, 0]
+    for j in range(1, dim):
+        vv = vv + V[:, j] * V[:, j]
+    best_d = None
+    best_c = None
+    for cid, c, sd in cmat:
+        dot = V[:, 0] * c[0]
+        for j in range(1, dim):
+            dot = dot + V[:, j] * c[j]
+        d = (vv - 2.0 * dot) + sd
+        if best_d is None:
+            best_d, best_c = d, np.full(n, cid, dtype=np.int32)
+        else:
+            better = d < best_d
+            best_d = np.where(better, d, best_d)
+            best_c = np.where(better, cid, best_c).astype(np.int32)
+    return best_c, best_d
+
+
+def _fixed_partials(df: DataFrame, vec_col: str, centroids: dict[int, list[float]], dim: int):
+    """One k-means update step: per-batch (cluster, count, Σ fixed-point
+    dims) partials from the same Arrow pass that assigns clusters, then a
+    k-row Spark aggregate of the int64 partials — the map-side-combine
+    shape, with the expensive per-row math in numpy.
+
+    The fixed-point element round replicates Spark's
+    ``round(x * 1e6, 0)`` (BigDecimal HALF_UP == half-away-from-zero)
+    exactly: below 2^52 every k+0.5 boundary is an exact double, so the
+    binary ``floor(x+0.5)`` / ``ceil(x-0.5)`` forms and the decimal
+    HALF_UP form cannot disagree; int64 partial sums are order-free, so
+    the centroids are identical at any partitioning/batching.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    cmat = _centroid_mat(centroids)
+    out_schema = T.StructType(
+        [T.StructField("cluster", T.IntegerType()), T.StructField("n", T.LongType())]
+        + [T.StructField(f"s{j}", T.LongType()) for j in range(dim)]
+    )
+
+    def _partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            best_c, _ = _np_best(pdf[vec_col], cmat)
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            x = V * float(FIXED_SCALE)
+            fixed = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+            out = {"cluster": [], "n": []}
+            sums = []
+            for cid in np.unique(best_c):
+                m = best_c == cid
+                out["cluster"].append(int(cid))
+                out["n"].append(int(m.sum()))
+                sums.append(fixed[m].sum(axis=0))
+            S = np.stack(sums)
+            for j in range(dim):
+                out[f"s{j}"] = S[:, j]
+            yield pd.DataFrame(out)
+
+    partials = df.mapInPandas(_partials, out_schema)
+    aggs = [F.sum("n").alias("n")] + [F.sum(f"s{j}").alias(f"s{j}") for j in range(dim)]
+    return partials.groupBy("cluster").agg(*aggs).collect()
 
 
 def kmeans_fit(
@@ -105,15 +199,8 @@ def kmeans_fit(
         raise ValueError(f"need at least k={k} vectors, got {len(init)}")
     centroids = {i: list(row["__v"]) for i, row in enumerate(init)}
 
-    fixed = [
-        F.sum(
-            F.round(F.element_at(F.col("__v"), j + 1) * FIXED_SCALE, 0).cast("long")
-        ).alias(f"s{j}")
-        for j in range(dim)
-    ]
     for _ in range(iters):
-        assigned = _assign(base, "__v", centroids)
-        rows = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"), *fixed).collect()
+        rows = _fixed_partials(base, "__v", centroids, dim)
         new = dict(centroids)  # empty cluster keeps its previous centroid
         for r in rows:
             n = r["n"]

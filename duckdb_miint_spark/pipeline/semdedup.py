@@ -40,7 +40,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from duckdb_miint_spark.pipeline.cluster import _as_double, _assign, kmeans_fit
-from duckdb_miint_spark.pipeline.similarity import _dot_fixed
 
 
 def semantic_dedup(
@@ -69,20 +68,28 @@ def semantic_dedup(
         F.col(id_col),
         F.col("cluster").cast("long").alias("cluster"),
         F.col("__v"),
-        F.sqrt(_dot_fixed(F.col("__v"), F.col("__v"), dim)).alias("__n"),
     )
     # Within-cluster pairwise stage: ONE BLAS matmul per cluster via
     # applyInPandas (tiled so memory stays bounded on a skewed cluster),
     # never a row-pair join — an expression-folded dot per pair was
     # measured 50x slower at sf2 (667 s vs ~13 s) on the identical
-    # candidate set. numpy's pairwise-summed dot differs from the
-    # oracle's sequential fold only in final-ulp; the gate compares the
-    # ROUND(cos, 6) >= tau DECISION, where a flip needs a cosine within
-    # ~1e-13 of the rounding boundary — vanishing over any corpus.
+    # candidate set. Rows are pre-normalized so each tile is a single
+    # dgemm + one >= pass (the earlier divide/round/mask passes were
+    # single-threaded and dominated wall time ~10x over the matmul at
+    # sf10); the matmul covers only rows that can be "lower" than the
+    # tile, and ROUND(cos, 6) >= tau is evaluated as cos >= tau - 5e-7
+    # (the exact half-away rounding boundary the oracle uses). numpy's
+    # pairwise-summed dot and the pre-normalization differ from the
+    # oracle's sequential dot/(na*nb) fold only in final-ulp; a decision
+    # flip needs a cosine within ~1e-13 of the rounding boundary —
+    # vanishing over any corpus.
     import numpy as np
     import pandas as pd
 
-    tau_f = float(tau)
+    # ROUND(x, 6) >= tau  <=>  x >= tau - 0.5e-6 under half-away-from-zero
+    # (tau > 0 here); doubles landing exactly on the boundary are the
+    # same measure-zero set as the round-pass ulp caveat above.
+    tau_adj = float(tau) - 5e-7
 
     def _dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__id", kind="mergesort").reset_index(drop=True)
@@ -91,24 +98,31 @@ def semantic_dedup(
             return pd.DataFrame(
                 {"__id": pdf["__id"], "cluster": pdf["cluster"], "is_kept": [True] * n}
             )
-        v = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
-        nrm = np.asarray(pdf["__n"], dtype=np.float64)
+        v = np.stack(pdf["__v"].to_numpy()).astype(np.float64, copy=False)
+        # norm via the repo-wide left-to-right fold (bit-identical to the
+        # engine-expression sqrt(dot(v,v)) the oracle computes)
+        vv = v[:, 0] * v[:, 0]
+        for j in range(1, v.shape[1]):
+            vv = vv + v[:, j] * v[:, j]
+        nrm = np.sqrt(vv)
+        v /= nrm[:, None]  # unit rows: tile cosine = one dgemm
         dropped = np.zeros(n, dtype=bool)
-        chunk = max(1, (64 << 20) // (8 * max(n, 1)))  # <=64 MB per tile
+        chunk = max(16, (256 << 20) // (8 * n))  # <=256 MB per tile
         for lo in range(1, n, chunk):
             hi = min(n, lo + chunk)
-            g = v @ v[lo:hi].T  # (n, hi-lo)
-            cos = np.round(g / (nrm[:, None] * nrm[None, lo:hi]), 6)
-            lower = np.arange(n)[:, None] < np.arange(lo, hi)[None, :]
-            dropped[lo:hi] |= ((cos >= tau_f) & lower).any(axis=0)
+            # only rows < hi can be "lower" than any column in this tile
+            mask = (v[:hi] @ v[lo:hi].T) >= tau_adj  # (hi, hi-lo)
+            # full block: every row < lo is lower than every tile column;
+            # square remainder: row lo+i lower than column lo+j iff i < j.
+            dropped[lo:hi] |= mask[:lo].any(axis=0) | np.triu(
+                mask[lo:], k=1
+            ).any(axis=0)
         return pd.DataFrame(
             {"__id": pdf["__id"], "cluster": pdf["cluster"], "is_kept": ~dropped}
         )
 
     flags = (
-        assigned.select(
-            F.col(id_col).alias("__id"), "cluster", "__v", "__n"
-        )
+        assigned.select(F.col(id_col).alias("__id"), "cluster", "__v")
         .groupBy("cluster")
         .applyInPandas(_dedup_cluster, "__id long, cluster long, is_kept boolean")
     )
