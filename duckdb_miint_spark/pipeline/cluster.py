@@ -36,8 +36,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from duckdb_miint_spark.pipeline.similarity import _dot_fixed
-
 FIXED_SCALE = 1_000_000
 
 
@@ -262,32 +260,107 @@ def label_centroid_outliers(
         F.col(id_col), F.col(label_col).alias("__lbl"), _as_double(F.col(vec_col)).alias("__v")
     )
 
-    sums = [
-        (
-            F.sum(F.round(F.element_at(F.col("__v"), j + 1) * FIXED_SCALE, 0).cast("long"))
-            .cast("double")
-            / FIXED_SCALE
-        ).alias(f"m{j}")
-        for j in range(dim)
-    ]
+    # Per-label fixed-point partials in one Arrow pass (same exact
+    # rounding contract as _fixed_partials), finished by a #labels-row
+    # aggregate; the 64-column round/element_at expression tree this
+    # replaces cost ~10s of pure expression eval at 200k x 64.
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    part_schema = T.StructType(
+        [T.StructField("__lbl", base.schema["__lbl"].dataType), T.StructField("n", T.LongType())]
+        + [T.StructField(f"s{j}", T.LongType()) for j in range(dim)]
+    )
+
+    def _label_partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["__v"].to_numpy()).astype(np.float64, copy=False)
+            x = V * float(FIXED_SCALE)
+            fixed = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+            out = {"__lbl": [], "n": []}
+            sums = []
+            lbl = pdf["__lbl"].to_numpy()
+            for val in pd.unique(pdf["__lbl"]):
+                m = lbl == val
+                out["__lbl"].append(val)
+                out["n"].append(int(m.sum()))
+                sums.append(fixed[m].sum(axis=0))
+            S = np.stack(sums)
+            for j in range(dim):
+                out[f"s{j}"] = S[:, j]
+            yield pd.DataFrame(out)
+
+    aggs = [F.sum("n").alias("n")] + [F.sum(f"s{j}").alias(f"s{j}") for j in range(dim)]
     cent = (
-        base.groupBy("__lbl")
-        .agg(F.count(F.lit(1)).alias("n"), *sums)
+        base.select("__lbl", "__v")
+        .mapInPandas(_label_partials, part_schema)
+        .groupBy("__lbl")
+        .agg(*aggs)
         .select(
             "__lbl",
-            F.array(*[(F.col(f"m{j}") / F.col("n")) for j in range(dim)]).alias("__c"),
+            F.array(
+                *[
+                    (F.col(f"s{j}").cast("double") / FIXED_SCALE / F.col("n"))
+                    for j in range(dim)
+                ]
+            ).alias("__c"),
         )
     )
 
-    joined = base.join(F.broadcast(cent), "__lbl")
-    v, c = F.col("__v"), F.col("__c")
-    cos = _dot_fixed(v, c, dim) / (
-        F.sqrt(_dot_fixed(v, v, dim)) * F.sqrt(_dot_fixed(c, c, dim))
+    # cos(v, own-label centroid) with the exact expression fold order:
+    # dot(v,c) / (sqrt(dot(v,v)) * sqrt(dot(c,c))), every dot the
+    # left-to-right j-loop. The centroid table is the per-label MODEL
+    # (#labels x dim — the same driver-size class as the k-means model,
+    # and exactly what a broadcast join would collect to the driver
+    # anyway); shipping it as a plan constant avoids materializing a
+    # per-row copy of the centroid array through the join + Arrow.
+    model = {r["__lbl"]: list(map(float, r["__c"])) for r in cent.collect()}
+    cos_schema = T.StructType(
+        [
+            T.StructField("__lbl", base.schema["__lbl"].dataType),
+            base.schema[id_col],
+            T.StructField("__cos", T.DoubleType()),
+        ]
     )
+
+    def _cosine(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["__v"].to_numpy()).astype(np.float64, copy=False)
+            lbl = pdf["__lbl"].to_numpy()
+            vv = V[:, 0] * V[:, 0]
+            for j in range(1, V.shape[1]):
+                vv = vv + V[:, j] * V[:, j]
+            cos = np.empty(len(pdf), dtype=np.float64)
+            keep = np.ones(len(pdf), dtype=bool)
+            for val in pd.unique(pdf["__lbl"]):
+                m = lbl == val
+                c = model.get(val)
+                if c is None:  # label absent from the centroid model
+                    keep &= ~m
+                    continue
+                Vm = V[m]
+                vc = Vm[:, 0] * c[0]
+                cc = c[0] * c[0]
+                for j in range(1, Vm.shape[1]):
+                    vc = vc + Vm[:, j] * c[j]
+                    cc = cc + c[j] * c[j]
+                cos[m] = vc / (np.sqrt(vv[m]) * np.sqrt(cc))
+            out = pdf[["__lbl", id_col]].assign(__cos=cos)
+            yield out[keep] if not keep.all() else out
+
+    scored = base.mapInPandas(_cosine, cos_schema)
     w = W.partitionBy("__lbl").orderBy(F.col("__cos").asc(), F.col(id_col).asc())
     return (
-        joined.withColumn("__cos", cos)
-        .withColumn("outlier_rank", F.row_number().over(w))
+        scored.withColumn("outlier_rank", F.row_number().over(w))
         .filter(F.col("outlier_rank") <= n_outliers)
         .select(
             F.col("__lbl").cast("long").alias("label"),

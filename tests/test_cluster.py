@@ -61,11 +61,15 @@ def test_kmeans_empty_cluster_carries_forward(spark):
         assert out[i]["cluster"] == 0 and out[i]["dist"] == 0.0
 
 
-def test_label_outliers_broadcast_plan(spark):
+def test_label_outliers_no_join_plan(spark):
+    """The per-label centroid table is a driver-size model shipped as a
+    plan constant — the scoring pass has NO join of any kind, and the
+    only shuffle is the per-label ranking window."""
     emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
     out = label_centroid_outliers(emb, n_outliers=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
     rows = out.collect()
     per_label = {}
     for r in rows:
