@@ -103,18 +103,25 @@ def contamination_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Corpus docs sharing ≥1 word n-gram with the benchmark set.
 
     Returns (id, n_shared_ngrams, n_benchmark_docs): distinct
     contaminated n-grams in the doc and distinct benchmark docs hit.
     The benchmark side reduces to distinct (ngram, bench id) BEFORE the
-    join — it is the small side; at real scale add a broadcast hint when
-    the benchmark n-gram set fits (eval suites are MBs, not TBs)."""
+    join. Eval suites are FIXED-SIZE (MBs — they do not grow with the
+    corpus), so the probe join broadcasts them by default: the scan of
+    the 100 TB corpus's n-grams never shuffles, and only the (rare)
+    hits reach the per-doc aggregate. Pass ``broadcast_benchmark=False``
+    for a degenerate benchmark too large to broadcast — Spark then
+    plans a plain equi-join shuffling on the n-gram key."""
     corpus_grams = _doc_ngrams(corpus, id_col, text_col, n)
     bench_grams = _doc_ngrams(benchmark, id_col, text_col, n).withColumnRenamed(
         "id", "bench_id"
     )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
     hits = corpus_grams.join(bench_grams, "ngram")
     return hits.groupBy("id").agg(
         F.countDistinct("ngram").alias("n_shared_ngrams"),

@@ -72,7 +72,6 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     return exact_dedup_groups(docs).orderBy("content_hash")
 
-
 @register(
     "minhash_signatures",
     oracle=f"""

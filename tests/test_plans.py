@@ -185,3 +185,12 @@ def test_hll_two_aggregates_only(spark):
     plan = plan_of(spark, "hll_distinct_tokens")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]
+
+
+def test_decontamination_broadcast_probe(spark):
+    """The benchmark n-gram set is fixed-size and broadcast: the corpus
+    n-gram scan probes it with no shuffle before the join — the only
+    hashpartitioning exchange is the per-doc hit aggregate."""
+    plan = plan_of(spark, "decontamination_overlap")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
