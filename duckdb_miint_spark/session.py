@@ -79,6 +79,19 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             repo_root + (os.pathsep + existing if existing else "")
         )
+    # Cap BLAS pools in the Python workers: numpy's OpenBLAS defaults to
+    # one thread per CORE, and Spark already runs one worker per core —
+    # uncapped, a matmul-heavy stage spawns cores^2 threads (measured:
+    # the IVF routing dgemm ran at ~200 MFLOP/s under 32x32 = 1024
+    # contending threads vs ~12 GFLOP/s single-threaded). 2 threads
+    # keeps a little headroom for stages with fewer tasks than cores
+    # (per-cluster dgemm stages) without meaningful oversubscription.
+    # Must be in the process env BEFORE worker numpy import — exporting
+    # here covers local-mode daemons (children of this process's JVM);
+    # the executorEnv confs below cover real-cluster executors.
+    blas_threads = os.environ.get("SPARK_GRAFT_BLAS_THREADS", "2")
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, blas_threads)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -98,6 +111,9 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
         )
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", os.environ["OPENBLAS_NUM_THREADS"])
+        .config("spark.executorEnv.OMP_NUM_THREADS", os.environ["OMP_NUM_THREADS"])
+        .config("spark.executorEnv.MKL_NUM_THREADS", os.environ["MKL_NUM_THREADS"])
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
