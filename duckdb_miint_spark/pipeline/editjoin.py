@@ -91,71 +91,96 @@ def passjoin_pairs(
     long_side = s.filter(F.col("L") >= short_max)
     short_side = s.filter(F.col("L") < short_max)
 
+    # Both generators are explode-then-project (a Generate over a tiny
+    # static array, then plain substring/arithmetic columns) rather than
+    # structs built inside nested HOF lambdas: HOF lambdas evaluate
+    # interpreted per element, outside whole-stage codegen — the probe
+    # side measured ~5x slower end-to-end in the lambda form (same
+    # row-amplification either way; see pipeline/dedup.shingles for the
+    # same pattern).
+
     # INDEX: one row per (segment_idx, segment, own length)
-    segs = long_side.select(
-        "sid",
-        "txt",
-        "L",
-        F.explode(
+    segs = (
+        long_side.select(
+            "sid", "txt", "L", F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i")
+        )
+        .select(
+            "sid",
+            "txt",
+            "i",
             F.expr(
-                f"""
-                transform(sequence(0, {k}), i -> struct(
-                    i AS i,
-                    substring(txt, {_seg_pos('L', 'i', k)} + 1,
-                                   {_seg_len('L', 'i', k)}) AS seg
-                ))
-                """
-            )
-        ).alias("sg"),
-    ).select("sid", F.col("sg.i").alias("i"), F.col("sg.seg").alias("seg"), "L")
+                f"substring(txt, {_seg_pos('L', 'i', k)} + 1, {_seg_len('L', 'i', k)})"
+            ).alias("seg"),
+            "L",
+        )
+    )
 
     # PROBE: for each partner length Lp within +-k and each segment idx,
-    # all substrings at starts within +-k of the segment's home position
-    probes = long_side.select(
-        "sid",
-        "txt",
-        "L",
-        F.explode(
-            F.expr(
-                f"""
-                flatten(transform(sequence(GREATEST(L - {k}, {short_max}), L + {k}), Lp ->
-                    flatten(transform(sequence(0, {k}), i ->
-                        filter(
-                            transform(sequence({_seg_pos('Lp', 'i', k)} - {k},
-                                               {_seg_pos('Lp', 'i', k)} + {k}), st ->
-                                CASE WHEN st >= 0
-                                      AND st + {_seg_len('Lp', 'i', k)} <= L
-                                     THEN struct(i AS i,
-                                                 substring(txt, st + 1,
-                                                           {_seg_len('Lp', 'i', k)}) AS seg,
-                                                 Lp AS Lp)
-                                     ELSE NULL END),
-                            x -> x IS NOT NULL)))))
-                """
+    # all substrings at starts within +-k of the segment's home position.
+    # The (Lp-offset, segment-idx, start-offset) grid is a (2k+1)^2*(k+1)
+    # literal array (75 combos at k=2).
+    combos = F.array(
+        *[
+            F.struct(
+                F.lit(dl).alias("dl"), F.lit(i).alias("i"), F.lit(d).alias("d")
             )
-        ).alias("pr"),
-    ).select(
-        F.col("sid").alias("a_sid"),
-        F.col("txt").alias("a_txt"),
-        F.col("pr.i").alias("i"),
-        F.col("pr.seg").alias("seg"),
-        F.col("pr.Lp").alias("Lp"),
+            for dl in range(-k, k + 1)
+            for i in range(n)
+            for d in range(-k, k + 1)
+        ]
+    )
+    probes = (
+        long_side.select("sid", "txt", "L", F.explode(combos).alias("c"))
+        .select(
+            "sid",
+            "txt",
+            "L",
+            (F.col("L") + F.col("c.dl")).alias("Lp"),
+            F.col("c.i").alias("i"),
+            F.col("c.d").alias("d"),
+        )
+        .filter(F.col("Lp") >= short_max)
+        .select(
+            "sid",
+            "txt",
+            "L",
+            "Lp",
+            "i",
+            (F.expr(_seg_pos("Lp", "i", k)) + F.col("d")).alias("st"),
+            F.expr(_seg_len("Lp", "i", k)).alias("slen"),
+        )
+        .filter((F.col("st") >= 0) & (F.col("st") + F.col("slen") <= F.col("L")))
+        .select(
+            F.col("sid").alias("a_sid"),
+            F.col("txt").alias("a_txt"),
+            "i",
+            F.expr("substring(txt, st + 1, slen)").alias("seg"),
+            "Lp",
+        )
     )
 
-    cand = (
+    # BOTH sides of the candidate join scale with the corpus — a
+    # size-estimate-driven broadcast here is always wrong (post-explode
+    # estimates undercount the k^2 amplification; at sf10 the planner
+    # tried to broadcast 6M index rows and died). Pin a shuffled hash
+    # join on the (i, seg, Lp) key.
+    #
+    # Verification happens INLINE in the join's output projection: both
+    # texts ride the probe/index rows, so levenshtein runs pipelined in
+    # the join stage and only TRUE pairs (plus their per-segment
+    # multiplicity, <= k+1 each) ever reach a downstream shuffle. On a
+    # segment-entropy-poor corpus the candidate multiset can be ~1000x
+    # the output (sf10 hash corpus: 381M candidates -> 21k pairs);
+    # distinct-ing candidates before verification shuffled all of them
+    # (sf10: 62s for the distinct alone vs ~4s of pipelined levenshtein).
+    segs = segs.hint("shuffle_hash")
+    long_pairs = (
         probes.join(segs, (probes.i == segs.i) & (probes.seg == segs.seg) & (probes.Lp == segs.L))
         .filter(F.col("a_sid") < F.col("sid"))
-        .select(F.col("a_sid"), F.col("sid").alias("b_sid"))
-        .distinct()
-    )
-    a = s.select(F.col("sid").alias("a_sid"), F.col("txt").alias("a_txt"))
-    b = s.select(F.col("sid").alias("b_sid"), F.col("txt").alias("b_txt"))
-    long_pairs = (
-        cand.join(a, "a_sid")
-        .join(b, "b_sid")
-        .withColumn("dist", F.levenshtein("a_txt", "b_txt").cast("long"))
+        .withColumn("dist", F.levenshtein("a_txt", "txt").cast("long"))
         .filter(F.col("dist") <= k)
-        .select("a_sid", "b_sid", "dist")
+        .select("a_sid", F.col("sid").alias("b_sid"), "dist")
+        .distinct()
     )
 
     # short strings: bounded-length all-pairs against everything within
