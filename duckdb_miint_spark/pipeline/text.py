@@ -5,11 +5,35 @@ expressions with exact DuckDB-oracle equivalents.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single non-alnum marks
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _re2_count(pattern: str) -> Column:
+    """Arrow-batched RE2 match counting (pyarrow.compute) as a pandas UDF.
+
+    Same engine family as the DuckDB oracle (both RE2), ~6x the
+    throughput of Spark's java.util.regex on this alternation (the JVM
+    regex was the whole cost of token_stats at sf2: 1.5 s of 1.5 s);
+    leftmost-first non-overlapping semantics match regexp_count for this
+    pattern (parity spot-checked against re.findall and gate-proven
+    against the oracle)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def counter(s: pd.Series) -> pd.Series:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.Array.from_pandas(s)
+        return pc.count_substring_regex(arr, pattern=pattern).to_pandas()
+
+    return counter
 
 STOPWORDS = ("a", "an", "the", "and", "or", "of", "to", "in", "is", "it")
 
@@ -29,7 +53,7 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.size(F.filter(F.split(t, " "), lambda w: w != "")).cast("long").alias(
             "n_ws_tokens"
         ),
-        F.regexp_count(t, F.lit(TOKEN_RE)).cast("long").alias("n_re_tokens"),
+        _re2_count(TOKEN_RE)(t).alias("n_re_tokens"),
         F.length(F.translate(t, " ", "")).cast("long").alias("n_chars_tok"),
     )
     return base.select(
