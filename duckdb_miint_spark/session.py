@@ -168,6 +168,18 @@ def size_session_for_input(spark: SparkSession, input_bytes: int) -> int:
     # input_bytes is huge and the 4 MB cap binds) don't over-fragment.
     open_cost = max(64 << 10, min(4 << 20, input_bytes // (32 * cores)))
     spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
+    # AQE's value is runtime re-planning — skew splitting, partition
+    # coalescing, join-strategy switches — all of which need stages big
+    # enough for the per-stage replan round-trip to pay for itself. With
+    # partitions already sized to the input (above), a sub-GB workload
+    # gets no decision AQE could improve, and the replan tax is ~10% of
+    # wall (sf2 full-set interleaved A/B: Spark 38.8 s AQE-on vs 35.1 s
+    # off under identical conditions, DuckDB side equal). Disable below
+    # 1 GB compressed input; at sf10 (1.7 GB) and on any real cluster
+    # it stays ON — skew and mis-estimates are real there. Explicit
+    # SPARK_GRAFT_AQE always wins.
+    if os.environ.get("SPARK_GRAFT_AQE") is None and input_bytes < (1 << 30):
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     return target
 
 
