@@ -43,6 +43,25 @@ def _as_double(vec_col):
     return F.transform(vec_col, lambda x: x.cast("double"))
 
 
+def _fixed_round(x):
+    """Exact half-away-from-zero round of a float64 array (matches Spark's
+    BigDecimal HALF_UP round() on doubles bit-for-bit below 2^52).
+
+    NOT ``floor(x+0.5)``: for doubles whose fractional part is within one
+    ulp below .5 (e.g. 0.49999999999999994), ``x+0.5`` rounds UP to the
+    next integer under IEEE round-to-nearest before floor() sees it, so
+    the naive form disagrees with decimal HALF_UP. ``x - floor(x)`` is an
+    exact subtraction for |x| < 2^53 (the difference is a multiple of
+    ulp(x) that fits the mantissa), so comparing the exact fractional part
+    against 0.5 reproduces the decimal decision with no addition-rounding
+    hazard."""
+    import numpy as np
+
+    fl = np.floor(x)
+    ce = np.ceil(x)
+    return np.where(x >= 0, fl + ((x - fl) >= 0.5), ce - ((ce - x) >= 0.5)).astype(np.int64)
+
+
 def _self_dot(coeffs: list[float]) -> float:
     """Python-side left-to-right sum of squares (IEEE-identical to the
     engine folds: doubles, acc starts at 0.0, index order)."""
@@ -129,10 +148,10 @@ def _fixed_partials(df: DataFrame, vec_col: str, centroids: dict[int, list[float
 
     The fixed-point element round replicates Spark's
     ``round(x * 1e6, 0)`` (BigDecimal HALF_UP == half-away-from-zero)
-    exactly: below 2^52 every k+0.5 boundary is an exact double, so the
-    binary ``floor(x+0.5)`` / ``ceil(x-0.5)`` forms and the decimal
-    HALF_UP form cannot disagree; int64 partial sums are order-free, so
-    the centroids are identical at any partitioning/batching.
+    exactly via :func:`_fixed_round` (exact-fraction comparison — no
+    ``x+0.5`` addition-rounding hazard); int64 partial sums are
+    order-free, so the centroids are identical at any
+    partitioning/batching.
     """
     import numpy as np
 
@@ -152,8 +171,7 @@ def _fixed_partials(df: DataFrame, vec_col: str, centroids: dict[int, list[float
                 continue
             best_c, _ = _np_best(pdf[vec_col], cmat)
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
-            x = V * float(FIXED_SCALE)
-            fixed = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+            fixed = _fixed_round(V * float(FIXED_SCALE))
             out = {"cluster": [], "n": []}
             sums = []
             for cid in np.unique(best_c):
@@ -280,8 +298,7 @@ def label_centroid_outliers(
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf["__v"].to_numpy()).astype(np.float64, copy=False)
-            x = V * float(FIXED_SCALE)
-            fixed = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+            fixed = _fixed_round(V * float(FIXED_SCALE))
             out = {"__lbl": [], "n": []}
             sums = []
             lbl = pdf["__lbl"].to_numpy()

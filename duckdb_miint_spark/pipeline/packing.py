@@ -192,11 +192,26 @@ pb AS (
          COALESCE(LEAD(v) OVER (PARTITION BY shard ORDER BY v),
                   CAST(9223372036854775807 AS BIGINT)) AS end_rn
   FROM reach{k}
+),
+guard AS (
+  -- Coverage assertion: if the LAST enumerated pack start in any shard
+  -- still has a successor (j0.w non-NULL), the doubling enumeration was
+  -- truncated at 2^levels packs and trailing rows would silently collapse
+  -- into the final pack. Fail loudly instead of returning wrong pack ids.
+  SELECT CASE WHEN EXISTS (
+           SELECT 1
+           FROM (SELECT shard, MAX(v) AS mv FROM reach{k} GROUP BY shard) lastv
+           JOIN j0 ON j0.shard = lastv.shard AND j0.v = lastv.mv
+           WHERE j0.w IS NOT NULL
+         )
+         THEN error('packing_oracle_sql: doubling_levels too small for the pack count in at least one shard')
+         ELSE 1 END AS ok
 )
 SELECT r.id AS {id_col}, r.shard,
        CAST(r.shard AS BIGINT) * {PACK_STRIDE} + pb.pack AS pack_id,
        pb.pack AS pack_seq
 FROM r JOIN pb ON pb.shard = r.shard AND r.rn >= pb.start_rn AND r.rn < pb.end_rn
+WHERE (SELECT ok FROM guard) = 1
 ORDER BY {id_col}
 """
     return sql

@@ -354,10 +354,12 @@ def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     when more keys/paths are added (columnar shredding). A regexp
     extraction is ~2× faster still on this corpus but is not a JSON
     parser (breaks on escaping/nesting), so it stays out of the engine
-    path."""
+    path. ``try_parse_json`` (not ``parse_json``) keeps the tolerant
+    null-on-malformed semantics the oracle's json_extract_string has —
+    ``parse_json`` throws on the first dirty row in Spark 4."""
     ev = T(spark, sf_dir, "events")
     return (
-        ev.withColumn("k", F.try_variant_get(F.parse_json("props"), "$.k", "bigint"))
+        ev.withColumn("k", F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint"))
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
         .orderBy("event_type")

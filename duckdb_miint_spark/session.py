@@ -19,6 +19,11 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Single source of truth for the driver heap default: get_spark() configures
+# the JVM with it and _pin_total_bytes() derives the pin budget from it, so
+# the two can never drift (they previously disagreed, 8g vs 4g).
+DEFAULT_DRIVER_MEM = "8g"
+
 TABLES = (
     "region",
     "nation",
@@ -105,7 +110,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", DEFAULT_DRIVER_MEM))
         .config(
             "spark.driver.maxResultSize",
             os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
@@ -210,10 +215,34 @@ def _pin_total_bytes() -> int:
     env = os.environ.get("SPARK_GRAFT_PIN_TOTAL_BYTES")
     if env is not None:
         return int(env)
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g").lower().rstrip("b")
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", DEFAULT_DRIVER_MEM).lower().rstrip("b")
     mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(mem[-1], 1)
     heap = int(mem[:-1]) * mult if mem[-1] in "kmg" else int(mem)
     return max(256 << 20, heap // 64)
+
+
+def _catalog_table_bytes(spark: SparkSession, tbl: str) -> int:
+    """On-disk bytes of a managed catalog table (warehouse dir walk).
+
+    Returns 0 when the location can't be resolved — callers treat 0 as
+    "unknown, don't pin", the conservative choice for the cache budget."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        wh_path = warehouse[len("file:"):]
+    elif "://" not in warehouse:
+        wh_path = warehouse
+    else:
+        return 0
+    root = os.path.join(wh_path, tbl.lower())
+    total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+    return total
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -241,21 +270,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             tbl = f"graft_b_{name}"
             if spark.catalog.tableExists(tbl):
                 t = spark.table(tbl)
-                if _pin_bytes() > 0:
-                    # same warm-input treatment as the plain path, but
-                    # WITHOUT the repartition — a repartition would throw
-                    # away the bucketed distribution this layout exists
-                    # for. InMemoryRelation preserves the child's
+                pin = _pin_bytes()
+                if pin > 0:
+                    # same warm-input treatment as the plain path — same
+                    # per-table cap and same cumulative budget (a 4 GB
+                    # bucketed fact must not blow past the thrash budget
+                    # the plain path enforces) — but WITHOUT the
+                    # repartition: a repartition would throw away the
+                    # bucketed distribution this layout exists for.
+                    # InMemoryRelation preserves the child's
                     # HashPartitioning, so joins on the bucket key stay
                     # Exchange-free off the cache.
                     key = (spark.sparkContext.applicationId, "__bucketed__", tbl)
                     cached = _SMALL_INPUT_CACHE.get(key)
-                    if cached is None:
+                    if cached is not None:
+                        return cached
+                    size = _catalog_table_bytes(spark, tbl)
+                    app = spark.sparkContext.applicationId
+                    spent = _PINNED_TOTALS.get(app, 0)
+                    if 0 < size < pin and spent + size <= _pin_total_bytes():
+                        _PINNED_TOTALS[app] = spent + size
                         t = t.cache()
                         t.count()
                         _SMALL_INPUT_CACHE[key] = t
-                    else:
-                        t = cached
                 return t
     except Exception:  # noqa: BLE001 — catalog access is best-effort
         pass

@@ -37,7 +37,10 @@ def copy_biom(
     df: DataFrame,
     path: str,
     table_id: str = "No Table ID",
-    generated_by: str = "duckdb_miint_spark",
+    generated_by: str = "duckdb_miint_spark",  # deliberate deviation: the
+    # reference defaults generated-by to "miint" (copy_biom.cpp:19-26); this
+    # writer states its own identity. Pass generated_by="miint" for
+    # byte-identical attribute parity with reference output.
     compression: str | None = None,
 ) -> None:
     """COPY (df) TO path (FORMAT BIOM, ...); everything before the

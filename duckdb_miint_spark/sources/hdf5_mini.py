@@ -8,12 +8,14 @@ Implements, per the public HDF5 File Format Specification (v1.8 line):
   local heap names
 - dataspace (simple), datatype (fixed-point, IEEE float, fixed string,
   variable-length string), data layout v3 (compact, contiguous, and
-  chunked WITHOUT filters via the v1 chunk B-tree)
+  chunked via the v1 chunk B-tree — with deflate (gzip) and shuffle
+  filters supported on the chunked path; see the filter-pipeline
+  handling around the chunk reader)
 - variable-length strings through global heap collections (GCOL)
 
-This is not a general HDF5 implementation: no filters/compression, no
-v2 headers, no fractal-heap groups — exactly the subset h5py emits for
-small uncompressed files like the BIOM interchange fixtures.
+This is not a general HDF5 implementation: no filters beyond
+deflate+shuffle, no v2 headers, no fractal-heap groups — the subset
+h5py emits for BIOM interchange files (compressed or not).
 """
 
 from __future__ import annotations
