@@ -297,38 +297,38 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    codebook: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, sim, rank) — IVF (inverted-file) approximate
     top-k: coarse-quantize the corpus into cells, probe the ``nprobe``
     nearest cells per query, exact-rerank only within probed cells.
 
-    Centroids here are a deterministic stride subset of the corpus
-    (standing in for an offline k-means codebook — the cell-routing plan,
-    which is the part Spark owns, is identical either way; swap the
-    ``cent`` DataFrame for trained centroids in production). Assignment is
-    a broadcast nested-loop against the tiny centroid table (the correct
-    physical plan: |corpus| × |centroids| dots, all in codegen via the
-    unrolled multiply-add chain), then candidates shuffle on the cell key
-    only. At 100 TB the assignment pass is embarrassingly parallel and the
-    per-cell candidate lists are the only join state.
+    ``codebook`` (list of (cent_id, coeffs), e.g. the sorted items of
+    ``cluster.kmeans_fit``'s model) supplies trained centroids — the
+    production path. When omitted, a deterministic stride subset of the
+    corpus stands in (useful for fixed-reference tests). The cell-routing
+    plan — the part Spark owns — is identical either way. Assignment is
+    an Arrow-kernel pass against the tiny centroid model (the correct
+    physical plan: |corpus| × |centroids| dots, zero shuffle), then
+    candidates shuffle on the cell key only. At 100 TB the assignment
+    pass is embarrassingly parallel and the per-cell candidate lists are
+    the only join state.
     """
     from pyspark.sql import Window as W
 
-    # The codebook is a MODEL (nlist x dim — fixed-size in production,
-    # where it comes from an offline k-means; the stride subset stands in
-    # for it here). Collect it once and route each row to its top cells
-    # inside an Arrow pass: per row the kernel computes all |codebook|
-    # cosines as a j-loop of (rows x ncent) elementwise ops — the exact
-    # LEFT-TO-RIGHT fold per (row, centroid) pair, bit-identical to the
-    # previous broadcast-join + _dot_fixed + window plan, WITHOUT
-    # materializing |corpus| x |codebook| rows or shuffling them through
-    # a per-row window (at 200k x 6.4k that plan exploded to 1.3B rows).
-    cent_rows = (
-        corpus.filter(F.col(id_col) % centroid_stride == 0)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv"))
-        .collect()
-    )
-    codebook = sorted((r["cent_id"], [float(x) for x in r["centv"]]) for r in cent_rows)
+    # The codebook is a MODEL (nlist x dim — fixed-size in production).
+    # Collect/receive it once and route each row to its top cells inside
+    # an Arrow pass: per row the kernel computes all |codebook| cosines —
+    # WITHOUT materializing |corpus| x |codebook| rows or shuffling them
+    # through a per-row window (at 200k x 6.4k that plan exploded to
+    # 1.3B rows).
+    if codebook is None:
+        cent_rows = (
+            corpus.filter(F.col(id_col) % centroid_stride == 0)
+            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv"))
+            .collect()
+        )
+        codebook = sorted((r["cent_id"], [float(x) for x in r["centv"]]) for r in cent_rows)
 
     assign = _route_to_cells(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")),

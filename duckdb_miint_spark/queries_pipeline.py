@@ -30,6 +30,7 @@ from duckdb_miint_spark.pipeline.multimodal import (
     fake_decode_image_features,
 )
 from duckdb_miint_spark.pipeline.similarity import cosine_topk, lsh_ann_topk
+from duckdb_miint_spark.queries_analytics import _kmeans_ctes
 from duckdb_miint_spark.pipeline.text import (
     bottomk_fingerprint,
     language_id,
@@ -567,16 +568,14 @@ _IVF_COS = (
 
 @register(
     "ann_ivf_topk",
-    # The IVF path is deterministic (stride-31 centroid codebook), so the
-    # whole computation is restated in DuckDB: same assignment argmax
-    # (raw-double cosine, ties on cent_id), same nprobe=2 probing, same
-    # exact rerank on ROUND(sim, 6).
-    oracle=f"""
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-),
-cent AS (SELECT vec_id AS cent_id, v AS centv FROM e WHERE vec_id % 31 = 0),
+    # The IVF path is deterministic end-to-end: the codebook is a TRAINED
+    # k-means model (k=16, 2 Lloyd iterations — the same fixed-point CTE
+    # chain the kmeans_clusters gate proves bit-identical to kmeans_fit),
+    # so the whole computation is restated in DuckDB: same training, same
+    # assignment argmax (raw-double cosine, ties on cent_id), same
+    # nprobe=2 probing, same exact rerank on ROUND(sim, 6).
+    oracle=_kmeans_ctes(k=16, iters=2) + f""",
+cent AS (SELECT cid AS cent_id, cv AS centv FROM c2),
 asim AS (
   SELECT e.vec_id, e.v, c.cent_id,
          {_IVF_COS.format(a="e.v", b="c.centv")} AS casim
@@ -616,14 +615,18 @@ ORDER BY query_id, rank
     tags=("pipeline", "similarity"),
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 for 5 query vectors (nprobe=2 of the
-    stride-31 cells; exact cosine rerank within probed cells)."""
+    """IVF approximate top-10 for 5 query vectors: TRAINED codebook
+    (deterministic k-means, k=16, 2 iterations — ``cluster.kmeans_fit``),
+    nprobe=2 cells probed, exact cosine rerank within probed cells."""
+    from duckdb_miint_spark.pipeline.cluster import kmeans_fit
     from duckdb_miint_spark.pipeline.similarity import ivf_ann_topk
 
     emb = T(spark, sf_dir, "embeddings")
+    model = kmeans_fit(emb, k=16, iters=2, id_col="vec_id", vec_col="embedding")
+    codebook = sorted((cid, v) for cid, v in model.items())
     queries = emb.filter(F.col("vec_id") < 5)
     return (
-        ivf_ann_topk(emb, queries, k=10, nprobe=2, centroid_stride=31)
+        ivf_ann_topk(emb, queries, k=10, nprobe=2, codebook=codebook)
         .withColumn("rank", F.col("rank").cast("long"))
         .orderBy("query_id", "rank")
     )

@@ -182,6 +182,7 @@ def test_audio_video_plumbing_shapes(spark):
 
 
 def test_ivf_recall_vs_brute_force(spark):
+    from duckdb_miint_spark.pipeline.cluster import kmeans_fit
     from duckdb_miint_spark.pipeline.similarity import ivf_ann_topk
 
     e = emb(spark)
@@ -189,13 +190,27 @@ def test_ivf_recall_vs_brute_force(spark):
     truth = {
         (r["query_id"], r["vec_id"]) for r in cosine_topk(e, queries, k=10).collect()
     }
-    approx = {
+    stride = {
         (r["query_id"], r["vec_id"])
         for r in ivf_ann_topk(e, queries, k=10, nprobe=2).collect()
     }
-    recall = len(truth & approx) / len(truth)
+    stride_recall = len(truth & stride) / len(truth)
     # nprobe=2 of ~17 stride cells on near-uniform data: well above chance
-    assert recall >= 0.2, f"IVF recall {recall:.2f} below floor"
+    assert stride_recall >= 0.2, f"IVF stride recall {stride_recall:.2f} below floor"
+
+    # Trained codebook (the production path and the gate's path): a real
+    # k-means model partitions the space better than a stride subset of
+    # corpus vectors, so recall@k must not regress vs the stride stand-in.
+    model = kmeans_fit(e, k=16, iters=2, id_col="vec_id", vec_col="embedding")
+    codebook = sorted((cid, v) for cid, v in model.items())
+    trained = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_ann_topk(e, queries, k=10, nprobe=2, codebook=codebook).collect()
+    }
+    trained_recall = len(truth & trained) / len(truth)
+    assert trained_recall >= stride_recall, (
+        f"trained-codebook recall {trained_recall:.2f} < stride {stride_recall:.2f}"
+    )
 
 
 def test_connected_components_graph_shapes(spark):
