@@ -195,8 +195,27 @@ islands AS (
 """
 
 
-def _aln(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _aln(spark: SparkSession, sf_dir: str, bucket: str | None = None) -> DataFrame:
+    """The SAM-shaped alignments relation.
+
+    ``bucket`` names an opt-in bucketed MATERIALIZATION of this derived
+    table (written by tools/bucketed_ab.py via storage.write_bucketed):
+    ``"read"`` = bucketed on read_id (feeds woltka's per-read dedup
+    aggregate — its one big exchange disappears), ``"ref"`` = bucketed on
+    reference (feeds the island window partition key in
+    compress_intervals/genome_coverage). Served only when the session has
+    ``spark.graft.bucketedLayout=true`` AND the catalog table exists —
+    the default path stays the plain derivation, whose plan-shape tests
+    assert parquet pushdown on the raw lineitem scan."""
     T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    if bucket is not None:
+        try:
+            if spark.conf.get("spark.graft.bucketedLayout", "false") == "true":
+                tbl = f"graft_b_aln_{bucket}"
+                if spark.catalog.tableExists(tbl):
+                    return spark.table(tbl)
+        except Exception:  # noqa: BLE001 — catalog access is best-effort
+            pass
     return spark.sql(ALN_SQL)
 
 
@@ -299,7 +318,7 @@ def compress_intervals_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipped, inverted pairs swapped, touching intervals merged, sorted by
     start. The oracle is the identical window-island idiom in DuckDB.
     """
-    aln = _aln(spark, sf_dir)
+    aln = _aln(spark, sf_dir, bucket="ref")
     return compress_intervals_islands(
         aln, "position", "stop_position", group_cols=["reference"]
     ).orderBy("reference", "start")
@@ -340,7 +359,7 @@ ORDER BY sample_id, feature_id
 )
 def q_woltka_ogu_per_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Woltka OGU per-sample counts (miint_macros.hpp:35-58)."""
-    aln = _aln(spark, sf_dir)
+    aln = _aln(spark, sf_dir, bucket="read")
     out = woltka_ogu_per_sample(aln, "sample_id", "read_id")
     return out.select(
         "sample_id", "feature_id", F.round("value", 6).alias("value")
@@ -373,7 +392,7 @@ ORDER BY feature_id
 )
 def q_woltka_ogu(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Woltka OGU counts, sample-agnostic (miint_macros.hpp:80-100)."""
-    aln = _aln(spark, sf_dir)
+    aln = _aln(spark, sf_dir, bucket="read")
     out = woltka_ogu(aln, "read_id")
     return out.select("feature_id", F.round("value", 6).alias("value")).orderBy("feature_id")
 
@@ -414,7 +433,7 @@ ORDER BY genome_id
 def q_genome_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """genome_coverage macro (miint_macros.hpp:212-243): interval union →
     contig→genome rollup → proportion vs total length."""
-    aln = _aln(spark, sf_dir)
+    aln = _aln(spark, sf_dir, bucket="ref")
     sg = spark.sql(CONTIG_MAP_SQL)
     tl = spark.sql(GENOME_LEN_SQL)
     out = genome_coverage(aln, tl, sg)

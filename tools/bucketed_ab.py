@@ -37,8 +37,20 @@ sys.path.insert(0, REPO)
 
 os.environ.setdefault("SPARK_GRAFT_PIN_BYTES", str(4 * 1024**3))
 
-QUERIES = ["q3_shipping_priority", "q5_local_supplier_volume"]
+QUERIES = [
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "having_big_orders",
+    "woltka_ogu_per_sample",
+    "genome_coverage",
+    "compress_intervals_flat",
+]
 BUCKET_TABLES = {"lineitem": ["l_orderkey"], "orders": ["o_orderkey"]}
+# Derived bucketed materializations of the SAM-shaped alignments relation
+# (queries_domain.ALN_SQL): "read" feeds woltka's per-read dedup aggregate,
+# "ref" feeds the island window partition key (compress_intervals /
+# genome_coverage). _aln() serves them under spark.graft.bucketedLayout.
+ALN_BUCKETS = {"graft_b_aln_read": ["read_id"], "graft_b_aln_ref": ["reference"]}
 PASSES = 3
 
 
@@ -131,6 +143,11 @@ def main() -> None:
     t0 = time.perf_counter()
     for t, cols in BUCKET_TABLES.items():
         write_bucketed(read_table(spark, sf_dir, t), f"graft_b_{t}", n_buckets, cols)
+    from duckdb_miint_spark.queries_domain import ALN_SQL
+
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    for tbl, cols in ALN_BUCKETS.items():
+        write_bucketed(spark.sql(ALN_SQL), tbl, n_buckets, cols)
     bucket_write_sec = round(time.perf_counter() - t0, 2)
     print(f"bucketed write: {bucket_write_sec}s", flush=True)
 
