@@ -104,3 +104,23 @@ def test_packing_token_budget_math():
     """ceil(n/4) >= 1 clamp mirrors the gate's token estimate."""
     assert max(1, math.ceil(0 / 4.0)) == 1
     assert max(1, math.ceil(9 / 4.0)) == 3
+
+
+def test_packing_oracle_guard_fires_on_truncated_enumeration():
+    """The oracle SQL must error() — not silently collapse trailing rows
+    into the last pack — when doubling_levels can't cover a shard's pack
+    count; and the guard must be invisible when coverage is complete."""
+    import duckdb
+    import pytest
+
+    from duckdb_miint_spark.pipeline.packing import packing_oracle_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs AS SELECT range AS id, 5 AS tok FROM range(2000)")
+    # max_tokens == tok -> one row per pack -> ~1000 packs/shard; 2^3 = 8
+    with pytest.raises(Exception, match="doubling_levels too small"):
+        con.execute(packing_oracle_sql("docs", "id", "tok", 5, 2, doubling_levels=3)).fetchall()
+    rows = con.execute(
+        packing_oracle_sql("docs", "id", "tok", 5, 2, doubling_levels=21)
+    ).fetchall()
+    assert len(rows) == 2000
