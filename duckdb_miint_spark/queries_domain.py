@@ -201,12 +201,14 @@ def _aln(spark: SparkSession, sf_dir: str, bucket: str | None = None) -> DataFra
     ``bucket`` names an opt-in bucketed MATERIALIZATION of this derived
     table (written by tools/bucketed_ab.py via storage.write_bucketed):
     ``"read"`` = bucketed on read_id (feeds woltka's per-read dedup
-    aggregate — its one big exchange disappears), ``"ref"`` = bucketed on
-    reference (feeds the island window partition key in
-    compress_intervals/genome_coverage). Served only when the session has
-    ``spark.graft.bucketedLayout=true`` AND the catalog table exists —
+    aggregate — its one big exchange disappears; measured 2-5× at sf2 and
+    stable, now beating the DuckDB oracle). Served only when the session
+    has ``spark.graft.bucketedLayout=true`` AND the catalog table exists —
     the default path stays the plain derivation, whose plan-shape tests
-    assert parquet pushdown on the raw lineitem scan."""
+    assert parquet pushdown on the raw lineitem scan. A ``"ref"``
+    (reference-key) materialization for the island-window consumers was
+    tried and reverted — measured sf2 NEGATIVE (see
+    compress_intervals_flat), kept out so it isn't retried."""
     T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     if bucket is not None:
         try:
@@ -318,7 +320,14 @@ def compress_intervals_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipped, inverted pairs swapped, touching intervals merged, sorted by
     start. The oracle is the identical window-island idiom in DuckDB.
     """
-    aln = _aln(spark, sf_dir, bucket="ref")
+    # Measured negative (r8, sf2, two interleaved A/B runs): serving a
+    # reference-bucketed materialization here ran 5.2-7.1 s vs 1.8-3.2 s
+    # for the plain derivation — the reference-key exchange this removes
+    # is cheap in-process, while decoding the materialized 12M-row table
+    # costs more than deriving it from the (narrower) lineitem scan. On a
+    # real cluster where the exchange crosses a network the trade can
+    # flip; re-evaluate there, not at local sf2.
+    aln = _aln(spark, sf_dir)
     return compress_intervals_islands(
         aln, "position", "stop_position", group_cols=["reference"]
     ).orderBy("reference", "start")
@@ -433,7 +442,9 @@ ORDER BY genome_id
 def q_genome_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """genome_coverage macro (miint_macros.hpp:212-243): interval union →
     contig→genome rollup → proportion vs total length."""
-    aln = _aln(spark, sf_dir, bucket="ref")
+    # Plain derivation on purpose — the reference-bucketed serving was a
+    # measured sf2 negative here too (see compress_intervals_flat above).
+    aln = _aln(spark, sf_dir)
     sg = spark.sql(CONTIG_MAP_SQL)
     tl = spark.sql(GENOME_LEN_SQL)
     out = genome_coverage(aln, tl, sg)

@@ -140,9 +140,10 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 def test_bucketed_layout_removes_exchanges_domain_queries(spark):
     """The bucketed-layout treatment (tools/bucketed_ab.py) must remove
     the data-sized exchange from each promoted query — woltka's per-read
-    dedup aggregate, the island window's reference shuffle
-    (compress_intervals / genome_coverage), and both sides of
-    having_big_orders' orderkey join — and must not change any answer."""
+    dedup aggregate and both sides of having_big_orders' orderkey join —
+    and must not change any answer. (compress_intervals/genome_coverage
+    were tried and reverted: measured sf2 negative, see
+    queries_domain.compress_intervals_flat.)"""
     from duckdb_miint_spark.queries_domain import ALN_SQL
     from duckdb_miint_spark.storage import write_bucketed
 
@@ -155,17 +156,11 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
     def result(name):
         return [tuple(r) for r in REG[name].spark_fn(spark, SF).collect()]
 
-    queries = (
-        "woltka_ogu_per_sample",
-        "genome_coverage",
-        "compress_intervals_flat",
-        "having_big_orders",
-    )
+    queries = ("woltka_ogu_per_sample", "having_big_orders")
     plain = {q: (hash_exchanges(q), result(q)) for q in queries}
 
     spark.read.parquet(f"{SF}/lineitem.parquet").createOrReplaceTempView("lineitem")
     write_bucketed(spark.sql(ALN_SQL), "graft_b_aln_read", 8, ["read_id"])
-    write_bucketed(spark.sql(ALN_SQL), "graft_b_aln_ref", 8, ["reference"])
     write_bucketed(
         spark.read.parquet(f"{SF}/lineitem.parquet"), "graft_b_lineitem", 8, ["l_orderkey"]
     )
@@ -174,9 +169,9 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
     )
     spark.conf.set("spark.graft.bucketedLayout", "true")
     try:
-        # ceilings measured at introduction: woltka 2->1, coverage 6->3,
-        # intervals 3->0, having 2->0 — regressions fail loudly
-        ceilings = dict(zip(queries, (1, 3, 0, 0)))
+        # ceilings measured at introduction: woltka 2->1, having 2->0 —
+        # regressions fail loudly
+        ceilings = dict(zip(queries, (1, 0)))
         for q in queries:
             n = hash_exchanges(q)
             assert n <= ceilings[q], f"{q}: {n} > {ceilings[q]} hash exchanges"
@@ -184,7 +179,7 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
             assert result(q) == plain[q][1], f"{q}: bucketed layout changed the answer"
     finally:
         spark.conf.set("spark.graft.bucketedLayout", "false")
-        for t in ("graft_b_aln_read", "graft_b_aln_ref", "graft_b_lineitem", "graft_b_orders"):
+        for t in ("graft_b_aln_read", "graft_b_lineitem", "graft_b_orders"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 

@@ -42,15 +42,16 @@ QUERIES = [
     "q5_local_supplier_volume",
     "having_big_orders",
     "woltka_ogu_per_sample",
-    "genome_coverage",
-    "compress_intervals_flat",
 ]
 BUCKET_TABLES = {"lineitem": ["l_orderkey"], "orders": ["o_orderkey"]}
-# Derived bucketed materializations of the SAM-shaped alignments relation
-# (queries_domain.ALN_SQL): "read" feeds woltka's per-read dedup aggregate,
-# "ref" feeds the island window partition key (compress_intervals /
-# genome_coverage). _aln() serves them under spark.graft.bucketedLayout.
-ALN_BUCKETS = {"graft_b_aln_read": ["read_id"], "graft_b_aln_ref": ["reference"]}
+# Derived bucketed materialization of the SAM-shaped alignments relation
+# (queries_domain.ALN_SQL): "read" feeds woltka's per-read dedup aggregate.
+# A "ref" (reference-key) variant for compress_intervals/genome_coverage was
+# measured NEGATIVE at sf2 (bucketed 5.2-7.1 s vs plain 1.8-3.2 s across two
+# interleaved runs — the removed exchange is cheap in-process, the
+# materialized-table decode isn't) and was reverted; don't re-add without a
+# real-cluster measurement.
+ALN_BUCKETS = {"graft_b_aln_read": ["read_id"]}
 PASSES = 3
 
 
