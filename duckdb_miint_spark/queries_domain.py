@@ -48,7 +48,7 @@ from duckdb_miint_spark.functions.sequence import (
 from duckdb_miint_spark.operators.coverage import genome_coverage
 from duckdb_miint_spark.operators.gff import parse_gff_attributes
 from duckdb_miint_spark.operators.woltka import woltka_ogu, woltka_ogu_per_sample
-from duckdb_miint_spark.registry import register
+from duckdb_miint_spark.registry import bounded_sort, register
 from duckdb_miint_spark.session import read_table
 
 
@@ -328,6 +328,9 @@ def compress_intervals_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real cluster where the exchange crosses a network the trade can
     # flip; re-evaluate there, not at local sf2.
     aln = _aln(spark, sf_dir)
+    # NOT bounded_sort: the island agg reuses the window's reference
+    # partitioning, so the whole window stage would collapse into the
+    # coalesced single task (measured +0.5 s at sf0.1).
     return compress_intervals_islands(
         aln, "position", "stop_position", group_cols=["reference"]
     ).orderBy("reference", "start")
@@ -370,9 +373,10 @@ def q_woltka_ogu_per_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Woltka OGU per-sample counts (miint_macros.hpp:35-58)."""
     aln = _aln(spark, sf_dir, bucket="read")
     out = woltka_ogu_per_sample(aln, "sample_id", "read_id")
-    return out.select(
-        "sample_id", "feature_id", F.round("value", 6).alias("value")
-    ).orderBy("sample_id", "feature_id")
+    return bounded_sort(
+        out.select("sample_id", "feature_id", F.round("value", 6).alias("value")),
+        "sample_id", "feature_id",
+    )
 
 
 @register(
@@ -403,7 +407,9 @@ def q_woltka_ogu(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Woltka OGU counts, sample-agnostic (miint_macros.hpp:80-100)."""
     aln = _aln(spark, sf_dir, bucket="read")
     out = woltka_ogu(aln, "read_id")
-    return out.select("feature_id", F.round("value", 6).alias("value")).orderBy("feature_id")
+    return bounded_sort(
+        out.select("feature_id", F.round("value", 6).alias("value")), "feature_id"
+    )
 
 
 # --- genome_coverage ---------------------------------------------------------
@@ -448,6 +454,10 @@ def q_genome_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sg = spark.sql(CONTIG_MAP_SQL)
     tl = spark.sql(GENOME_LEN_SQL)
     out = genome_coverage(aln, tl, sg)
+    # NOT bounded_sort: the plan's last exchange is the island window's
+    # reference shuffle, so coalesce(1) would collapse the window compute
+    # itself into one task (measured +0.3 s at sf0.1). The output is tiny
+    # but the final stage is not.
     return out.select(
         "genome_id", F.col("covered").cast("long").alias("covered"), "proportion_covered"
     ).orderBy("genome_id")

@@ -16,7 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from duckdb_miint_spark.registry import register
+from duckdb_miint_spark.registry import bounded_sort, register
 from duckdb_miint_spark.session import read_table
 
 
@@ -81,7 +81,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(dc).cast("double") / F.count("*") / 100.0).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(lambda d: bounded_sort(d, "l_returnflag", "l_linestatus"))
     )
 
 
@@ -178,7 +178,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg((F.sum(pc * (100 - dc)).cast("double") / 10000.0).alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
+        .transform(lambda d: bounded_sort(d, F.desc("revenue"), "n_name"))
     )
 
 
@@ -205,7 +205,7 @@ def window_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("p_brand", "p_partkey", "p_retailprice", "rn")
-        .orderBy("p_brand", "rn")
+        .transform(lambda d: bounded_sort(d, "p_brand", "rn"))
     )
 
 
@@ -265,7 +265,7 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pre.groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_custs"), F.sum("c").alias("n_orders"))
-        .orderBy("o_orderpriority")
+        .transform(lambda d: bounded_sort(d, "o_orderpriority"))
     )
 
 
@@ -362,7 +362,7 @@ def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("k", F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint"))
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
-        .orderBy("event_type")
+        .transform(lambda d: bounded_sort(d, "event_type"))
     )
 
 
@@ -457,7 +457,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "sum_value",
         )
-        .orderBy("hour", "event_type")
+        .transform(lambda d: bounded_sort(d, "hour", "event_type"))
     )
 
 

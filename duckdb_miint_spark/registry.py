@@ -39,6 +39,25 @@ def register(name: str, oracle: str | None = None, tags: tuple = (), doc: str = 
     return deco
 
 
+def bounded_sort(df: DataFrame, *cols) -> DataFrame:
+    """Total-order final sort for BOUNDED results — aggregate outputs
+    whose row count is key-bounded (a handful of groups, samples ×
+    features, genomes, hour buckets), not data-sized.
+
+    A plain ``orderBy`` plans a range exchange whose partitioner first
+    runs a SAMPLING JOB that re-executes the child stage — two extra
+    stage round-trips to sort rows that fit in one task. ``coalesce(1)``
+    + in-partition sort produces the identical total order with zero
+    extra jobs; because coalesce is a narrow dependency it collapses only
+    the final post-shuffle stage (the map-side heavy work keeps its full
+    parallelism), which is safe exactly when the output is bounded. At
+    cluster scale AQE (on above 1 GB input — session.py) coalesces the
+    range exchange to the same effect at runtime; this encodes the same
+    decision for the AQE-off small-input regime. Do NOT use on outputs
+    that grow with the data (per-document tables, join results)."""
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 def load_all() -> dict[str, QueryDef]:
     """Import every query module (side-effect: fills REGISTRY) and return it."""
     from duckdb_miint_spark import (  # noqa: F401
