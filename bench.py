@@ -220,6 +220,18 @@ def main() -> None:
         reg[name].spark_fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
     plan_build_sec = round(time.perf_counter() - t_build0, 4)
 
+    # One untimed full-set execution pass BEFORE the measured loop: on a
+    # cold box/JVM the first measured queries otherwise absorb one-time
+    # costs a single adjacent warm-up can't (page-cache fill of the input
+    # dir needs a full scan or two at sf10; first-call JIT of shared
+    # codegen/scheduler paths) — measured round 8 as monotone per-pass
+    # drift (q1 29→13→3.5 s at sf10 cold vs stable 1.4-2.1 s warm). Each
+    # query still gets its own ADJACENT warm-up right before its timed
+    # passes (the JMH adjacency rule), so this pre-pass only moves the
+    # set-wide one-time costs out of whichever query happens to run first.
+    for name in names:
+        reg[name].spark_fn(spark, sf_dir).toPandas()
+
     # Per-query measurement, ENGINE-INTERLEAVED (see module docstring):
     # for each query, Spark warm-up then DuckDB warm-up (both untimed),
     # then alternating timed passes S,D,S,D,... so ambient load drifts
