@@ -211,13 +211,18 @@ def _aln(spark: SparkSession, sf_dir: str, bucket: str | None = None) -> DataFra
     compress_intervals_flat), kept out so it isn't retried."""
     T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     if bucket is not None:
-        try:
-            if spark.conf.get("spark.graft.bucketedLayout", "false") == "true":
-                tbl = f"graft_b_aln_{bucket}"
-                if spark.catalog.tableExists(tbl):
-                    return spark.table(tbl)
-        except Exception:  # noqa: BLE001 — catalog access is best-effort
-            pass
+        from duckdb_miint_spark.storage import layout_fingerprint, serve_bucketed
+
+        # Fingerprint = source dir + the exact derivation SQL, so a snapshot
+        # written from another sf_dir or by an older ALN_SQL is never served
+        # (ADVICE r8: the derived table drifts in two ways, not one).
+        served = serve_bucketed(
+            spark,
+            f"graft_b_aln_{bucket}",
+            layout_fingerprint(os.path.abspath(sf_dir), ALN_SQL),
+        )
+        if served is not None:
+            return served
     return spark.sql(ALN_SQL)
 
 

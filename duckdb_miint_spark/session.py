@@ -241,23 +241,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # key then run with NO Exchange on the bucketed side — the
     # 100×-scale layout recommendation for fact-to-fact joins
     # (orders ⋈ lineitem); see PERF.md "bucketed-layout A/B".
-    try:
-        if spark.conf.get("spark.graft.bucketedLayout", "false") == "true":
-            tbl = f"graft_b_{name}"
-            if spark.catalog.tableExists(tbl):
-                # NEVER cache a bucketed table. The pin repair exists for
-                # single-row-group files whose scan can't parallelize —
-                # a bucketed table is n_buckets files and never has that
-                # problem — and .cache() actively DESTROYS the layout's
-                # two other advantages: InMemoryRelation drops parquet
-                # filter pushdown (the whole deserialized fact is scanned
-                # per query) and discards the per-bucket file sort order
-                # (outputOrdering), reinserting per-task Sorts under every
-                # SMJ. Measured at sf2: q3 on a cached bucketed lineitem
-                # ran 11-17 s vs 0.8-1.5 s on the native bucketed scan.
-                return spark.table(tbl)
-    except Exception:  # noqa: BLE001 — catalog access is best-effort
-        pass
+    from duckdb_miint_spark.storage import layout_fingerprint, serve_bucketed
+
+    # NEVER cache a bucketed table. The pin repair exists for
+    # single-row-group files whose scan can't parallelize —
+    # a bucketed table is n_buckets files and never has that
+    # problem — and .cache() actively DESTROYS the layout's
+    # two other advantages: InMemoryRelation drops parquet
+    # filter pushdown (the whole deserialized fact is scanned
+    # per query) and discards the per-bucket file sort order
+    # (outputOrdering), reinserting per-task Sorts under every
+    # SMJ. Measured at sf2: q3 on a cached bucketed lineitem
+    # ran 11-17 s vs 0.8-1.5 s on the native bucketed scan.
+    # The fingerprint (abs sf_dir) guards against serving a snapshot
+    # written from a DIFFERENT source dir (ADVICE r8).
+    bucketed = serve_bucketed(
+        spark, f"graft_b_{name}", layout_fingerprint(os.path.abspath(sf_dir), name)
+    )
+    if bucketed is not None:
+        return bucketed
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     pin = _pin_bytes()

@@ -22,7 +22,49 @@ vs the shuffled join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Table property carrying the layout identity of a bucketed graft table.
+FINGERPRINT_PROP = "graft.fingerprint"
+
+
+def layout_fingerprint(*parts: object) -> str:
+    """Identity of a bucketed materialization: hash of everything that
+    determines its CONTENT — the absolute source dir plus, for derived
+    tables, the exact derivation SQL. A graft table is only served when
+    its stored fingerprint matches the one the reader recomputes, so a
+    stale snapshot written from a different sf_dir (or by an older
+    derivation) silently falls back to the plain path instead of
+    silently changing answers."""
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(str(p).encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+def serve_bucketed(spark: SparkSession, table: str, fingerprint: str) -> DataFrame | None:
+    """The catalog table ``table`` iff the bucketed layout is opted in
+    (``spark.graft.bucketedLayout=true``), the table exists, AND its
+    stored ``graft.fingerprint`` equals ``fingerprint`` — else None
+    (callers fall back to the plain derivation). All catalog access is
+    best-effort: any failure means "not served"."""
+    try:
+        if spark.conf.get("spark.graft.bucketedLayout", "false") != "true":
+            return None
+        if not spark.catalog.tableExists(table):
+            return None
+        rows = spark.sql(
+            f"SHOW TBLPROPERTIES `{table}` ('{FINGERPRINT_PROP}')"
+        ).collect()
+        stored = rows[0]["value"] if rows else None
+        if stored != fingerprint:
+            return None
+        return spark.table(table)
+    except Exception:  # noqa: BLE001 — catalog access is best-effort
+        return None
 
 
 def write_bucketed(
@@ -31,6 +73,7 @@ def write_bucketed(
     n_buckets: int,
     bucket_cols: list[str] | tuple,
     sort_cols: list[str] | tuple | None = None,
+    fingerprint: str | None = None,
 ) -> None:
     """Write ``df`` as a bucketed (and optionally per-bucket sorted)
     catalog table. Joins/aggregations on ``bucket_cols`` against any
@@ -66,3 +109,8 @@ def write_bucketed(
         .sortBy(*sort_cols)
     )
     writer.saveAsTable(table)
+    if fingerprint is not None:
+        spark.sql(
+            f"ALTER TABLE `{table}` SET TBLPROPERTIES "
+            f"('{FINGERPRINT_PROP}'='{fingerprint}')"
+        )

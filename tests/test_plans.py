@@ -144,8 +144,10 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
     and must not change any answer. (compress_intervals/genome_coverage
     were tried and reverted: measured sf2 negative, see
     queries_domain.compress_intervals_flat.)"""
+    import os
+
     from duckdb_miint_spark.queries_domain import ALN_SQL
-    from duckdb_miint_spark.storage import write_bucketed
+    from duckdb_miint_spark.storage import layout_fingerprint, write_bucketed
 
     def hash_exchanges(name):
         df = REG[name].spark_fn(spark, SF)
@@ -159,13 +161,19 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
     queries = ("woltka_ogu_per_sample", "having_big_orders")
     plain = {q: (hash_exchanges(q), result(q)) for q in queries}
 
+    sf_abs = os.path.abspath(SF)
     spark.read.parquet(f"{SF}/lineitem.parquet").createOrReplaceTempView("lineitem")
-    write_bucketed(spark.sql(ALN_SQL), "graft_b_aln_read", 8, ["read_id"])
     write_bucketed(
-        spark.read.parquet(f"{SF}/lineitem.parquet"), "graft_b_lineitem", 8, ["l_orderkey"]
+        spark.sql(ALN_SQL), "graft_b_aln_read", 8, ["read_id"],
+        fingerprint=layout_fingerprint(sf_abs, ALN_SQL),
     )
     write_bucketed(
-        spark.read.parquet(f"{SF}/orders.parquet"), "graft_b_orders", 8, ["o_orderkey"]
+        spark.read.parquet(f"{SF}/lineitem.parquet"), "graft_b_lineitem", 8, ["l_orderkey"],
+        fingerprint=layout_fingerprint(sf_abs, "lineitem"),
+    )
+    write_bucketed(
+        spark.read.parquet(f"{SF}/orders.parquet"), "graft_b_orders", 8, ["o_orderkey"],
+        fingerprint=layout_fingerprint(sf_abs, "orders"),
     )
     spark.conf.set("spark.graft.bucketedLayout", "true")
     try:
@@ -181,6 +189,53 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
         spark.conf.set("spark.graft.bucketedLayout", "false")
         for t in ("graft_b_aln_read", "graft_b_lineitem", "graft_b_orders"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # the raw-parquet 'lineitem' view registered above must not leak
+        # into later tests (_aln-based queries would silently read it
+        # instead of the pinned read_table instance — ADVICE r8)
+        spark.catalog.dropTempView("lineitem")
+
+
+def test_bucketed_table_stale_fingerprint_not_served(spark, tmp_path):
+    """A graft table whose stored fingerprint doesn't match the reader's
+    recomputed identity (different source dir / drifted derivation SQL)
+    must NOT be served — read_table falls back to the plain parquet scan
+    instead of silently answering from the stale snapshot (ADVICE r8)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from duckdb_miint_spark.session import read_table
+    from duckdb_miint_spark.storage import layout_fingerprint, serve_bucketed, write_bucketed
+
+    sf_abs = os.path.abspath(SF)
+    # a deliberately WRONG-content snapshot under the graft name for `nation`
+    fake = spark.range(0, 3).select(
+        F.col("id").alias("n_nationkey"), F.lit("STALE").alias("n_name")
+    )
+    write_bucketed(
+        fake, "graft_b_nation", 2, ["n_nationkey"],
+        fingerprint=layout_fingerprint("/some/other/sfdir", "nation"),
+    )
+    spark.conf.set("spark.graft.bucketedLayout", "true")
+    try:
+        # mismatched fingerprint: not served
+        assert serve_bucketed(
+            spark, "graft_b_nation", layout_fingerprint(sf_abs, "nation")
+        ) is None
+        # read_table falls back to the real parquet (25 nations, not 3)
+        assert read_table(spark, SF, "nation").count() == 25
+        # matching fingerprint IS served
+        write_bucketed(
+            fake, "graft_b_nation", 2, ["n_nationkey"],
+            fingerprint=layout_fingerprint(sf_abs, "nation"),
+        )
+        assert read_table(spark, SF, "nation").count() == 3
+        # a table written with NO fingerprint is never served either
+        write_bucketed(fake, "graft_b_nation", 2, ["n_nationkey"])
+        assert read_table(spark, SF, "nation").count() == 25
+    finally:
+        spark.conf.set("spark.graft.bucketedLayout", "false")
+        spark.sql("DROP TABLE IF EXISTS graft_b_nation")
 
 
 def test_range_join_is_hash_join_not_nested_loop(spark):

@@ -151,14 +151,23 @@ def main() -> None:
         reg[name].spark_fn(spark, sf_dir).toPandas()
     plain = run_phase("plain")
 
+    from duckdb_miint_spark.storage import layout_fingerprint
+
+    sf_abs = os.path.abspath(sf_dir)
     t0 = time.perf_counter()
     for t, cols in BUCKET_TABLES.items():
-        write_bucketed(read_table(spark, sf_dir, t), f"graft_b_{t}", n_buckets, cols)
+        write_bucketed(
+            read_table(spark, sf_dir, t), f"graft_b_{t}", n_buckets, cols,
+            fingerprint=layout_fingerprint(sf_abs, t),
+        )
     from duckdb_miint_spark.queries_domain import ALN_SQL
 
     read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     for tbl, cols in ALN_BUCKETS.items():
-        write_bucketed(spark.sql(ALN_SQL), tbl, n_buckets, cols)
+        write_bucketed(
+            spark.sql(ALN_SQL), tbl, n_buckets, cols,
+            fingerprint=layout_fingerprint(sf_abs, ALN_SQL),
+        )
     bucket_write_sec = round(time.perf_counter() - t0, 2)
     print(f"bucketed write: {bucket_write_sec}s", flush=True)
 
