@@ -168,6 +168,19 @@ def main() -> None:
             spark.sql(ALN_SQL), tbl, n_buckets, cols,
             fingerprint=layout_fingerprint(sf_abs, ALN_SQL),
         )
+    # Denormalized orders⋈customer on the SAME bucket key/count as
+    # lineitem: serves q3 (one co-located join, zero-exchange to top-k)
+    # and q5 (deletes the customer hop — the r8 verdict's worst tail).
+    from duckdb_miint_spark.queries_relational import ORDERS_CNAT_SQL
+
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    write_bucketed(
+        spark.sql(ORDERS_CNAT_SQL), "graft_b_orders_cnat", n_buckets, ["o_orderkey"],
+        fingerprint=layout_fingerprint(sf_abs, ORDERS_CNAT_SQL),
+    )
+    for v in ("orders", "customer", "lineitem"):
+        spark.catalog.dropTempView(v)
     bucket_write_sec = round(time.perf_counter() - t0, 2)
     print(f"bucketed write: {bucket_write_sec}s", flush=True)
 
