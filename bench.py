@@ -11,7 +11,15 @@ plans; at sf2 execution dominates on both engines. PERF.md has the
 full decomposition and the sf1 numbers alongside).
 Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
- "sf": dir, "plan_build_sec": ..., "duckdb": {...}, "ratio_vs_duckdb": ...}
+ "sf": dir, "plan_build_sec": ..., "build_sec": {name: sec}, "box": {...},
+ "duckdb": {...}, "ratio_vs_duckdb": ...,
+ "bucketed": {"queries": {...}, "bucket_write_sec": ..., ...}}
+The plain-layout headline is the primary metric; "bucketed" re-measures
+the four layout-promoted queries (q3/q5/having/woltka) on the bucketed
+graft tables — the layout a production 100 TB table would use — with the
+same interleaved protocol. "build_sec" is the per-query median of the
+(untimed-for-the-headline) DataFrame build+plan step, so a query whose
+builder runs eager Spark jobs is visible in the artifact.
 
 Methodology
 -----------
@@ -168,6 +176,84 @@ def median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
+def box_fingerprint() -> dict:
+    """Machine/state context for the run: per-box DuckDB absolutes vary
+    ~3x round-to-round, so every artifact carries the CPU model, ambient
+    load, and page-cache state needed to compare ratios across rounds."""
+    fp: dict = {"cores": os.cpu_count()}
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("model name"):
+                    fp["cpu"] = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    try:
+        fp["load_avg_start"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    try:
+        mem = {}
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                k, v = line.split(":", 1)
+                mem[k] = int(v.strip().split()[0])  # kB
+        fp["mem_total_gb"] = round(mem.get("MemTotal", 0) / 1048576, 1)
+        fp["mem_available_gb"] = round(mem.get("MemAvailable", 0) / 1048576, 1)
+        fp["page_cache_gb"] = round(mem.get("Cached", 0) / 1048576, 1)
+    except (OSError, ValueError):
+        pass
+    try:
+        fp["uname"] = os.uname().release
+    except OSError:
+        pass
+    return fp
+
+
+# Queries re-measured under the bucketed layout (the 100x-scale layout a
+# production table would use — PERF.md "bucketed-layout A/B" rounds 7-9).
+# The second treatment makes those numbers a driver artifact instead of
+# PERF.md prose: BENCH JSON carries {"bucketed": {...}} alongside the
+# plain-layout headline.
+BUCKETED_QUERIES = [
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "having_big_orders",
+    "woltka_ogu_per_sample",
+]
+
+
+def write_bucketed_layout(spark, sf_dir: str, n_buckets: int) -> float:
+    """Write the graft tables (lineitem/orders on the order key, the
+    derived aln_read and orders_cnat) and return the wall seconds spent —
+    the one-time layout cost the treatment amortizes."""
+    from duckdb_miint_spark.queries_domain import ALN_SQL
+    from duckdb_miint_spark.queries_relational import ORDERS_CNAT_SQL
+    from duckdb_miint_spark.storage import layout_fingerprint, write_bucketed
+
+    sf_abs = os.path.abspath(sf_dir)
+    t0 = time.perf_counter()
+    for t, cols in (("lineitem", ["l_orderkey"]), ("orders", ["o_orderkey"])):
+        write_bucketed(
+            read_table(spark, sf_dir, t), f"graft_b_{t}", n_buckets, cols,
+            fingerprint=layout_fingerprint(sf_abs, t),
+        )
+    for t in ("lineitem", "orders", "customer"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    write_bucketed(
+        spark.sql(ALN_SQL), "graft_b_aln_read", n_buckets, ["read_id"],
+        fingerprint=layout_fingerprint(sf_abs, ALN_SQL),
+    )
+    write_bucketed(
+        spark.sql(ORDERS_CNAT_SQL), "graft_b_orders_cnat", n_buckets, ["o_orderkey"],
+        fingerprint=layout_fingerprint(sf_abs, ORDERS_CNAT_SQL),
+    )
+    for v in ("lineitem", "orders", "customer"):
+        spark.catalog.dropTempView(v)
+    return round(time.perf_counter() - t0, 2)
+
+
 def main() -> None:
     sf_dir, timed_passes = resolve_sf_dir()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
@@ -248,6 +334,7 @@ def main() -> None:
     con = duck_connection(sf_dir)
     oracle_sqls = {n: reg[n].oracle for n in names if reg[n].oracle}
     timings: dict[str, float] = {}
+    build_timings: dict[str, float] = {}
     duck_timings: dict[str, float] = {}
     samples: dict[str, dict[str, list[float]]] = {}
     rows: dict[str, int] = {}
@@ -262,16 +349,23 @@ def main() -> None:
             print(f"#   {name} warmup: {warm_s:.3f}s", file=sys.stderr)
         s_passes: list[float] = []
         d_passes: list[float] = []
+        b_passes: list[float] = []
         for _pass in range(timed_passes):
+            t0 = time.perf_counter()
             df = reg[name].spark_fn(spark, sf_dir)
             # Force analysis + Catalyst optimization + physical planning
-            # OUTSIDE the timer, same as the Python-side plan build: it is
-            # client/optimizer latency (15-100 ms per query at sf0.1 —
-            # measured round 8), not engine execution, and it amortizes to
-            # zero at the 100 TB target. One full build+plan of the set is
-            # still reported as plan_build_sec. (The DuckDB side keeps its
-            # ~1 ms parse+plan inside its timer.)
+            # OUTSIDE the exec timer, same as the Python-side plan build:
+            # it is client/optimizer latency (15-100 ms per query at
+            # sf0.1 — measured round 8), not engine execution, and it
+            # amortizes to zero at the 100 TB target. The build IS timed
+            # per query per pass and reported as build_sec (ADVICE r8):
+            # a query whose builder runs eager Spark jobs (e.g. an
+            # IVF entry training its codebook in spark_fn) shows that
+            # cost there instead of it silently vanishing from the record.
+            # (The DuckDB side keeps its ~1 ms parse+plan inside its
+            # timer.)
             df._jdf.queryExecution().executedPlan()
+            b_passes.append(round(time.perf_counter() - t0, 4))
             t0 = time.perf_counter()
             pdf = df.toPandas()
             dt = round(time.perf_counter() - t0, 4)
@@ -285,7 +379,8 @@ def main() -> None:
                 dd = f" duck={d_passes[-1]:.3f}s" if sql is not None else ""
                 print(f"#   {name} pass{_pass}: {dt:.3f}s{dd}", file=sys.stderr)
         timings[name] = round(median(s_passes), 4)
-        samples[name] = {"spark": s_passes}
+        build_timings[name] = round(median(b_passes), 4)
+        samples[name] = {"spark": s_passes, "build": b_passes}
         if d_passes:
             duck_timings[name] = round(median(d_passes), 4)
             samples[name]["duckdb"] = d_passes
@@ -293,6 +388,64 @@ def main() -> None:
         du = duck_timings.get(name)
         tail = f" duckdb={du:.3f}s ratio={dt / du:.2f}" if du else ""
         print(f"# {name}: {dt:.3f}s rows={rows[name]}{tail}", file=sys.stderr)
+
+    # SECOND TREATMENT: the bucketed layout (VERDICT r8 #5 — make the
+    # 100x-layout numbers a driver artifact, not PERF.md prose). Write
+    # the graft tables (timed — the one-time layout cost), re-run the
+    # promoted queries with the SAME adjacent-warm-up interleaved
+    # protocol, assert parity vs the plain-layout results, then restore
+    # the plain layout.
+    bucketed_out: dict = {}
+    try:
+        n_buckets = int(os.environ.get("SPARK_GRAFT_BUCKETS", "0")) or cpus
+        bucket_write_sec = write_bucketed_layout(spark, sf_dir, n_buckets)
+        spark.conf.set("spark.graft.bucketedLayout", "true")
+        b_timings: dict[str, float] = {}
+        b_duck: dict[str, float] = {}
+        b_samples: dict[str, dict] = {}
+        for name in BUCKETED_QUERIES:
+            if name not in names:
+                continue
+            pdf = reg[name].spark_fn(spark, sf_dir).toPandas()  # warm-up
+            sql = oracle_sqls.get(name) if con is not None else None
+            if sql is not None:
+                con.execute(sql).fetchall()
+            s_passes, d_passes = [], []
+            for _pass in range(timed_passes):
+                df = reg[name].spark_fn(spark, sf_dir)
+                df._jdf.queryExecution().executedPlan()
+                t0 = time.perf_counter()
+                pdf = df.toPandas()
+                s_passes.append(round(time.perf_counter() - t0, 4))
+                if sql is not None:
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    d_passes.append(round(time.perf_counter() - t0, 4))
+            assert len(pdf) == rows[name], f"bucketed layout changed {name}'s row count"
+            b_timings[name] = round(median(s_passes), 4)
+            b_samples[name] = {"spark": s_passes}
+            if d_passes:
+                b_duck[name] = round(median(d_passes), 4)
+                b_samples[name]["duckdb"] = d_passes
+        bucketed_out = {
+            "queries": b_timings,
+            "bucket_write_sec": bucket_write_sec,
+            "n_buckets": n_buckets,
+            "samples": b_samples,
+        }
+        if b_duck:
+            bucketed_out["ratio_per_query"] = {
+                n: round(b_timings[n] / b_duck[n], 3) for n in b_duck if b_duck[n] > 0
+            }
+        for name, dt in b_timings.items():
+            du = b_duck.get(name)
+            tail = f" duckdb={du:.3f}s ratio={dt / du:.2f}" if du else ""
+            print(f"# bucketed {name}: {dt:.3f}s{tail}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 — treatment is additive; never sink the headline
+        bucketed_out = {"error": f"{type(exc).__name__}: {exc}"}
+        print(f"# bucketed treatment failed: {exc}", file=sys.stderr)
+    finally:
+        spark.conf.set("spark.graft.bucketedLayout", "false")
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -302,9 +455,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf_dir,
         "plan_build_sec": plan_build_sec,
+        "build_sec": build_timings,
         "passes": timed_passes,
         "protocol": "engine-interleaved, per-engine median of passes",
+        "box": box_fingerprint(),
         "samples": samples,
+        "bucketed": bucketed_out,
     }
     if duck_timings:
         dtotal = round(sum(duck_timings.values()), 4)
