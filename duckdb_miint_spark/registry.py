@@ -39,6 +39,19 @@ def register(name: str, oracle: str | None = None, tags: tuple = (), doc: str = 
     return deco
 
 
+# Hard row ceiling for bounded_sort outputs: 1M rows (~100 MB at typical
+# aggregate row widths) sorts comfortably in one task. The contract is
+# MECHANIZED, not asserted by judgment: tests/test_plans.py::
+# test_bounded_sort_call_sites_are_bounded discovers every registry query
+# whose builder calls bounded_sort (source inspection — no hand list to
+# drift), runs each at sf0.01 AND sf0.1, and asserts (a) the output is
+# under this ceiling at both scales with margin and (b) the output grows
+# SUB-LINEARLY across the 10x input step (key-bounded outputs saturate:
+# measured ratios at introduction were <=1.06x for every call site; a
+# data-sized output would show ~10x and fail loudly).
+BOUNDED_SORT_MAX_ROWS = 1_000_000
+
+
 def bounded_sort(df: DataFrame, *cols) -> DataFrame:
     """Total-order final sort for BOUNDED results — aggregate outputs
     whose row count is key-bounded (a handful of groups, samples ×
@@ -54,7 +67,9 @@ def bounded_sort(df: DataFrame, *cols) -> DataFrame:
     cluster scale AQE (on above 1 GB input — session.py) coalesces the
     range exchange to the same effect at runtime; this encodes the same
     decision for the AQE-off small-input regime. Do NOT use on outputs
-    that grow with the data (per-document tables, join results)."""
+    that grow with the data (per-document tables, join results): every
+    call site is enforced against ``BOUNDED_SORT_MAX_ROWS`` and checked
+    for sub-linear growth by the plan-suite test above."""
     return df.coalesce(1).sortWithinPartitions(*cols)
 
 

@@ -258,6 +258,42 @@ def test_bucketed_table_stale_fingerprint_not_served(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS graft_b_nation")
 
 
+def test_bounded_sort_call_sites_are_bounded(spark):
+    """bounded_sort's coalesce(1) is only safe when the output is
+    key-bounded — mechanize that contract (VERDICT r8 #3 / ADVICE r8):
+    discover every registry query whose builder calls bounded_sort, run
+    each at sf0.01 AND sf0.1, and assert the output (a) stays far below
+    BOUNDED_SORT_MAX_ROWS and (b) grows sub-linearly across the 10x
+    input step. Key-bounded outputs saturate (measured <=1.06x at
+    introduction, vs ~10x for a data-sized output); the growth cap of 3x
+    leaves room for late saturation while still failing loudly on any
+    output that scales with the data."""
+    import inspect
+
+    from duckdb_miint_spark.registry import BOUNDED_SORT_MAX_ROWS
+
+    users = []
+    for name, qd in REG.items():
+        try:
+            src = inspect.getsource(qd.spark_fn)
+        except (OSError, TypeError):
+            continue
+        if "bounded_sort" in src:
+            users.append(name)
+    assert len(users) >= 5, f"discovery broke: only {users}"
+    for name in users:
+        n_small = REG[name].spark_fn(spark, SF).count()
+        n_big = REG[name].spark_fn(spark, "/root/testdata/sf0.1").count()
+        assert n_big <= BOUNDED_SORT_MAX_ROWS // 10, (
+            f"{name}: {n_big} rows at sf0.1 — too close to the "
+            f"bounded_sort ceiling; switch the call site to orderBy"
+        )
+        assert n_big <= 3 * max(n_small, 100), (
+            f"{name}: grew {n_small} -> {n_big} across a 10x input step — "
+            f"output scales with the data; bounded_sort is unsafe here"
+        )
+
+
 def test_range_join_is_hash_join_not_nested_loop(spark):
     """The binned range join must plan as an equi-join (hash/SMJ shuffle),
     never BroadcastNestedLoopJoin/CartesianProduct."""
