@@ -77,23 +77,35 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, sim) — exact top-k by cosine, ties broken by id.
 
     queries is expected to be small; it is broadcast and the corpus is
-    scanned once (a map-side nested loop — the correct brute-force shape)."""
+    scanned once (a map-side nested loop — the correct brute-force shape).
+    Spark's WindowGroupLimit then runs the top-k TWO-LEVEL: a Partial
+    limit keeps <=k rows per query per map partition BEFORE the exchange,
+    so the scored corpus is never shuffled or globally sorted (r9 audit,
+    PERF.md). ``dim`` switches the scoring to the unrolled _dot_fixed
+    form — measured 4.4x WORSE here at dim=64/sf10 (1.38 s HOF vs 6.11 s
+    unrolled, medians of 3 in one session: a 127-node expression tree per
+    dot product defeats codegen at this width, while the HOF fold stays a
+    tight loop). Leave it None for wide embeddings; the pair-scoring call
+    sites that benefit use small dims."""
     from pyspark.sql import Window as W
 
+    dot = (lambda a, b: _dot_fixed(F.col(a), F.col(b), dim)) if dim else _dot
+    norm = (lambda a: F.sqrt(_dot_fixed(F.col(a), F.col(a), dim))) if dim else _norm
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("qn", _norm("qv"))
+    ).withColumn("qn", norm("qv"))
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")).withColumn(
-        "cn", _norm("cv")
+        "cn", norm("cv")
     )
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("sim", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6))
+        .withColumn("sim", F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
     return (

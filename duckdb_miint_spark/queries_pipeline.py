@@ -265,7 +265,9 @@ ORDER BY query_id, rank
 )
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 query vectors (the exact baseline
-    the LSH path is measured against)."""
+    the LSH path is measured against). Scoring stays on the HOF fold: the
+    unrolled dim=64 variant was A/B'd 4.4x WORSE at sf10 (see
+    cosine_topk's docstring / PERF.md r9 ann audit)."""
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = cosine_topk(emb, queries, k=10)
