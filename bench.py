@@ -255,6 +255,10 @@ def write_bucketed_layout(spark, sf_dir: str, n_buckets: int) -> float:
 
 
 def main() -> None:
+    # Capture the box state BEFORE any work: the fingerprint's value is
+    # the ambient load/page-cache the run STARTED with (the bench itself
+    # pushes the 1-min load to ~cores).
+    box = box_fingerprint()
     sf_dir, timed_passes = resolve_sf_dir()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     # The headline (sf2) benches the PRODUCTION profile: AQE on (runtime
@@ -458,7 +462,7 @@ def main() -> None:
         "build_sec": build_timings,
         "passes": timed_passes,
         "protocol": "engine-interleaved, per-engine median of passes",
-        "box": box_fingerprint(),
+        "box": box,
         "samples": samples,
         "bucketed": bucketed_out,
     }
