@@ -431,11 +431,13 @@ def main() -> None:
             if d_passes:
                 b_duck[name] = round(median(d_passes), 4)
                 b_samples[name]["duckdb"] = d_passes
+        # samples first, summary last — same tail-survival ordering as the
+        # top-level dict
         bucketed_out = {
-            "queries": b_timings,
-            "bucket_write_sec": bucket_write_sec,
-            "n_buckets": n_buckets,
             "samples": b_samples,
+            "n_buckets": n_buckets,
+            "bucket_write_sec": bucket_write_sec,
+            "queries": b_timings,
         }
         if b_duck:
             bucketed_out["ratio_per_query"] = {
@@ -452,18 +454,24 @@ def main() -> None:
         spark.conf.set("spark.graft.bucketedLayout", "false")
 
     total = round(sum(timings.values()), 4)
+    # Key ORDER is survival priority: the driver's record keeps only the
+    # TAIL of stdout (BENCH_r08 shows the JSON truncated from the front,
+    # parsed: null), so the bulky raw data (samples, per-query build
+    # times) goes FIRST and the headline summary (per-query medians,
+    # totals, ratios, the bucketed treatment) goes LAST where a tail
+    # window always contains it.
     out = {
         "metric": "headline_query_wall_seconds",
-        "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf_dir,
-        "plan_build_sec": plan_build_sec,
-        "build_sec": build_timings,
         "passes": timed_passes,
         "protocol": "engine-interleaved, per-engine median of passes",
-        "box": box,
+        "plan_build_sec": plan_build_sec,
         "samples": samples,
+        "build_sec": build_timings,
+        "box": box,
+        "queries": timings,
+        "value": total,
         "bucketed": bucketed_out,
     }
     if duck_timings:
