@@ -258,6 +258,23 @@ def test_bucketed_table_stale_fingerprint_not_served(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS graft_b_nation")
 
 
+def test_islands_dedup_precedes_first_exchange(spark):
+    """The interval-union plan's ONE data-sized exchange must be fed by
+    the phase-0 (group, start) dedup aggregate with a map-side partial
+    combine (r9: this pre-reduction halved the sf10 island pair). Pin the
+    shape: a partial_max HashAggregate appears strictly BEFORE the first
+    hash exchange in execution order (i.e. after it in the printed tree),
+    and the exchange count stays at the introduced ceiling."""
+    plan = plan_of(spark, "compress_intervals_flat")
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 4, f"{n} exchanges:\n{plan[:2000]}"
+    # printed trees list consumers above producers: the LAST hash
+    # exchange in the text is the first executed — the dedup's shuffle —
+    # and the partial_max combine must sit below it
+    below_first_exec = plan.rsplit("Exchange hashpartitioning", 1)[1]
+    assert "partial_max" in below_first_exec, plan[-1500:]
+
+
 def test_bounded_sort_call_sites_are_bounded(spark):
     """bounded_sort's coalesce(1) is only safe when the output is
     key-bounded — mechanize that contract (VERDICT r8 #3 / ADVICE r8):
