@@ -220,7 +220,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc = cents("l_discount")
     owc = _orders_cnat(spark, sf_dir)
     if owc is not None:
-        orders = owc.filter(orders_filter)
+        # hint("merge") on THIS join only: both sides are co-bucketed and
+        # per-bucket sorted on the order key, so the SMJ is a pure
+        # streaming merge — no exchange, no sort, no hash build. The
+        # size-based planner picks a broadcast-hash probe of the whole
+        # fact instead (date-filtered orders_cnat fits the threshold);
+        # sf10 A/B: SMJ 1.95 s vs BHJ 2.87 s, medians of 3, parity
+        # checked. supplier/nation/region keep their size-picked
+        # broadcasts — the hint is scoped to the bucket-served join.
+        orders = owc.filter(orders_filter).hint("merge")
         joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
             supp,
             (li.l_suppkey == supp.s_suppkey)
