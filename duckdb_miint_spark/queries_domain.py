@@ -95,19 +95,25 @@ FROM lineitem
 """
 
 # contig -> genome dimension + per-genome total lengths, derived from the
-# same MOD(l_partkey, 50) contig universe so the join keys line up.
+# same MOD(key, 50) contig universe the alignments use so the join keys
+# line up. Derived from PART, not lineitem: p_partkey and l_partkey both
+# cover every residue mod 50 (verified identical universes at sf10), and
+# part is ~100x smaller — the dims are test scaffolding standing in for
+# the reference's small subject tables, so building each of them with a
+# full fact scan + DISTINCT was pure gate overhead (measured 1.5 s of
+# genome_coverage's 6.5 s at sf10; part-based: 0.28 s per dim).
 CONTIG_MAP_SQL = """
 SELECT DISTINCT
-  'contig_' || CAST(MOD(l_partkey, 50) AS STRING) AS contig_id,
-  'g' || CAST(MOD(MOD(l_partkey, 50), 5) AS STRING) AS genome_id
-FROM lineitem
+  'contig_' || CAST(MOD(p_partkey, 50) AS STRING) AS contig_id,
+  'g' || CAST(MOD(MOD(p_partkey, 50), 5) AS STRING) AS genome_id
+FROM part
 """
 
 GENOME_LEN_SQL = """
 SELECT DISTINCT
-  'g' || CAST(MOD(MOD(l_partkey, 50), 5) AS STRING) AS genome_id,
-  CAST(1000000 + MOD(MOD(l_partkey, 50), 5) * 100000 AS BIGINT) AS total_length
-FROM lineitem
+  'g' || CAST(MOD(MOD(p_partkey, 50), 5) AS STRING) AS genome_id,
+  CAST(1000000 + MOD(MOD(p_partkey, 50), 5) * 100000 AS BIGINT) AS total_length
+FROM part
 """
 
 # CIGAR/MD/NM generator over part (~2k rows at sf0.01): known op counts so the
@@ -456,6 +462,7 @@ def q_genome_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Plain derivation on purpose — the reference-bucketed serving was a
     # measured sf2 negative here too (see compress_intervals_flat above).
     aln = _aln(spark, sf_dir)
+    _part_view(spark, sf_dir)
     sg = spark.sql(CONTIG_MAP_SQL)
     tl = spark.sql(GENOME_LEN_SQL)
     out = genome_coverage(aln, tl, sg)
