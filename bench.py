@@ -9,17 +9,20 @@ Spark ~18 s of which ~6 s is irreducible 23-query stage latency vs a
 ~9 s DuckDB fast bound — the ratio there measures the floor, not the
 plans; at sf2 execution dominates on both engines. PERF.md has the
 full decomposition and the sf1 numbers alongside).
-Prints ONE JSON line:
+Prints ONE JSON line (summary-only, ~3 KB so a bounded driver stdout
+window parses it whole — VERDICT r9 #3):
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
- "sf": dir, "plan_build_sec": ..., "build_sec": {name: sec}, "box": {...},
+ "sf": dir, "plan_build_sec": ..., "samples_file": path, "box": {...},
  "duckdb": {...}, "ratio_vs_duckdb": ...,
  "bucketed": {"queries": {...}, "bucket_write_sec": ..., ...}}
+Raw per-pass samples and per-query build times go to the sidecar at
+"samples_file" (.bench/bench_samples_last.json).
 The plain-layout headline is the primary metric; "bucketed" re-measures
-the four layout-promoted queries (q3/q5/having/woltka) on the bucketed
-graft tables — the layout a production 100 TB table would use — with the
-same interleaved protocol. "build_sec" is the per-query median of the
-(untimed-for-the-headline) DataFrame build+plan step, so a query whose
-builder runs eager Spark jobs is visible in the artifact.
+the five layout-promoted queries (q3/q5/having/woltka/json_event_props)
+on the bucketed graft tables — the layout a production 100 TB table
+would use — with the same interleaved protocol, and checks FULL content
+parity vs the plain layout (a mismatch raises BucketedParityError and
+fails the bench).
 
 Methodology
 -----------
@@ -221,36 +224,31 @@ BUCKETED_QUERIES = [
     "q5_local_supplier_volume",
     "having_big_orders",
     "woltka_ogu_per_sample",
+    "json_event_props",
 ]
 
 
-def write_bucketed_layout(spark, sf_dir: str, n_buckets: int) -> float:
-    """Write the graft tables (lineitem/orders on the order key, the
-    derived aln_read and orders_cnat) and return the wall seconds spent —
-    the one-time layout cost the treatment amortizes."""
-    from duckdb_miint_spark.queries_domain import ALN_SQL
-    from duckdb_miint_spark.queries_relational import ORDERS_CNAT_SQL
-    from duckdb_miint_spark.storage import layout_fingerprint, write_bucketed
+class BucketedParityError(AssertionError):
+    """The bucketed layout changed a query's ANSWER — a correctness
+    break, re-raised out of the treatment's blanket except so it fails
+    the bench visibly instead of reading as a skipped treatment
+    (ADVICE r9)."""
 
-    sf_abs = os.path.abspath(sf_dir)
+
+def _sorted_records(pdf) -> list:
+    """Order-independent content of a result frame (rows as tuples,
+    sorted) for exact parity comparison between layouts."""
+    return sorted(map(tuple, pdf.itertuples(index=False, name=None)))
+
+
+def write_bucketed_layout(spark, sf_dir: str, n_buckets: int) -> float:
+    """Build the full graft layout (storage.build_graft_layout — the
+    public API) and return the wall seconds spent — the one-time layout
+    cost the treatment amortizes."""
+    from duckdb_miint_spark.storage import build_graft_layout
+
     t0 = time.perf_counter()
-    for t, cols in (("lineitem", ["l_orderkey"]), ("orders", ["o_orderkey"])):
-        write_bucketed(
-            read_table(spark, sf_dir, t), f"graft_b_{t}", n_buckets, cols,
-            fingerprint=layout_fingerprint(sf_abs, t),
-        )
-    for t in ("lineitem", "orders", "customer"):
-        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    write_bucketed(
-        spark.sql(ALN_SQL), "graft_b_aln_read", n_buckets, ["read_id"],
-        fingerprint=layout_fingerprint(sf_abs, ALN_SQL),
-    )
-    write_bucketed(
-        spark.sql(ORDERS_CNAT_SQL), "graft_b_orders_cnat", n_buckets, ["o_orderkey"],
-        fingerprint=layout_fingerprint(sf_abs, ORDERS_CNAT_SQL),
-    )
-    for v in ("lineitem", "orders", "customer"):
-        spark.catalog.dropTempView(v)
+    build_graft_layout(spark, sf_dir, n_buckets)
     return round(time.perf_counter() - t0, 2)
 
 
@@ -342,6 +340,7 @@ def main() -> None:
     duck_timings: dict[str, float] = {}
     samples: dict[str, dict[str, list[float]]] = {}
     rows: dict[str, int] = {}
+    plain_pdfs: dict = {}  # full plain-layout results for the parity check
     for name in names:
         t0 = time.perf_counter()
         reg[name].spark_fn(spark, sf_dir).toPandas()  # untimed Spark warm-up
@@ -385,6 +384,8 @@ def main() -> None:
         timings[name] = round(median(s_passes), 4)
         build_timings[name] = round(median(b_passes), 4)
         samples[name] = {"spark": s_passes, "build": b_passes}
+        if name in BUCKETED_QUERIES:
+            plain_pdfs[name] = pdf
         if d_passes:
             duck_timings[name] = round(median(d_passes), 4)
             samples[name]["duckdb"] = d_passes
@@ -425,7 +426,13 @@ def main() -> None:
                     t0 = time.perf_counter()
                     con.execute(sql).fetchall()
                     d_passes.append(round(time.perf_counter() - t0, 4))
-            assert len(pdf) == rows[name], f"bucketed layout changed {name}'s row count"
+            # FULL content parity, not just row count (ADVICE r9): a
+            # layout that changes any value is a correctness break and
+            # raises out of this try as BucketedParityError.
+            if _sorted_records(pdf) != _sorted_records(plain_pdfs[name]):
+                raise BucketedParityError(
+                    f"bucketed layout changed {name}'s result content"
+                )
             b_timings[name] = round(median(s_passes), 4)
             b_samples[name] = {"spark": s_passes}
             if d_passes:
@@ -447,6 +454,11 @@ def main() -> None:
             du = b_duck.get(name)
             tail = f" duckdb={du:.3f}s ratio={dt / du:.2f}" if du else ""
             print(f"# bucketed {name}: {dt:.3f}s{tail}", file=sys.stderr)
+    except BucketedParityError:
+        # a correctness break must fail the bench visibly — never demote
+        # it to a skipped-treatment note (ADVICE r9)
+        spark.conf.set("spark.graft.bucketedLayout", "false")
+        raise
     except Exception as exc:  # noqa: BLE001 — treatment is additive; never sink the headline
         bucketed_out = {"error": f"{type(exc).__name__}: {exc}"}
         print(f"# bucketed treatment failed: {exc}", file=sys.stderr)
@@ -454,12 +466,31 @@ def main() -> None:
         spark.conf.set("spark.graft.bucketedLayout", "false")
 
     total = round(sum(timings.values()), 4)
-    # Key ORDER is survival priority: the driver's record keeps only the
-    # TAIL of stdout (BENCH_r08 shows the JSON truncated from the front,
-    # parsed: null), so the bulky raw data (samples, per-query build
-    # times) goes FIRST and the headline summary (per-query medians,
-    # totals, ratios, the bucketed treatment) goes LAST where a tail
-    # window always contains it.
+    # Summary-only stdout (VERDICT r9 #3): the driver records a bounded
+    # stdout window, so the bulky raw data — per-pass samples, per-query
+    # build times — goes to a sidecar under .bench/ and stdout carries
+    # ONLY the summary object (~3 KB), small enough to parse whole.
+    bucketed_samples = (
+        bucketed_out.pop("samples", None) if isinstance(bucketed_out, dict) else None
+    )
+    sidecar = {
+        "sf": sf_dir,
+        "passes": timed_passes,
+        "plan_build_sec": plan_build_sec,
+        "box": box,
+        "samples": samples,
+        "build_sec": build_timings,
+    }
+    if bucketed_samples is not None:
+        sidecar["bucketed_samples"] = bucketed_samples
+    side_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+    side_path = os.path.join(side_dir, "bench_samples_last.json")
+    try:
+        os.makedirs(side_dir, exist_ok=True)
+        with open(side_path, "w") as fh:
+            json.dump(sidecar, fh)
+    except OSError as exc:  # read-only checkout: note it, keep the summary
+        side_path = f"unwritable: {exc}"
     out = {
         "metric": "headline_query_wall_seconds",
         "unit": "sec",
@@ -467,8 +498,7 @@ def main() -> None:
         "passes": timed_passes,
         "protocol": "engine-interleaved, per-engine median of passes",
         "plan_build_sec": plan_build_sec,
-        "samples": samples,
-        "build_sec": build_timings,
+        "samples_file": side_path,
         "box": box,
         "queries": timings,
         "value": total,

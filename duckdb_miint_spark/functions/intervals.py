@@ -84,6 +84,17 @@ def _local_merge_arrow(base: DataFrame, group_cols: list[str]) -> DataFrame:
             n = batch.num_rows
             if n == 0:
                 continue
+            # Integral bounds only (ADVICE r9): astype(int64) would
+            # silently TRUNCATE float/decimal interval bounds, diverging
+            # from the window strategy, which handles any orderable type.
+            # Fail loudly instead — callers with fractional bounds must
+            # use SPARK_GRAFT_ISLANDS=window.
+            for fi in (n_groups, n_groups + 1):
+                if not pa.types.is_integer(batch.schema.field(fi).type):
+                    raise TypeError(
+                        "arrow island merge requires integral start/stop, got "
+                        f"{batch.schema.field(fi).type} for {batch.schema.field(fi).name}"
+                    )
             s = batch.column(n_groups).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
             e = batch.column(n_groups + 1).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
             # group-run boundaries (null-aware: null == null stays one run)

@@ -217,15 +217,16 @@ def _aln(spark: SparkSession, sf_dir: str, bucket: str | None = None) -> DataFra
     compress_intervals_flat), kept out so it isn't retried."""
     T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     if bucket is not None:
-        from duckdb_miint_spark.storage import layout_fingerprint, serve_bucketed
+        from duckdb_miint_spark.storage import graft_fingerprint, serve_bucketed
 
-        # Fingerprint = source dir + the exact derivation SQL, so a snapshot
-        # written from another sf_dir or by an older ALN_SQL is never served
-        # (ADVICE r8: the derived table drifts in two ways, not one).
+        # Fingerprint = source dir + the exact derivation SQL + the source
+        # file signature, so a snapshot written from another sf_dir, by an
+        # older ALN_SQL, or against a since-regenerated lineitem is never
+        # served (ADVICE r8/r9: the derived table drifts in three ways).
         served = serve_bucketed(
             spark,
             f"graft_b_aln_{bucket}",
-            layout_fingerprint(os.path.abspath(sf_dir), ALN_SQL),
+            graft_fingerprint(sf_dir, ALN_SQL, ["lineitem"]),
         )
         if served is not None:
             return served

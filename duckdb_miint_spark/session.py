@@ -241,7 +241,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # key then run with NO Exchange on the bucketed side — the
     # 100×-scale layout recommendation for fact-to-fact joins
     # (orders ⋈ lineitem); see PERF.md "bucketed-layout A/B".
-    from duckdb_miint_spark.storage import layout_fingerprint, serve_bucketed
+    from duckdb_miint_spark.storage import graft_fingerprint, serve_bucketed
 
     # NEVER cache a bucketed table. The pin repair exists for
     # single-row-group files whose scan can't parallelize —
@@ -253,10 +253,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (outputOrdering), reinserting per-task Sorts under every
     # SMJ. Measured at sf2: q3 on a cached bucketed lineitem
     # ran 11-17 s vs 0.8-1.5 s on the native bucketed scan.
-    # The fingerprint (abs sf_dir) guards against serving a snapshot
-    # written from a DIFFERENT source dir (ADVICE r8).
+    # The fingerprint (abs sf_dir + source file mtime/size) guards against
+    # serving a snapshot written from a DIFFERENT source dir (ADVICE r8)
+    # or against source files since regenerated in place (ADVICE r9).
     bucketed = serve_bucketed(
-        spark, f"graft_b_{name}", layout_fingerprint(os.path.abspath(sf_dir), name)
+        spark, f"graft_b_{name}", graft_fingerprint(sf_dir, name, [name])
     )
     if bucketed is not None:
         return bucketed

@@ -8,6 +8,7 @@ from duckdb_miint_spark.registry import load_all
 from duckdb_miint_spark.sources.fastx import read_fastx
 
 SF = "/root/testdata/sf0.01"
+SF_BIG = "/root/testdata/sf0.1"  # the 10x step for growth checks
 DATA = "/root/reference/data"
 REG = load_all()
 
@@ -144,10 +145,7 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
     and must not change any answer. (compress_intervals/genome_coverage
     were tried and reverted: measured sf2 negative, see
     queries_domain.compress_intervals_flat.)"""
-    import os
-
-    from duckdb_miint_spark.queries_domain import ALN_SQL
-    from duckdb_miint_spark.storage import layout_fingerprint, write_bucketed
+    from duckdb_miint_spark.storage import build_graft_layout, graft_catalog
 
     def hash_exchanges(name):
         df = REG[name].spark_fn(spark, SF)
@@ -158,43 +156,25 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
     def result(name):
         return [tuple(r) for r in REG[name].spark_fn(spark, SF).collect()]
 
-    from duckdb_miint_spark.queries_relational import ORDERS_CNAT_SQL
-
     queries = (
         "woltka_ogu_per_sample",
         "having_big_orders",
         "q3_shipping_priority",
         "q5_local_supplier_volume",
+        "json_event_props",
     )
     plain = {q: (hash_exchanges(q), result(q)) for q in queries}
 
-    sf_abs = os.path.abspath(SF)
-    spark.read.parquet(f"{SF}/lineitem.parquet").createOrReplaceTempView("lineitem")
-    spark.read.parquet(f"{SF}/orders.parquet").createOrReplaceTempView("orders")
-    spark.read.parquet(f"{SF}/customer.parquet").createOrReplaceTempView("customer")
-    write_bucketed(
-        spark.sql(ALN_SQL), "graft_b_aln_read", 8, ["read_id"],
-        fingerprint=layout_fingerprint(sf_abs, ALN_SQL),
-    )
-    write_bucketed(
-        spark.read.parquet(f"{SF}/lineitem.parquet"), "graft_b_lineitem", 8, ["l_orderkey"],
-        fingerprint=layout_fingerprint(sf_abs, "lineitem"),
-    )
-    write_bucketed(
-        spark.read.parquet(f"{SF}/orders.parquet"), "graft_b_orders", 8, ["o_orderkey"],
-        fingerprint=layout_fingerprint(sf_abs, "orders"),
-    )
-    write_bucketed(
-        spark.sql(ORDERS_CNAT_SQL), "graft_b_orders_cnat", 8, ["o_orderkey"],
-        fingerprint=layout_fingerprint(sf_abs, ORDERS_CNAT_SQL),
-    )
+    build_graft_layout(spark, SF, 8)
     spark.conf.set("spark.graft.bucketedLayout", "true")
     try:
         # ceilings measured at introduction: woltka 2->1, having 2->0,
         # q3 ->0 (co-located join + agg rides the bucket partitioning +
-        # TakeOrdered), q5 ->1 (the n_name aggregate) — regressions fail
-        # loudly
-        ceilings = dict(zip(queries, (1, 0, 0, 1)))
+        # TakeOrdered), q5 ->1 (scan + broadcast dims + the n_name
+        # aggregate on the lineitem_cnat graft), json_event_props ->1
+        # (2-column scan of the parsed graft + the event_type aggregate)
+        # — regressions fail loudly
+        ceilings = dict(zip(queries, (1, 0, 0, 1, 1)))
         for q in queries:
             n = hash_exchanges(q)
             assert n <= ceilings[q], f"{q}: {n} > {ceilings[q]} hash exchanges"
@@ -205,14 +185,36 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
             assert result(q) == plain[q][1], f"{q}: bucketed layout changed the answer"
     finally:
         spark.conf.set("spark.graft.bucketedLayout", "false")
-        for t in ("graft_b_aln_read", "graft_b_lineitem", "graft_b_orders",
-                  "graft_b_orders_cnat"):
+        for t in graft_catalog():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
-        # the raw-parquet views registered above must not leak into later
-        # tests (_aln-based queries would silently read them instead of
-        # the pinned read_table instances — ADVICE r8)
-        for v in ("lineitem", "orders", "customer"):
-            spark.catalog.dropTempView(v)
+
+
+def test_build_graft_layout_all_fingerprints_serve(spark):
+    """storage.build_graft_layout (the public layout API, VERDICT r9 #6)
+    builds the FULL graft set from scratch; every table must then be
+    served under its reader-side fingerprint, non-empty."""
+    from duckdb_miint_spark.storage import (
+        build_graft_layout,
+        graft_catalog,
+        graft_fingerprint,
+        serve_bucketed,
+    )
+
+    written = build_graft_layout(spark, SF, 4)
+    catalog = graft_catalog()
+    assert set(written) == set(catalog)
+    spark.conf.set("spark.graft.bucketedLayout", "true")
+    try:
+        for name, g in catalog.items():
+            fp = graft_fingerprint(SF, g.identity, g.sources)
+            assert written[name] == fp, f"{name}: writer/reader fingerprint drift"
+            df = serve_bucketed(spark, name, fp)
+            assert df is not None, f"{name} not served"
+            assert df.count() > 0, f"{name} is empty"
+    finally:
+        spark.conf.set("spark.graft.bucketedLayout", "false")
+        for t in catalog:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_bucketed_table_stale_fingerprint_not_served(spark, tmp_path):
@@ -221,38 +223,59 @@ def test_bucketed_table_stale_fingerprint_not_served(spark, tmp_path):
     must NOT be served — read_table falls back to the plain parquet scan
     instead of silently answering from the stale snapshot (ADVICE r8)."""
     import os
+    import shutil
 
     import pyspark.sql.functions as F
 
     from duckdb_miint_spark.session import read_table
-    from duckdb_miint_spark.storage import layout_fingerprint, serve_bucketed, write_bucketed
+    from duckdb_miint_spark.storage import graft_fingerprint, serve_bucketed, write_bucketed
 
-    sf_abs = os.path.abspath(SF)
     # a deliberately WRONG-content snapshot under the graft name for `nation`
     fake = spark.range(0, 3).select(
         F.col("id").alias("n_nationkey"), F.lit("STALE").alias("n_name")
     )
     write_bucketed(
         fake, "graft_b_nation", 2, ["n_nationkey"],
-        fingerprint=layout_fingerprint("/some/other/sfdir", "nation"),
+        fingerprint=graft_fingerprint("/some/other/sfdir", "nation", []),
     )
     spark.conf.set("spark.graft.bucketedLayout", "true")
     try:
         # mismatched fingerprint: not served
         assert serve_bucketed(
-            spark, "graft_b_nation", layout_fingerprint(sf_abs, "nation")
+            spark, "graft_b_nation", graft_fingerprint(SF, "nation", ["nation"])
         ) is None
         # read_table falls back to the real parquet (25 nations, not 3)
         assert read_table(spark, SF, "nation").count() == 25
         # matching fingerprint IS served
         write_bucketed(
             fake, "graft_b_nation", 2, ["n_nationkey"],
-            fingerprint=layout_fingerprint(sf_abs, "nation"),
+            fingerprint=graft_fingerprint(SF, "nation", ["nation"]),
         )
         assert read_table(spark, SF, "nation").count() == 3
         # a table written with NO fingerprint is never served either
         write_bucketed(fake, "graft_b_nation", 2, ["n_nationkey"])
         assert read_table(spark, SF, "nation").count() == 25
+    finally:
+        spark.conf.set("spark.graft.bucketedLayout", "false")
+        spark.sql("DROP TABLE IF EXISTS graft_b_nation")
+
+    # IN-PLACE REGENERATION (ADVICE r9): the fingerprint folds source file
+    # mtime+size, so regenerating the parquet under the SAME path
+    # invalidates the snapshot. Use a tmp copy of the sf dir (the real
+    # testdata is read-only).
+    tmp_sf = str(tmp_path / "sfcopy")
+    os.makedirs(tmp_sf)
+    shutil.copy(os.path.join(SF, "nation.parquet"), os.path.join(tmp_sf, "nation.parquet"))
+    write_bucketed(
+        fake, "graft_b_nation", 2, ["n_nationkey"],
+        fingerprint=graft_fingerprint(tmp_sf, "nation", ["nation"]),
+    )
+    spark.conf.set("spark.graft.bucketedLayout", "true")
+    try:
+        assert read_table(spark, tmp_sf, "nation").count() == 3  # served
+        # "regenerate" the source in place: same path, different mtime
+        os.utime(os.path.join(tmp_sf, "nation.parquet"), (1_600_000_000, 1_600_000_000))
+        assert read_table(spark, tmp_sf, "nation").count() == 25  # stale → plain
     finally:
         spark.conf.set("spark.graft.bucketedLayout", "false")
         spark.sql("DROP TABLE IF EXISTS graft_b_nation")
@@ -268,9 +291,14 @@ def test_islands_dedup_precedes_first_exchange(spark):
     plan = plan_of(spark, "compress_intervals_flat")
     n = plan.count("Exchange hashpartitioning")
     assert n <= 4, f"{n} exchanges:\n{plan[:2000]}"
-    # printed trees list consumers above producers: the LAST hash
-    # exchange in the text is the first executed — the dedup's shuffle —
-    # and the partial_max combine must sit below it
+    # a readable failure if the plan ever loses its hash exchanges
+    # entirely (ADVICE r9) — the positional check below would IndexError
+    assert "Exchange hashpartitioning" in plan, plan[:2000]
+    # Printed trees list consumers ABOVE producers, so the LAST hash
+    # exchange in the text is the FIRST executed — the dedup's shuffle —
+    # and the partial_max map-side combine must sit below it (i.e. run
+    # before it). This ordering assumption is what the slice encodes; if
+    # a Spark version changes the tree print, re-derive it.
     below_first_exec = plan.rsplit("Exchange hashpartitioning", 1)[1]
     assert "partial_max" in below_first_exec, plan[-1500:]
 
@@ -286,8 +314,14 @@ def test_bounded_sort_call_sites_are_bounded(spark):
     leaves room for late saturation while still failing loudly on any
     output that scales with the data."""
     import inspect
+    import os
+
+    import pytest
 
     from duckdb_miint_spark.registry import BOUNDED_SORT_MAX_ROWS
+
+    if not os.path.isdir(SF_BIG):
+        pytest.skip(f"{SF_BIG} absent — the 10x growth step needs both scales")
 
     users = []
     for name, qd in REG.items():
@@ -300,7 +334,7 @@ def test_bounded_sort_call_sites_are_bounded(spark):
     assert len(users) >= 5, f"discovery broke: only {users}"
     for name in users:
         n_small = REG[name].spark_fn(spark, SF).count()
-        n_big = REG[name].spark_fn(spark, "/root/testdata/sf0.1").count()
+        n_big = REG[name].spark_fn(spark, SF_BIG).count()
         assert n_big <= BOUNDED_SORT_MAX_ROWS // 10, (
             f"{name}: {n_big} rows at sf0.1 — too close to the "
             f"bounded_sort ceiling; switch the call site to orderBy"

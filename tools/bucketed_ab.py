@@ -42,16 +42,17 @@ QUERIES = [
     "q5_local_supplier_volume",
     "having_big_orders",
     "woltka_ogu_per_sample",
+    "json_event_props",
 ]
-BUCKET_TABLES = {"lineitem": ["l_orderkey"], "orders": ["o_orderkey"]}
-# Derived bucketed materialization of the SAM-shaped alignments relation
-# (queries_domain.ALN_SQL): "read" feeds woltka's per-read dedup aggregate.
-# A "ref" (reference-key) variant for compress_intervals/genome_coverage was
-# measured NEGATIVE at sf2 (bucketed 5.2-7.1 s vs plain 1.8-3.2 s across two
-# interleaved runs — the removed exchange is cheap in-process, the
+# The graft set itself lives in storage.graft_catalog() (public API,
+# VERDICT r9 #6): lineitem/orders re-bucketed on the order key, the derived
+# aln_read (woltka's per-read dedup), orders_cnat (q3 zero-exchange),
+# lineitem_cnat (q5 scan+broadcast-dims), events_parsed (parse-at-ingest).
+# A "ref" (reference-key) aln variant for compress_intervals/genome_coverage
+# was measured NEGATIVE at sf2 (bucketed 5.2-7.1 s vs plain 1.8-3.2 s across
+# two interleaved runs — the removed exchange is cheap in-process, the
 # materialized-table decode isn't) and was reverted; don't re-add without a
 # real-cluster measurement.
-ALN_BUCKETS = {"graft_b_aln_read": ["read_id"]}
 PASSES = 3
 
 
@@ -76,8 +77,6 @@ def main() -> None:
         read_table,
         size_session_for_input,
     )
-    from duckdb_miint_spark.storage import write_bucketed
-
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     dir_bytes = dir_parquet_bytes(sf_dir)
     heap_gb = max(24, min(64, dir_bytes // (10 << 20)))
@@ -151,36 +150,10 @@ def main() -> None:
         reg[name].spark_fn(spark, sf_dir).toPandas()
     plain = run_phase("plain")
 
-    from duckdb_miint_spark.storage import layout_fingerprint
+    from duckdb_miint_spark.storage import build_graft_layout
 
-    sf_abs = os.path.abspath(sf_dir)
     t0 = time.perf_counter()
-    for t, cols in BUCKET_TABLES.items():
-        write_bucketed(
-            read_table(spark, sf_dir, t), f"graft_b_{t}", n_buckets, cols,
-            fingerprint=layout_fingerprint(sf_abs, t),
-        )
-    from duckdb_miint_spark.queries_domain import ALN_SQL
-
-    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    for tbl, cols in ALN_BUCKETS.items():
-        write_bucketed(
-            spark.sql(ALN_SQL), tbl, n_buckets, cols,
-            fingerprint=layout_fingerprint(sf_abs, ALN_SQL),
-        )
-    # Denormalized orders⋈customer on the SAME bucket key/count as
-    # lineitem: serves q3 (one co-located join, zero-exchange to top-k)
-    # and q5 (deletes the customer hop — the r8 verdict's worst tail).
-    from duckdb_miint_spark.queries_relational import ORDERS_CNAT_SQL
-
-    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    write_bucketed(
-        spark.sql(ORDERS_CNAT_SQL), "graft_b_orders_cnat", n_buckets, ["o_orderkey"],
-        fingerprint=layout_fingerprint(sf_abs, ORDERS_CNAT_SQL),
-    )
-    for v in ("orders", "customer", "lineitem"):
-        spark.catalog.dropTempView(v)
+    build_graft_layout(spark, sf_dir, n_buckets)
     bucket_write_sec = round(time.perf_counter() - t0, 2)
     print(f"bucketed write: {bucket_write_sec}s", flush=True)
 
