@@ -48,6 +48,14 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     materializing the match array. Only n_ws_tokens still builds the
     split array (a maximal-run count has no cheaper exact expression)."""
     t = F.col(text_col)
+    # n_ws_tokens forms A/B'd (r10, tools/ab_nws_tokens.py): the split-array
+    # build vs regexp_count('[^ ]+') (JVM) vs RE2 count_substring_regex —
+    # medians 3.21/2.95/3.05 s at sf10 and 1.22/1.35/1.22 s at sf2, all
+    # within pass noise. The array build is NOT the query's cost; the
+    # sorted 6M-row result materialization (1.5 s) and the BPE-regex scan
+    # (1.3 s) are (PERF.md "token_stats decomposition"). Keeping the split
+    # form: measured-equal and it mirrors the oracle's
+    # list_filter(string_split(..)) exactly.
     base = df.select(
         F.col(id_col).alias("id"),
         F.size(F.filter(F.split(t, " "), lambda w: w != "")).cast("long").alias(
