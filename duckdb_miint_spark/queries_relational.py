@@ -260,10 +260,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins shuffle on keys — projected to the needed columns — and AQE picks
     broadcast at runtime when a side is actually small.
 
-    Bucketed layout: orders_cnat carries c_nationkey, so the customer hop
-    — the one join the orderkey bucketing could never serve (r8 verdict's
-    worst remaining tail) — vanishes: lineitem ⋈ orders_cnat co-locates on
-    the order key and supplier joins as a size-picked broadcast."""
+    Bucketed layout (preferred first): lineitem_cnat carries o_orderdate
+    and c_nationkey at lineitem grain, so the fact joins nothing its own
+    size — scan + broadcast dims + one tiny aggregate; orders_cnat (the
+    r9 graft) removes the customer hop and merge-joins co-bucketed.
+    All branches share the ASIA-first broadcast tail (see below)."""
     orders_filter = (F.col("o_orderdate") >= "1994-01-01") & (
         F.col("o_orderdate") < "1996-01-01"
     )
@@ -279,14 +280,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Best layout: the lineitem-grain denorm carries o_orderdate and
         # c_nationkey, so the fact joins NOTHING its own size — the date
         # filter prunes row groups (per-bucket sortBy o_orderdate), then
-        # supplier/nation/region attach as broadcasts and the only
+        # nation/region/supplier attach as broadcasts and the only
         # exchange left is the 25-row n_name aggregate.
-        fact = lic.filter(orders_filter)
-        joined = fact.join(
-            supp,
-            (fact.l_suppkey == supp.s_suppkey)
-            & (fact.c_nationkey == supp.s_nationkey),
-        )
+        joined = lic.filter(orders_filter)
     elif owc is not None:
         # hint("merge") on THIS join only: both sides are co-bucketed and
         # per-bucket sorted on the order key, so the SMJ is a pure
@@ -297,26 +293,31 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checked. supplier/nation/region keep their size-picked
         # broadcasts — the hint is scoped to the bucket-served join.
         orders = owc.filter(orders_filter).hint("merge")
-        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-            supp,
-            (li.l_suppkey == supp.s_suppkey)
-            & (orders.c_nationkey == supp.s_nationkey),
-        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
     else:
         cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
         orders = T(spark, sf_dir, "orders").filter(orders_filter)
-        joined = (
-            li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(cust, orders.o_custkey == cust.c_custkey)
-            .join(
-                supp,
-                (li.l_suppkey == supp.s_suppkey)
-                & (cust.c_nationkey == supp.s_nationkey),
-            )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+            cust, orders.o_custkey == cust.c_custkey
         )
+    # ASIA-FIRST tail (r10 A/B): every branch above ends with c_nationkey
+    # on the fact. Joining the 5-row broadcast nation⋈region(ASIA) on
+    # c_nationkey BEFORE the supplier probe drops ~4/5 of the fact with a
+    # 5-entry int hash lookup, so the 100k-entry composite-key supplier
+    # probe (and everything after it) sees a fifth of the rows — and the
+    # supplier join stays a pure existence filter (s_suppkey is unique;
+    # c_nationkey = s_nationkey enforces "local supplier"). Semantically
+    # identical to supplier-first (c_nationkey = s_nationkey = n_nationkey
+    # commutes); measured on the lineitem_cnat graft at sf10: 0.55 s
+    # stable vs 0.74-1.7 s supplier-first (PERF.md r10).
+    asia = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     return (
-        joined.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        joined.join(F.broadcast(asia), F.col("c_nationkey") == asia.n_nationkey)
+        .join(
+            supp,
+            (F.col("l_suppkey") == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
         .groupBy("n_name")
         .agg((F.sum(pc * (100 - dc)).cast("double") / 10000.0).alias("revenue"))
         .transform(lambda d: bounded_sort(d, F.desc("revenue"), "n_name"))
