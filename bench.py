@@ -225,6 +225,7 @@ BUCKETED_QUERIES = [
     "having_big_orders",
     "woltka_ogu_per_sample",
     "json_event_props",
+    "window_running_user_value",
 ]
 
 

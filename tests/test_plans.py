@@ -162,6 +162,7 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
         "q3_shipping_priority",
         "q5_local_supplier_volume",
         "json_event_props",
+        "window_running_user_value",
     )
     plain = {q: (hash_exchanges(q), result(q)) for q in queries}
 
@@ -169,12 +170,14 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
     spark.conf.set("spark.graft.bucketedLayout", "true")
     try:
         # ceilings measured at introduction: woltka 2->1, having 2->0,
-        # q3 ->0 (co-located join + agg rides the bucket partitioning +
-        # TakeOrdered), q5 ->1 (scan + broadcast dims + the n_name
-        # aggregate on the lineitem_cnat graft), json_event_props ->1
-        # (2-column scan of the parsed graft + the event_type aggregate)
-        # — regressions fail loudly
-        ceilings = dict(zip(queries, (1, 0, 0, 1, 1)))
+        # q3 ->0 (zero joins on lineitem_cnat; the agg rides the bucket
+        # partitioning into TakeOrdered), q5 ->1 (scan + broadcast dims +
+        # the n_name aggregate on the lineitem_cnat graft),
+        # json_event_props ->1 (2-column scan of the parsed graft + the
+        # event_type aggregate), window_running ->0 (events_parsed's
+        # bucket+sort IS the window's required distribution+ordering) —
+        # regressions fail loudly
+        ceilings = dict(zip(queries, (1, 0, 0, 1, 1, 0)))
         for q in queries:
             n = hash_exchanges(q)
             assert n <= ceilings[q], f"{q}: {n} > {ceilings[q]} hash exchanges"

@@ -43,6 +43,7 @@ QUERIES = [
     "having_big_orders",
     "woltka_ogu_per_sample",
     "json_event_props",
+    "window_running_user_value",
 ]
 # The graft set itself lives in storage.graft_catalog() (public API,
 # VERDICT r9 #6): lineitem/orders re-bucketed on the order key, the derived
