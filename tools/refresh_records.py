@@ -1,0 +1,134 @@
+"""Rebuild every scale-dependent record after an environment reset.
+
+The gitignored ``.bench/`` scale dirs (sf1x10 / sf2x20 / sf10x100) are
+derived data: a container reset deletes them while the committed records
+(CORRECTNESS_sf*.json, BENCH_SCALE_sf10_*.json, the PERF.md headline
+readings) keep quoting them. This tool re-derives everything in one
+command so the records can be refreshed — and trusted — after any reset:
+
+1. regenerate the three scale dirs from the driver's sf0.1 snapshot
+   (deterministic, ``tools/make_scaled_sf.py``; idempotent via markers);
+2. replay the FULL 134-query registry sweep at sf0.01, sf1 and sf2
+   (``tools/oracle_at_scale.py``) into CORRECTNESS_*.json;
+3. run the sf2 headline and sf10 scale benches (``bench.py``), each
+   gated on an idle box (1-min load below ``--max-load``, default 1.0;
+   waits up to 10 min — ambient-load pollution is a measured hazard on
+   this host: see PERF.md "Round 10 (refresh)", where two of three sf10
+   runs were discarded for 3-5x both-engine inflation windows).
+
+Benches print per-pass spreads at the end; re-run any bench whose
+max/min pass spread exceeds ~1.5 on either engine before committing it
+as a record. Usage:
+
+    python tools/refresh_records.py            # everything
+    python tools/refresh_records.py --sweeps   # correctness only
+    python tools/refresh_records.py --benches  # benches only
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH_DIR = os.path.join(REPO, ".bench")
+SF01 = "/root/testdata/sf0.1"
+
+SCALES = [
+    ("sf1x10", 10),
+    ("sf2x20", 20),
+    ("sf10x100", 100),
+]
+SWEEPS = [
+    ("/root/testdata/sf0.01", "CORRECTNESS_sf001_full.json"),
+    (os.path.join(BENCH_DIR, "sf1x10"), "CORRECTNESS_sf1.json"),
+    (os.path.join(BENCH_DIR, "sf2x20"), "CORRECTNESS_sf2.json"),
+]
+
+
+def _run(cmd: list[str], **kw) -> None:
+    print(f"+ {' '.join(cmd)}", flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO, **kw)
+
+
+def wait_idle(max_load: float, timeout_s: int = 600) -> None:
+    """Block until the 1-min load average drops below max_load."""
+    t0 = time.time()
+    while True:
+        load1 = os.getloadavg()[0]
+        if load1 < max_load:
+            print(f"idle: load {load1:.2f} < {max_load}", flush=True)
+            return
+        if time.time() - t0 > timeout_s:
+            print(f"WARNING: still loaded ({load1:.2f}) after {timeout_s}s — proceeding", flush=True)
+            return
+        time.sleep(15)
+
+
+def gen_scales() -> None:
+    for name, factor in SCALES:
+        _run([sys.executable, "tools/make_scaled_sf.py", SF01, os.path.join(BENCH_DIR, name), str(factor)])
+
+
+def run_sweeps() -> None:
+    for sf_dir, out in SWEEPS:
+        _run([sys.executable, "tools/oracle_at_scale.py", sf_dir, os.path.join(REPO, out)])
+        rec = json.load(open(os.path.join(REPO, out)))["results"]
+        bad = [
+            k
+            for k, v in rec.items()
+            if not (v.get("rows_match") and v.get("hash_match", True) and v.get("err") is None)
+        ]
+        print(f"{out}: {len(rec)} queries, bad={bad}", flush=True)
+        if bad:
+            raise SystemExit(f"sweep {out} has failures: {bad}")
+
+
+def _spreads(samples_path: str) -> list[tuple[str, float, float]]:
+    rows = []
+    samples = json.load(open(samples_path))["samples"]
+    for q, s in samples.items():
+        sp = s.get("spark") or [1]
+        du = s.get("duckdb") or [1]
+        rows.append((q, max(sp) / max(min(sp), 1e-9), max(du) / max(min(du), 1e-9)))
+    return rows
+
+
+def run_bench(out_name: str, sf_dir: str | None, max_load: float) -> None:
+    wait_idle(max_load)
+    env = dict(os.environ, SPARK_GRAFT_PASSES="3")
+    if sf_dir is not None:
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    out_path = os.path.join(REPO, out_name)
+    with open(out_path, "w") as fh:
+        print(f"+ bench.py -> {out_name} (sf={sf_dir or 'default sf2'})", flush=True)
+        subprocess.run([sys.executable, "bench.py"], check=True, cwd=REPO, env=env, stdout=fh)
+    d = json.load(open(out_path))
+    print(f"{out_name}: spark={d['value']} duck={d.get('duckdb', {}).get('value')} ratio={d.get('ratio_vs_duckdb')}", flush=True)
+    noisy = [(q, s, du) for q, s, du in _spreads(os.path.join(BENCH_DIR, "bench_samples_last.json")) if s > 1.5 or du > 1.5]
+    if noisy:
+        print(f"WARNING: {out_name} pass spreads >1.5x (ambient load?) — re-run before committing: {noisy}", flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sweeps", action="store_true", help="only scales + correctness sweeps")
+    ap.add_argument("--benches", action="store_true", help="only scales + benches")
+    ap.add_argument("--max-load", type=float, default=1.0)
+    args = ap.parse_args()
+    both = not (args.sweeps or args.benches)
+    gen_scales()
+    if args.sweeps or both:
+        run_sweeps()
+    if args.benches or both:
+        run_bench(".bench/bench_sf2_idle.json", None, args.max_load)
+        run_bench("BENCH_SCALE_sf10_r10.json", os.path.join(BENCH_DIR, "sf10x100"), args.max_load)
+    print("done.", flush=True)
+
+
+if __name__ == "__main__":
+    main()
