@@ -1,0 +1,66 @@
+"""Symmetric int8 quantization of embedding vectors.
+
+An ANN corpus at 100 TB scale stores embeddings quantized: symmetric
+max-abs int8 (q = round(x * 127 / max|x|), one scale per vector) is the
+standard compression step before IVF/PQ indexing — 4x smaller than
+float32, reconstruction error bounded by scale/2 per component, and the
+inner products the search layer needs are computable on the int8 codes
+with one float multiply per pair (scale_a * scale_b).
+
+Engine-portability: every element is widened float32 → DOUBLE before
+ANY arithmetic (widening is exact), all math is IEEE double, and both
+engines round half-away-from-zero — so the DuckDB oracle reproduces the
+codes bit-for-bit. The whole operator is a per-row projection (Catalyst
+``transform``/``aggregate`` higher-order functions, no UDF): a pure map
+over the corpus, embarrassingly parallel, no shuffle.
+
+Zero vectors quantize to scale 0.0 and an all-zero code (the guard is
+part of the contract — division by a zero max must not yield NaN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _amax(vec: Column) -> Column:
+    """max(abs(x)) over the vector, computed in double."""
+    return F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_cols: tuple = ("vec_id",)
+) -> DataFrame:
+    """(id…, scale, qvec): symmetric max-abs int8 codes per vector.
+
+    Dequantization is ``transform(qvec, q -> q * scale)``; the scale is
+    ``max|x| / 127`` so codes span the full [-127, 127] range.
+    """
+    amax = _amax(F.col(vec_col))
+    qvec = F.when(amax == 0.0, F.transform(F.col(vec_col), lambda x: F.lit(0))).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 127.0 / amax).cast("int"),
+        )
+    )
+    return df.select(
+        *id_cols,
+        (amax / 127.0).alias("scale"),
+        qvec.alias("qvec"),
+    )
+
+
+def quantize_oracle_sql(table: str, vec_col: str, id_cols: str = "vec_id") -> str:
+    """The identical quantization in DuckDB SQL (differential-test side)."""
+    amax = f"list_aggregate(list_transform({vec_col}, x -> abs(CAST(x AS DOUBLE))), 'max')"
+    return f"""
+SELECT {id_cols},
+       {amax} / 127.0 AS scale,
+       CASE WHEN {amax} = 0
+            THEN list_transform({vec_col}, x -> CAST(0 AS INT))
+            ELSE list_transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / {amax}) AS INT))
+       END AS qvec
+FROM {table}
+ORDER BY {id_cols}
+"""

@@ -1269,3 +1269,53 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "training_shuffle_order",
+    oracle="""
+SELECT doc_id, CAST(('0x' || substr(md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 8 AS shard,
+       ROW_NUMBER() OVER (
+         PARTITION BY CAST(('0x' || substr(md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 8
+         ORDER BY substr(md5('ep0:' || CAST(doc_id AS VARCHAR)), 5, 8), doc_id) AS pos
+FROM documents
+ORDER BY shard, pos
+""",
+    tags=("pipeline", "shuffle"),
+)
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: every document lands in a
+    pseudo-random (shard, position) that is a pure function of
+    (doc_id, seed) — reproducible at any parallelism, fresh permutation
+    per epoch seed. One hash exchange on shard + per-shard sort;
+    shards >> cores is the scale knob (pipeline/shuffle.py)."""
+    from duckdb_miint_spark.pipeline.shuffle import training_order
+
+    docs = T(spark, sf_dir, "documents")
+    return training_order(docs, "doc_id", n_shards=8, seed="ep0").orderBy("shard", "pos")
+
+
+@register(
+    "quantize_embeddings_int8",
+    oracle="""
+SELECT vec_id,
+       list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale,
+       CASE WHEN list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') = 0
+            THEN list_transform(embedding, x -> CAST(0 AS INT))
+            ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
+                 list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max')) AS INT))
+       END AS qvec
+FROM embeddings
+ORDER BY vec_id
+""",
+    tags=("pipeline", "similarity"),
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric max-abs int8 embedding quantization (one scale per
+    vector, codes exact across engines via double widening) — the
+    standard 4x compression ahead of IVF/PQ indexing; pure projection,
+    no shuffle (pipeline/quantize.py)."""
+    from duckdb_miint_spark.pipeline.quantize import quantize_int8
+
+    emb = T(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, "embedding", ("vec_id",)).orderBy("vec_id")

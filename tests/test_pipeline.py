@@ -669,3 +669,55 @@ def test_passjoin_no_cartesian_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_training_order_partition_invariant_and_contiguous(spark):
+    """The epoch shuffle is a pure function of (id, seed): re-running it
+    at a different parallelism yields the identical assignment, within
+    each shard pos is contiguous 1..|shard|, and a different epoch seed
+    is a different permutation."""
+    from duckdb_miint_spark.pipeline.shuffle import training_order
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select("doc_id")
+    a = training_order(docs, "doc_id", 8, "ep0").collect()
+    b = training_order(docs.repartition(7), "doc_id", 8, "ep0").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    ep1 = training_order(docs, "doc_id", 8, "ep1").collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in ep1} != {(r.doc_id, r.shard, r.pos) for r in a}
+    # balance sanity: multinomial-uniform shards (500 docs over 8 lanes)
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) < 2 * min(sizes), sizes
+
+
+def test_quantize_int8_bounds_and_roundtrip(spark):
+    """Codes lie in [-127, 127], a max-magnitude component hits ±127,
+    dequantization error is bounded by scale/2 per component, and a zero
+    vector quantizes to scale 0 with an all-zero code (no NaN)."""
+    from duckdb_miint_spark.pipeline.quantize import quantize_int8
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    src = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    zero = spark.createDataFrame(
+        [(10_000_000, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    rows = quantize_int8(
+        emb.select("vec_id", "embedding").unionByName(zero), "embedding"
+    ).collect()
+    seen_zero = False
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r.qvec), r.vec_id
+        if r.vec_id == 10_000_000:
+            assert r.scale == 0.0 and set(r.qvec) == {0}
+            seen_zero = True
+            continue
+        assert max(abs(q) for q in r.qvec) == 127, r.vec_id
+        x = src[r.vec_id]
+        err = max(abs(xi - qi * r.scale) for xi, qi in zip(x, r.qvec))
+        assert err <= r.scale / 2 + 1e-12, (r.vec_id, err, r.scale)
+    assert seen_zero
