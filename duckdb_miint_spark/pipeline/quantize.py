@@ -64,3 +64,48 @@ SELECT {id_cols},
 FROM {table}
 ORDER BY {id_cols}
 """
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, sim, rank) — top-k by inner product computed ON
+    the int8 codes: sim = (Σ q_i·c_i) · scale_q · scale_c — the reason a
+    corpus quantizes. Same two-level WindowGroupLimit brute-force shape
+    as similarity.cosine_topk (broadcast queries, corpus scanned once,
+    per-partition partial top-k before the exchange); the integer dot is
+    exact in any fold order and both scale factors are single double
+    expressions, so the score — unlike a float-sum cosine — is
+    bit-identical across engines by construction."""
+    from pyspark.sql import Window as W
+
+    q = quantize_int8(queries, vec_col, (id_col,)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("scale").alias("qs"),
+        F.col("qvec").alias("qq"),
+    )
+    c = quantize_int8(corpus, vec_col, (id_col,)).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("scale").alias("cs"),
+        F.col("qvec").alias("cc"),
+    )
+    idot = F.aggregate(
+        F.zip_with("qq", "cc", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", F.round(idot.cast("double") * F.col("qs") * F.col("cs"), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )

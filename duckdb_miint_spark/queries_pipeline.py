@@ -1319,3 +1319,53 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = T(spark, sf_dir, "embeddings")
     return quantize_int8(emb, "embedding", ("vec_id",)).orderBy("vec_id")
+
+
+@register(
+    "ann_quantized_topk",
+    # The int8 dot is exact integer arithmetic in any fold order and the
+    # two scale factors are single double expressions, so — unlike the
+    # float-sum cosine — the score needs no fold-order care: the oracle
+    # reproduces it bit-for-bit. list_dot_product runs on the codes cast
+    # to double (exact: |Σ q_i·c_i| <= 64·127² fits a double integer).
+    oracle="""
+WITH amx AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS amax
+  FROM embeddings
+),
+qz AS (
+  SELECT e.vec_id, a.amax / 127.0 AS scale,
+         CASE WHEN a.amax = 0
+              THEN list_transform(e.embedding, x -> CAST(0 AS DOUBLE))
+              ELSE list_transform(e.embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127.0 / a.amax) AS INT) AS DOUBLE))
+         END AS code
+  FROM embeddings e JOIN amx a USING (vec_id)
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         ROUND(list_dot_product(q.code, c.code) * q.scale * c.scale, 6) AS sim
+  FROM qz q JOIN qz c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+""",
+    tags=("pipeline", "similarity"),
+)
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 inner-product search ON the int8 codes for the same 5
+    query vectors as ann_cosine_topk — the compressed-corpus retrieval
+    mode quantization exists for. Recall vs the exact float ranking is
+    pytest-asserted (tests/test_pipeline.py)."""
+    from duckdb_miint_spark.pipeline.quantize import quantized_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    out = quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
