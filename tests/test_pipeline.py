@@ -758,3 +758,21 @@ def test_quantized_topk_recall_vs_float_dot(spark):
     assert set(got) == set(want)
     for k in want:
         assert len(got[k] & want[k]) / 10 >= 0.8, (k, got[k], want[k])
+
+
+def test_quantize_kernel_matches_hof_form(spark):
+    """The numpy kernel (default) must reproduce the definitional
+    Catalyst HOF form bit-for-bit — scales and every code — including on
+    a zero vector."""
+    from duckdb_miint_spark.pipeline.quantize import quantize_int8
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    zero = spark.createDataFrame(
+        [(10_000_000, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    src = emb.unionByName(zero)
+    a = {r.vec_id: (r.scale, list(r.qvec)) for r in quantize_int8(src, kernel=True).collect()}
+    b = {r.vec_id: (r.scale, list(r.qvec)) for r in quantize_int8(src, kernel=False).collect()}
+    assert a == b
