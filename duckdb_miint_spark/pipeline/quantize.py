@@ -123,6 +123,7 @@ def quantized_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_codes: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, sim, rank) — top-k by inner product computed ON
     the int8 codes: sim = (Σ q_i·c_i) · scale_q · scale_c — the reason a
@@ -131,7 +132,12 @@ def quantized_topk(
     per-partition partial top-k before the exchange); the integer dot is
     exact in any fold order and both scale factors are single double
     expressions, so the score — unlike a float-sum cosine — is
-    bit-identical across engines by construction."""
+    bit-identical across engines by construction.
+
+    ``corpus_codes`` — an already-quantized (id, scale, qvec) relation
+    (e.g. the graft_b_embeddings_q8 layout) — skips the corpus
+    quantization entirely: the production shape, where codes are an
+    ingest-time artifact and search never touches the floats."""
     from pyspark.sql import Window as W
 
     q = quantize_int8(queries, vec_col, (id_col,)).select(
@@ -139,7 +145,8 @@ def quantized_topk(
         F.col("scale").alias("qs"),
         F.col("qvec").alias("qq"),
     )
-    c = quantize_int8(corpus, vec_col, (id_col,)).select(
+    cz = corpus_codes if corpus_codes is not None else quantize_int8(corpus, vec_col, (id_col,))
+    c = cz.select(
         F.col(id_col).alias("vec_id"),
         F.col("scale").alias("cs"),
         F.col("qvec").alias("cc"),

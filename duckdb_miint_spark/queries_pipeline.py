@@ -1363,9 +1363,49 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 inner-product search ON the int8 codes for the same 5
     query vectors as ann_cosine_topk — the compressed-corpus retrieval
     mode quantization exists for. Recall vs the exact float ranking is
-    pytest-asserted (tests/test_pipeline.py)."""
+    pytest-asserted (tests/test_pipeline.py).
+
+    Bucketed layout: graft_b_embeddings_q8 serves the codes quantized
+    once at layout-build time (the ingest-time artifact of a production
+    ANN corpus), so the query is broadcast-join scoring over a code
+    scan — the floats are never touched."""
     from duckdb_miint_spark.pipeline.quantize import quantized_topk
 
     emb = T(spark, sf_dir, "embeddings")
-    out = quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    out = quantized_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        corpus_codes=_embeddings_q8(spark, sf_dir),
+    )
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+# Materialized int8 codes: the "quantize at ingest" layout a production
+# ANN corpus maintains (the same precompute-vs-rederive trade as the
+# events_parsed and lineitem_cnat grafts). Spark-SQL dialect because
+# storage.build_graft_layout derives graft tables with spark.sql(); the
+# expression is the definitional HOF form of pipeline/quantize.py
+# (kernel=False), equivalence-tested against the default numpy kernel.
+EMBEDDINGS_Q8_SQL = """
+SELECT vec_id,
+       array_max(transform(embedding, x -> abs(cast(x AS double)))) / 127.0 AS scale,
+       CASE WHEN array_max(transform(embedding, x -> abs(cast(x AS double)))) = 0.0
+            THEN transform(embedding, x -> 0)
+            ELSE transform(embedding, x -> cast(round(cast(x AS double) * 127.0 /
+                 array_max(transform(embedding, y -> abs(cast(y AS double))))) AS int))
+       END AS qvec
+FROM embeddings
+"""
+
+
+def _embeddings_q8(spark: SparkSession, sf_dir: str):
+    """The materialized int8-code graft, or None (callers quantize on
+    the fly with the numpy kernel)."""
+    from duckdb_miint_spark.storage import graft_fingerprint, serve_bucketed
+
+    return serve_bucketed(
+        spark,
+        "graft_b_embeddings_q8",
+        graft_fingerprint(sf_dir, EMBEDDINGS_Q8_SQL, ["embeddings"]),
+    )

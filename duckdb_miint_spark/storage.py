@@ -126,6 +126,7 @@ def graft_catalog() -> dict[str, Graft]:
     """Every graft table the engine can serve (lazily imported — the
     derivation SQL strings live next to the queries they accelerate)."""
     from duckdb_miint_spark.queries_domain import ALN_SQL
+    from duckdb_miint_spark.queries_pipeline import EMBEDDINGS_Q8_SQL
     from duckdb_miint_spark.queries_relational import (
         EVENTS_PARSED_SQL,
         LINEITEM_CNAT_SQL,
@@ -164,6 +165,12 @@ def graft_catalog() -> dict[str, Graft]:
             ["events"],
             ["user_id"],
             ["user_id", "ts", "event_id"],
+        ),
+        # derived: int8 embedding codes quantized ONCE at layout-build
+        # time (the ingest-time artifact an ANN corpus stores — search
+        # consumes the codes, never re-quantizes the floats).
+        "graft_b_embeddings_q8": Graft(
+            EMBEDDINGS_Q8_SQL, EMBEDDINGS_Q8_SQL, ["embeddings"], ["vec_id"]
         ),
     }
 

@@ -163,6 +163,7 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
         "q5_local_supplier_volume",
         "json_event_props",
         "window_running_user_value",
+        "ann_quantized_topk",
     )
     plain = {q: (hash_exchanges(q), result(q)) for q in queries}
 
@@ -175,9 +176,11 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
         # the n_name aggregate on the lineitem_cnat graft),
         # json_event_props ->1 (2-column scan of the parsed graft + the
         # event_type aggregate), window_running ->0 (events_parsed's
-        # bucket+sort IS the window's required distribution+ordering) —
-        # regressions fail loudly
-        ceilings = dict(zip(queries, (1, 0, 0, 1, 1, 0)))
+        # bucket+sort IS the window's required distribution+ordering),
+        # ann_quantized ->1 (code scan + broadcast scoring + the top-k
+        # window's query_id exchange; the graft's gain is skipping the
+        # corpus quantization, not an exchange) — regressions fail loudly
+        ceilings = dict(zip(queries, (1, 0, 0, 1, 1, 0, 1)))
         for q in queries:
             n = hash_exchanges(q)
             assert n <= ceilings[q], f"{q}: {n} > {ceilings[q]} hash exchanges"
