@@ -29,6 +29,10 @@ from duckdb_miint_spark.pipeline.multimodal import (
     attach_binary_column,
     fake_decode_image_features,
 )
+from duckdb_miint_spark.pipeline.quantize import quantize_oracle_sql as _quantize_oracle_sql
+from duckdb_miint_spark.pipeline.shuffle import (
+    training_order_oracle_sql as _training_order_oracle_sql,
+)
 from duckdb_miint_spark.pipeline.similarity import cosine_topk, lsh_ann_topk
 from duckdb_miint_spark.queries_analytics import _kmeans_ctes
 from duckdb_miint_spark.pipeline.text import (
@@ -1273,14 +1277,10 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "training_shuffle_order",
-    oracle="""
-SELECT doc_id, CAST(('0x' || substr(md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 8 AS shard,
-       ROW_NUMBER() OVER (
-         PARTITION BY CAST(('0x' || substr(md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 8
-         ORDER BY substr(md5('ep0:' || CAST(doc_id AS VARCHAR)), 5, 8), doc_id) AS pos
-FROM documents
-ORDER BY shard, pos
-""",
+    # Single source of truth: the oracle is generated by the same module
+    # that defines the Spark operator (pipeline/shuffle.py), so the
+    # definitional SQL cannot drift from the implementation.
+    oracle=_training_order_oracle_sql("documents", "doc_id", 8, seed="ep0"),
     tags=("pipeline", "shuffle"),
 )
 def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1297,15 +1297,15 @@ def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quantize_embeddings_int8",
-    oracle="""
-SELECT vec_id,
-       list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale,
-       CASE WHEN list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') = 0
-            THEN list_transform(embedding, x -> CAST(0 AS INT))
-            ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
-                 list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max')) AS INT))
-       END AS qvec
-FROM embeddings
+    # The gate emits SCALAR columns only — the code vector is serialized
+    # to a ',' string — because the driver's canonicalizer (pandas
+    # sort/hash over result cells) cannot hash array cells. The library
+    # API (pipeline/quantize.py quantize_int8) still returns array<int>.
+    # Oracle wraps the module's own definitional SQL (single source of
+    # truth) and flattens identically with array_to_string.
+    oracle=f"""
+SELECT vec_id, scale, array_to_string(qvec, ',') AS qcodes
+FROM ({_quantize_oracle_sql("embeddings", "embedding")})
 ORDER BY vec_id
 """,
     tags=("pipeline", "similarity"),
@@ -1314,11 +1314,16 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric max-abs int8 embedding quantization (one scale per
     vector, codes exact across engines via double widening) — the
     standard 4x compression ahead of IVF/PQ indexing; pure projection,
-    no shuffle (pipeline/quantize.py)."""
+    no shuffle (pipeline/quantize.py). Gate flattens qvec to a scalar
+    CSV string for the driver canonicalizer; quantize_int8 itself is the
+    array-returning library API."""
     from duckdb_miint_spark.pipeline.quantize import quantize_int8
 
     emb = T(spark, sf_dir, "embeddings")
-    return quantize_int8(emb, "embedding", ("vec_id",)).orderBy("vec_id")
+    out = quantize_int8(emb, "embedding", ("vec_id",))
+    return out.select(
+        "vec_id", "scale", F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qcodes")
+    ).orderBy("vec_id")
 
 
 @register(

@@ -55,12 +55,34 @@ def normalize(rows, colnames):
     return out
 
 
+def driver_canon(rows, colnames):
+    """Replica of the DRIVER's canonicalization: a pandas frame built
+    from the result, columns sorted by name, `sort_values` over ALL
+    columns, then `pd.util.hash_pandas_object`. Both steps hash cell
+    values, so a result with array/map/struct cells raises
+    `TypeError: unhashable type` — exactly the round-10
+    quantize_embeddings_int8 driver failure. Running every gate through
+    this at test time means a gate the driver cannot canonicalize fails
+    at commit time, not at round end."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=list(colnames))
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    return int(pd.util.hash_pandas_object(pdf.astype(str), index=False).sum())
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_matches_duckdb_oracle(spark, name):
     qd = REG[name]
     sdf = qd.spark_fn(spark, SF_DIR)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
+
+    # Driver-harness compatibility: the driver must be able to
+    # sort/hash this result with pandas (scalar cells only).
+    driver_canon(spark_rows, spark_cols)
 
     con = duck_con(SF_DIR)
     res = con.execute(qd.oracle)
@@ -82,3 +104,13 @@ def test_rows_only_runs(spark, name):
     qd = REG[name]
     sdf = qd.spark_fn(spark, SF_DIR)
     assert sdf.count() >= 0
+
+
+def test_driver_canon_rejects_array_cells():
+    """The canonicalizer replica must FAIL on a gate returning array
+    cells (the round-10 failure mode) — if pandas ever starts accepting
+    them silently, this guard stops being a guard and we want to know."""
+    with pytest.raises(TypeError):
+        driver_canon([(1, [1, 2, 3]), (2, [4, 5, 6])], ["id", "vec"])
+    # ...and pass on an all-scalar result of the same shape.
+    driver_canon([(1, "1,2,3"), (2, "4,5,6")], ["id", "vec"])
