@@ -221,11 +221,10 @@ def box_fingerprint() -> dict:
     return fp
 
 
-# Queries re-measured under the bucketed layout (the 100x-scale layout a
-# production table would use — PERF.md "bucketed-layout A/B" rounds 7-9).
-# The second treatment makes those numbers a driver artifact instead of
-# PERF.md prose: BENCH JSON carries {"bucketed": {...}} alongside the
-# plain-layout headline.
+# Layout-promoted queries: their plans differ between the graft and
+# plain layouts, so the secondary treatment re-measures them under the
+# OTHER layout and asserts full content parity (PERF.md "bucketed-layout
+# A/B" rounds 7-11).
 BUCKETED_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -233,6 +232,8 @@ BUCKETED_QUERIES = [
     "woltka_ogu_per_sample",
     "json_event_props",
     "window_running_user_value",
+    "compress_intervals_flat",
+    "genome_coverage",
 ]
 
 

@@ -199,6 +199,31 @@ def compress_intervals_islands(
     )
 
 
+def islands_from_reduced(
+    df: DataFrame,
+    group_cols: list[str] | tuple,
+    s_col: str = "s",
+    e_col: str = "e",
+) -> DataFrame:
+    """Islands from an ALREADY phase-0-reduced relation — one row per
+    (group, start) with ``e`` the max stop for that start. The dominant
+    cost of compress_intervals_islands is its phase-0 hash aggregate
+    (the data-sized dedup exchange — PERF.md round-10 CPU
+    decomposition); when that reduction is a layout-build artifact
+    (graft_b_aln_ranked: bucketed on group, per-bucket sorted on
+    (group, s)), the remaining work is ONE window pass whose required
+    distribution and ordering both come from the files — zero exchange,
+    zero sort ahead of the window."""
+    base = df.select(
+        *group_cols, F.col(s_col).alias("__s"), F.col(e_col).alias("__e")
+    )
+    return (
+        _island_pass(base, list(group_cols))
+        .withColumnRenamed("__s", "start")
+        .withColumnRenamed("__e", "stop")
+    )
+
+
 def compress_intervals(
     df: DataFrame,
     start_col: str = "start",

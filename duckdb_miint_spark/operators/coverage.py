@@ -21,16 +21,21 @@ def genome_coverage(
     alignments: DataFrame,
     subject_total_length: DataFrame,
     subject_genome_id: DataFrame,
+    islands: DataFrame | None = None,
 ) -> DataFrame:
     """(genome_id, covered, proportion_covered).
 
     alignments: reference/position/stop_position columns.
     subject_total_length: genome_id/total_length.
     subject_genome_id: contig_id/genome_id.
+    islands: optionally a precomputed (reference, start, stop) island
+    relation (e.g. from functions.intervals.islands_from_reduced over a
+    materialized layout) — skips the interval-union pipeline.
     """
-    islands = compress_intervals_islands(
-        alignments, "position", "stop_position", group_cols=["reference"]
-    )
+    if islands is None:
+        islands = compress_intervals_islands(
+            alignments, "position", "stop_position", group_cols=["reference"]
+        )
     # The reference macro rolls up per contig before summing per genome; the
     # per-contig subtotal is algebraically redundant (sum over a genome ==
     # sum over all islands of its contigs), so we aggregate straight to the

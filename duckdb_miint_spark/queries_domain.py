@@ -40,7 +40,10 @@ from duckdb_miint_spark.functions.cigar import (
     alignment_query_length,
     alignment_seq_identity,
 )
-from duckdb_miint_spark.functions.intervals import compress_intervals_islands
+from duckdb_miint_spark.functions.intervals import (
+    compress_intervals_islands,
+    islands_from_reduced,
+)
 from duckdb_miint_spark.functions.sequence import (
     sequence_dna_as_regexp,
     sequence_dna_reverse_complement,
@@ -201,6 +204,40 @@ islands AS (
 """
 
 
+# The phase-0-reduced island input — one row per (reference, start) with
+# the max stop — materialized at layout-build time, bucketed on reference
+# and per-bucket sorted on (reference, s). compress_intervals' CPU is
+# dominated by exactly this reduction (the one data-sized hash aggregate:
+# +2.79 s of the 4.57 s sf10 total — PERF.md round-10 decomposition), so
+# a layout that stores its output turns the island pair into a single
+# sort-free window over the bucket order. Spark-SQL dialect (consumed by
+# storage.build_graft_layout via spark.sql).
+ALN_RANKED_SQL = f"""
+SELECT reference, s, MAX(e) AS e
+FROM (
+  SELECT reference,
+         LEAST(position, stop_position) AS s,
+         GREATEST(position, stop_position) AS e
+  FROM ({ALN_SQL})
+  WHERE position IS NOT NULL AND stop_position IS NOT NULL
+)
+GROUP BY reference, s
+"""
+
+
+def _aln_ranked(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The materialized phase-0 island reduction, or None (callers run
+    the full compress_intervals_islands pipeline on the plain aln)."""
+    from duckdb_miint_spark.storage import graft_fingerprint, serve_bucketed
+
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return serve_bucketed(
+        spark,
+        "graft_b_aln_ranked",
+        graft_fingerprint(sf_dir, ALN_RANKED_SQL, ["lineitem"]),
+    )
+
+
 def _aln(spark: SparkSession, sf_dir: str, bucket: str | None = None) -> DataFrame:
     """The SAM-shaped alignments relation.
 
@@ -332,13 +369,16 @@ def compress_intervals_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipped, inverted pairs swapped, touching intervals merged, sorted by
     start. The oracle is the identical window-island idiom in DuckDB.
     """
-    # Measured negative (r8, sf2, two interleaved A/B runs): serving a
-    # reference-bucketed materialization here ran 5.2-7.1 s vs 1.8-3.2 s
-    # for the plain derivation — the reference-key exchange this removes
-    # is cheap in-process, while decoding the materialized 12M-row table
-    # costs more than deriving it from the (narrower) lineitem scan. On a
-    # real cluster where the exchange crosses a network the trade can
-    # flip; re-evaluate there, not at local sf2.
+    # Graft path: the phase-0 reduction (the query's dominant cost —
+    # PERF.md round-10 decomposition) served pre-computed, pre-bucketed,
+    # pre-sorted; islands are one window pass over the bucket order.
+    # (An r8 A/B that materialized the FULL 12M-row aln bucketed on
+    # reference was negative — decoding the fat table cost more than
+    # deriving it. This materializes the ~60x-narrower reduced relation
+    # instead, and skips the dedup aggregate entirely.)
+    ranked = _aln_ranked(spark, sf_dir)
+    if ranked is not None:
+        return islands_from_reduced(ranked, ["reference"]).orderBy("reference", "start")
     aln = _aln(spark, sf_dir)
     # NOT bounded_sort: the island agg reuses the window's reference
     # partitioning, so the whole window stage would collapse into the
@@ -460,13 +500,18 @@ ORDER BY genome_id
 def q_genome_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """genome_coverage macro (miint_macros.hpp:212-243): interval union →
     contig→genome rollup → proportion vs total length."""
-    # Plain derivation on purpose — the reference-bucketed serving was a
-    # measured sf2 negative here too (see compress_intervals_flat above).
+    # Graft path: same ranked-reduction serving as compress_intervals_flat
+    # (the r8 full-aln reference-bucketed serving stays a recorded
+    # negative; this serves the reduced relation instead).
+    ranked = _aln_ranked(spark, sf_dir)
+    islands = (
+        islands_from_reduced(ranked, ["reference"]) if ranked is not None else None
+    )
     aln = _aln(spark, sf_dir)
     _part_view(spark, sf_dir)
     sg = spark.sql(CONTIG_MAP_SQL)
     tl = spark.sql(GENOME_LEN_SQL)
-    out = genome_coverage(aln, tl, sg)
+    out = genome_coverage(aln, tl, sg, islands=islands)
     # NOT bounded_sort: the plan's last exchange is the island window's
     # reference shuffle, so coalesce(1) would collapse the window compute
     # itself into one task (measured +0.3 s at sf0.1). The output is tiny

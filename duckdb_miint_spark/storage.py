@@ -125,7 +125,7 @@ class Graft:
 def graft_catalog() -> dict[str, Graft]:
     """Every graft table the engine can serve (lazily imported — the
     derivation SQL strings live next to the queries they accelerate)."""
-    from duckdb_miint_spark.queries_domain import ALN_SQL
+    from duckdb_miint_spark.queries_domain import ALN_RANKED_SQL, ALN_SQL
     from duckdb_miint_spark.queries_pipeline import EMBEDDINGS_Q8_SQL
     from duckdb_miint_spark.queries_relational import (
         EVENTS_PARSED_SQL,
@@ -140,6 +140,22 @@ def graft_catalog() -> dict[str, Graft]:
         # derived: SAM-shaped alignments bucketed on read_id (woltka's
         # per-read dedup aggregate loses its data-sized exchange)
         "graft_b_aln_read": Graft(ALN_SQL, ALN_SQL, ["lineitem"], ["read_id"]),
+        # derived: phase-0-reduced island input (one row per (reference,
+        # start), max stop), bucketed on reference + per-bucket sorted on
+        # (reference, s) — compress_intervals/genome_coverage become one
+        # sort-free window over the bucket order (their dominant cost,
+        # the data-sized dedup aggregate, is paid here at layout build).
+        "graft_b_aln_ranked": Graft(
+            ALN_RANKED_SQL,
+            ALN_RANKED_SQL,
+            ["lineitem"],
+            ["reference"],
+            # sort includes e so the island window's required ordering
+            # (reference, s, e) is satisfied straight off the files —
+            # no local sort ((reference, s) is unique post-reduction, so
+            # e adds nothing semantically, only the plan guarantee)
+            ["reference", "s", "e"],
+        ),
         # derived: orders⋈customer star-flattening (q3 zero exchanges)
         "graft_b_orders_cnat": Graft(
             ORDERS_CNAT_SQL, ORDERS_CNAT_SQL, ["orders", "customer"], ["o_orderkey"]

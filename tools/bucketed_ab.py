@@ -44,16 +44,17 @@ QUERIES = [
     "woltka_ogu_per_sample",
     "json_event_props",
     "window_running_user_value",
+    "compress_intervals_flat",
+    "genome_coverage",
 ]
 # The graft set itself lives in storage.graft_catalog() (public API,
 # VERDICT r9 #6): lineitem/orders re-bucketed on the order key, the derived
 # aln_read (woltka's per-read dedup), orders_cnat (q3 zero-exchange),
-# lineitem_cnat (q5 scan+broadcast-dims), events_parsed (parse-at-ingest).
-# A "ref" (reference-key) aln variant for compress_intervals/genome_coverage
-# was measured NEGATIVE at sf2 (bucketed 5.2-7.1 s vs plain 1.8-3.2 s across
-# two interleaved runs — the removed exchange is cheap in-process, the
-# materialized-table decode isn't) and was reverted; don't re-add without a
-# real-cluster measurement.
+# lineitem_cnat (q5 scan+broadcast-dims), events_parsed (parse-at-ingest),
+# aln_ranked (phase-0-reduced island input for compress_intervals/
+# genome_coverage — r11; NOT the r8 full-aln reference-bucketed variant,
+# which stays a recorded negative: bucketed 5.2-7.1 s vs plain 1.8-3.2 s
+# at sf2, the fat-table decode outweighing the removed exchange).
 PASSES = 3
 
 
