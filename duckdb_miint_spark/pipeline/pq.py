@@ -1,0 +1,380 @@
+"""Product quantization (PQ) over embedding columns.
+
+The compression step after int8 scalar quantization on the ANN cost
+ladder: split each dim-D vector into M contiguous subspaces of D/M
+dims, k-means each subspace independently (the codebooks — M·K·(D/M)
+doubles, a driver-sized model), and store each vector as M small codes
+(one centroid id per subspace). At K=256 a float32 dim-64 vector
+compresses 256→8 bytes (32×); search computes ASYMMETRIC distances
+(ADC, Jégou et al., "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011): the query stays exact, each corpus vector is
+approximated by its per-subspace centroids, so one K·M table of
+query-to-centroid distances turns every corpus distance into M table
+lookups + M-1 adds — no floats read from the corpus at all.
+
+Spark shapes (100 TB discipline):
+- training = M reuses of the cluster.kmeans_fit kernel on subspace
+  SLICES (each iteration: one Arrow-batched scan with map-side
+  fixed-point partials + a K-row aggregate; only the model reaches the
+  driver);
+- encoding = one zero-shuffle mapInPandas projection (the shared
+  _np_best kernel per subspace, all M in one pass);
+- ADC search = broadcast the (few) queries' distance tables, one
+  vectorized numpy lookup pass over the codes, per-partition partial
+  top-k before the single k-row exchange (the two-level
+  WindowGroupLimit shape shared with similarity.cosine_topk).
+
+Cross-engine exactness (the repo-wide contract): every dot/distance is
+a LEFT-TO-RIGHT double fold (same IEEE sequence as DuckDB's
+list_dot_product loop), centroid means go through fixed-point int64
+sums (order-free at any parallelism), the ADC total is the sequential
+s=0..M-1 sum (left-assoc + in SQL), ties break to the lowest
+centroid/vector id, and every reported float is ROUND(x, 6) — so
+:func:`pq_oracle_ctes` restates training+encoding+search bit-for-bit
+in DuckDB SQL (the differential-test side lives HERE, next to the
+operator, so the definitional SQL cannot drift).
+
+At production scale codebooks would be trained on a deterministic hash
+sample (pipeline.sampling) rather than the full corpus; the gate trains
+on the full (small) table so the oracle can restate it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_miint_spark.pipeline.cluster import (
+    _centroid_mat,
+    _np_best,
+    kmeans_fit,
+)
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[dict[int, list[float]]]:
+    """Train per-subspace codebooks; returns [subspace][cid] -> centroid.
+
+    Subspace s covers vector positions [s*D/M, (s+1)*D/M). Each
+    subspace's k-means is the deterministic cluster.kmeans_fit (init =
+    the k lowest-id subvectors, fixed-point means, carry-forward empty
+    clusters)."""
+    if dim is None:
+        dim = emb.select(F.size(vec_col)).first()[0]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books: list[dict[int, list[float]]] = []
+    for s in range(m):
+        sliced = emb.select(
+            F.col(id_col),
+            F.transform(
+                F.slice(vec_col, s * sub + 1, sub), lambda x: x.cast("double")
+            ).alias("__subv"),
+        )
+        books.append(
+            kmeans_fit(sliced, k=k, iters=iters, id_col=id_col, vec_col="__subv", dim=sub)
+        )
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[dict[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id…, codes array<int>): nearest-centroid code per subspace.
+
+    One Arrow-batched zero-shuffle projection; subspace s's assignment
+    is the shared _np_best kernel on the slice (identical IEEE sequence
+    and lowest-cid ties as the SQL oracle's argmin)."""
+    from pyspark.sql import types as T
+
+    m = len(codebooks)
+    sub = len(next(iter(codebooks[0].values())))
+    cmats = [_centroid_mat(b) for b in codebooks]
+    in_fields = {f.name: f.dataType for f in emb.schema.fields}
+    out_schema = T.StructType(
+        [T.StructField(id_col, in_fields[id_col]),
+         T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    )
+
+    def _batches(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                sl = pd.Series(list(V[:, s * sub:(s + 1) * sub]))
+                codes[:, s], _ = _np_best(sl, cmats[s])
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return emb.select(id_col, vec_col).mapInPandas(_batches, out_schema)
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[dict[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, adist, rank): top-k smallest ADC squared-L2.
+
+    The queries (assumed few) are collected to per-query distance
+    TABLES — dtab[q][s][cid] = ||q_s - c_{s,cid}||², each the repo-wide
+    left-to-right fold — and broadcast inside one numpy lookup kernel:
+    per corpus row, adist = Σ_s dtab[s][code_s], summed s-ascending
+    (left-assoc, matching the oracle's d0+d1+…). Per-partition partial
+    top-k bounds the exchange to partitions×k rows before the final
+    per-query window."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    m = len(codebooks)
+    qrows = queries.select(id_col, vec_col).collect()
+    sub = len(next(iter(codebooks[0].values())))
+    cmats = [_centroid_mat(b) for b in codebooks]
+
+    # dtabs: {query_id: float64[m][K]} — exact subspace distances.
+    import numpy as np
+
+    dtabs = {}
+    for row in qrows:
+        qv = [float(x) for x in row[vec_col]]
+        tab = np.empty((m, len(cmats[0])), dtype=np.float64)
+        for s in range(m):
+            qs = qv[s * sub:(s + 1) * sub]
+            qq = 0.0
+            for x in qs:
+                qq = qq + x * x
+            for j, (cid, c, sd) in enumerate(cmats[s]):
+                dot = qs[0] * c[0]
+                for t in range(1, sub):
+                    dot = dot + qs[t] * c[t]
+                tab[s, j] = (qq - 2.0 * dot) + sd
+        dtabs[row[id_col]] = tab
+    qids = sorted(dtabs)
+
+    out_schema = T.StructType(
+        [T.StructField("query_id", T.LongType()),
+         T.StructField(id_col, T.LongType()),
+         T.StructField("adist", T.DoubleType())]
+    )
+
+    def _score(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for qid in qids:
+                tab = dtabs[qid]
+                # Σ_s dtab[s][code_s], s-ascending left-to-right
+                acc = tab[0][codes[:, 0]]
+                for s in range(1, m):
+                    acc = acc + tab[s][codes[:, s]]
+                keep = ids != qid
+                frames.append(pd.DataFrame({
+                    "query_id": qid, id_col: ids[keep], "adist": acc[keep]
+                }))
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"query_id": [], id_col: [], "adist": []}
+            )
+
+    scored = corpus_codes.select(id_col, "codes").mapInPandas(_score, out_schema)
+    scored = scored.withColumn("adist", F.round("adist", 6))
+    w = W.partitionBy("query_id").orderBy("adist", id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "adist", "rank")
+    )
+
+
+# --------------------------------------------------------------- oracle
+
+
+def _subspace_kmeans_ctes(s: int, k: int, iters: int, sub: int) -> str:
+    """Unrolled Lloyd's chain for subspace ``s`` (CTE names suffixed _s;
+    same arithmetic as queries_analytics._kmeans_ctes: sequential-fold
+    distances, fixed-point means, carry-forward, lowest-cid ties)."""
+    lo = s * sub + 1
+    dist = (
+        f"list_dot_product(e{s}.v, e{s}.v) - 2 * list_dot_product(e{s}.v, c.cv)"
+        " + list_dot_product(c.cv, c.cv)"
+    )
+    sql = f"""
+e{s} AS (
+  SELECT vec_id, list_transform(embedding[{lo}:{lo + sub - 1}], x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0_{s} AS (
+  SELECT rn - 1 AS cid, v AS cv
+  FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS rn FROM e{s}) t
+  WHERE rn <= {k}
+)"""
+    for t in range(iters):
+        sql += f""",
+a{t}_{s} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e{s}.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e{s}.vec_id ORDER BY {dist} ASC, c.cid ASC) AS rn
+    FROM e{s} CROSS JOIN c{t}_{s} c
+  ) t WHERE rn = 1
+),
+u{t}_{s} AS (
+  SELECT cid, pos, SUM(CAST(ROUND(val * 1000000, 0) AS BIGINT)) AS sm, COUNT(*) AS n
+  FROM (
+    SELECT a.cid, generate_subscripts(e{s}.v, 1) AS pos, unnest(e{s}.v) AS val
+    FROM e{s} JOIN a{t}_{s} a USING (vec_id)
+  ) GROUP BY cid, pos
+),
+c{t + 1}_{s} AS (
+  SELECT p.cid, list(COALESCE(CAST(u.sm AS DOUBLE) / 1000000.0 / u.n, p.val) ORDER BY p.pos) AS cv
+  FROM (SELECT cid, generate_subscripts(cv, 1) AS pos, unnest(cv) AS val FROM c{t}_{s}) p
+  LEFT JOIN u{t}_{s} u ON u.cid = p.cid AND u.pos = p.pos
+  GROUP BY p.cid
+)"""
+    return sql
+
+
+def pq_oracle_ctes(m: int, k: int, iters: int, dim: int) -> str:
+    """WITH-chain ending in ``codes`` (vec_id, c0..c{m-1}) — training +
+    encoding restated in DuckDB SQL."""
+    sub = dim // m
+    parts = [_subspace_kmeans_ctes(s, k, iters, sub) for s in range(m)]
+    assigns = []
+    for s in range(m):
+        dist = (
+            f"list_dot_product(e{s}.v, e{s}.v) - 2 * list_dot_product(e{s}.v, c.cv)"
+            " + list_dot_product(c.cv, c.cv)"
+        )
+        assigns.append(f"""
+code{s} AS (
+  SELECT vec_id, cid AS c{s} FROM (
+    SELECT e{s}.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e{s}.vec_id ORDER BY {dist} ASC, c.cid ASC) AS rn
+    FROM e{s} CROSS JOIN c{iters}_{s} c
+  ) t WHERE rn = 1
+)""")
+    joins = " ".join(f"JOIN code{s} USING (vec_id)" for s in range(1, m))
+    codes = f"""
+codes AS (
+  SELECT vec_id, {", ".join(f"c{s}" for s in range(m))}
+  FROM code0 {joins}
+)"""
+    return "WITH " + ",".join(parts) + "," + ",".join(assigns) + "," + codes
+
+
+def pq_encode_oracle_sql(m: int, k: int, iters: int, dim: int) -> str:
+    """(vec_id, pq_codes) with the codes serialized scalar (driver
+    canonicalizer contract — arrays don't hash)."""
+    concat = " || ',' || ".join(f"CAST(c{s} AS VARCHAR)" for s in range(m))
+    return pq_oracle_ctes(m, k, iters, dim) + f"""
+SELECT vec_id, {concat} AS pq_codes
+FROM codes
+ORDER BY vec_id
+"""
+
+
+def pq_adc_oracle_sql(
+    m: int, k: int, iters: int, dim: int, topk: int, n_queries: int
+) -> str:
+    """Top-``topk`` ADC neighbours per query (vec_id < n_queries) — the
+    identical left-assoc subspace-distance sum on the oracle side."""
+    sub = dim // m
+    d_terms = []
+    cb_joins = []
+    for s in range(m):
+        lo = s * sub + 1
+        qslice = f"list_transform(q.embedding[{lo}:{lo + sub - 1}], x -> CAST(x AS DOUBLE))"
+        d_terms.append(
+            f"(list_dot_product({qslice}, {qslice})"
+            f" - 2 * list_dot_product({qslice}, cb{s}.cv)"
+            f" + list_dot_product(cb{s}.cv, cb{s}.cv))"
+        )
+        cb_joins.append(f"JOIN c{iters}_{s} cb{s} ON cb{s}.cid = x.c{s}")
+    adist = " + ".join(d_terms)  # left-assoc: matches the kernel's s-ascending fold
+    return pq_oracle_ctes(m, k, iters, dim) + f""",
+scored AS (
+  SELECT q.vec_id AS query_id, x.vec_id AS vec_id,
+         ROUND({adist}, 6) AS adist
+  FROM embeddings q
+  JOIN codes x ON x.vec_id <> q.vec_id
+  {" ".join(cb_joins)}
+  WHERE q.vec_id < {n_queries}
+),
+ranked AS (
+  SELECT query_id, vec_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, adist, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {topk}
+ORDER BY query_id, rank
+"""
+
+
+def pq_shortlist_rerank(
+    corpus: DataFrame,
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[dict[int, list[float]]],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, d2, rank): exact top-k from an ADC shortlist.
+
+    The production PQ search shape: the CODES-ONLY scan produces an ADC
+    top-``shortlist`` per query (cheap, 32x less I/O than the floats),
+    then only those shortlist·|queries| rows join back to the float
+    vectors for an exact squared-L2 rerank. At 100 TB the corpus floats
+    are read for ~100 rows per query instead of all of them — the
+    shortlist join is a broadcast (queries are few), so the only
+    data-sized work is the code scan."""
+    from pyspark.sql import Window as W
+
+    sl = pq_adc_topk(
+        corpus_codes, queries, codebooks, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("query_id", id_col)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__qv"),
+    )
+    cv = corpus.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__cv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy("d2", id_col)
+    return (
+        cv.join(F.broadcast(sl), id_col)
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("d2", F.round(d2, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "d2", "rank")
+    )

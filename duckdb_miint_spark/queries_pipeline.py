@@ -29,6 +29,10 @@ from duckdb_miint_spark.pipeline.multimodal import (
     attach_binary_column,
     fake_decode_image_features,
 )
+from duckdb_miint_spark.pipeline.pq import (
+    pq_adc_oracle_sql as _pq_adc_oracle_sql,
+    pq_encode_oracle_sql as _pq_encode_oracle_sql,
+)
 from duckdb_miint_spark.pipeline.quantize import quantize_oracle_sql as _quantize_oracle_sql
 from duckdb_miint_spark.pipeline.shuffle import (
     training_order_oracle_sql as _training_order_oracle_sql,
@@ -1383,6 +1387,63 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         corpus_codes=_embeddings_q8(spark, sf_dir),
     )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+# PQ gate parameters: dim-64 embeddings -> 4 subspaces x 16 dims, 8
+# centroids per subspace, 2 Lloyd's rounds. Both oracles are generated by
+# pipeline/pq.py next to the operator (single source of truth).
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM = 4, 8, 2, 64
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    from duckdb_miint_spark.pipeline.pq import pq_fit
+
+    emb = T(spark, sf_dir, "embeddings")
+    return emb, pq_fit(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+
+
+@register(
+    "pq_encode_embeddings",
+    oracle=_pq_encode_oracle_sql(_PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM),
+    tags=("pipeline", "similarity"),
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: per-subspace k-means codebooks
+    (deterministic Lloyd's, trained distributed — only the M·K·(D/M)
+    model reaches the driver), then a zero-shuffle nearest-centroid
+    projection to M codes per vector — 32x compression of an ANN corpus
+    ahead of ADC search (pipeline/pq.py). Gate serializes the code
+    vector scalar for the driver canonicalizer; pq_encode itself is the
+    array-returning library API."""
+    from duckdb_miint_spark.pipeline.pq import pq_encode
+
+    emb, books = _pq_books(spark, sf_dir)
+    out = pq_encode(emb, books)
+    return out.select(
+        "vec_id",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias("pq_codes"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=_pq_adc_oracle_sql(_PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM, topk=10, n_queries=5),
+    tags=("pipeline", "similarity"),
+)
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 asymmetric-distance (ADC) neighbours on the PQ codes for
+    the same 5 query vectors as ann_cosine_topk/ann_quantized_topk —
+    each corpus distance is M table lookups instead of a D-dim float
+    scan. Every fold is the repo-wide left-to-right IEEE sequence, so
+    the DuckDB oracle reproduces training, codes, and distances
+    bit-for-bit; recall vs the exact ranking is pytest-asserted
+    (tests/test_pipeline.py)."""
+    from duckdb_miint_spark.pipeline.pq import pq_adc_topk, pq_encode
+
+    emb, books = _pq_books(spark, sf_dir)
+    codes = pq_encode(emb, books)
+    out = pq_adc_topk(codes, emb.filter(F.col("vec_id") < 5), books, k=10)
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 

@@ -776,3 +776,82 @@ def test_quantize_kernel_matches_hof_form(spark):
     a = {r.vec_id: (r.scale, list(r.qvec)) for r in quantize_int8(src, kernel=True).collect()}
     b = {r.vec_id: (r.scale, list(r.qvec)) for r in quantize_int8(src, kernel=False).collect()}
     assert a == b
+
+
+def test_pq_codes_shape_and_range(spark):
+    """Every vector gets exactly M codes, each in [0, K)."""
+    from duckdb_miint_spark.pipeline.pq import pq_encode, pq_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_fit(emb, m=4, k=8, iters=1)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    assert all(len(c) == 16 for b in books for c in b.values())
+    rows = pq_encode(emb, books).collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r.codes) == 4
+        assert all(0 <= c < 8 for c in r.codes)
+
+
+def test_pq_shortlist_rerank_recall_vs_exact_l2(spark):
+    """PQ search is a candidate GENERATOR: ADC shortlists, the floats
+    rerank. On i.i.d. gaussian embeddings (PQ's worst case — no cluster
+    structure, concentrated distances) the ADC top-10 alone is weak
+    (~0.26 recall at 4x16/K=8), but the shortlist-100 + exact-rerank
+    pipeline recovers most of the exact squared-L2 top-10 (measured
+    avg 0.8, min 0.7 per query). Floors: avg >= 0.6, each >= 0.4.
+    Rerank output must also be exactly the shortlist ∩ exact ordering:
+    every reranked hit that IS a true top-10 member carries the same
+    rank ordering as exact d2."""
+    from collections import defaultdict
+
+    from pyspark.sql import Window as W
+
+    from duckdb_miint_spark.pipeline.pq import pq_encode, pq_fit, pq_shortlist_rerank
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    books = pq_fit(emb, m=4, k=8, iters=2)
+    codes = pq_encode(emb, books)
+    reranked = pq_shortlist_rerank(
+        emb, codes, emb.filter(F.col("vec_id") < 5), books, k=10, shortlist=100
+    ).collect()
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy("d2", "vec_id")
+    exact = (
+        c.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("d2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .collect()
+    )
+    got, want = defaultdict(set), defaultdict(set)
+    for r in reranked:
+        got[r.query_id].add(r.vec_id)
+    for r in exact:
+        want[r.query_id].add(r.vec_id)
+    assert set(got) == set(want)
+    recalls = {k: len(got[k] & want[k]) / 10 for k in want}
+    assert all(v >= 0.4 for v in recalls.values()), recalls
+    assert sum(recalls.values()) / len(recalls) >= 0.6, recalls
+    # rerank uses exact d2, so shared members must agree on relative order
+    exact_rank = {(r.query_id, r.vec_id): r.rank for r in exact}
+    by_q = defaultdict(list)
+    for r in sorted(reranked, key=lambda r: (r.query_id, r.rank)):
+        if (r.query_id, r.vec_id) in exact_rank:
+            by_q[r.query_id].append(exact_rank[(r.query_id, r.vec_id)])
+    for qid, ranks in by_q.items():
+        assert ranks == sorted(ranks), (qid, ranks)
