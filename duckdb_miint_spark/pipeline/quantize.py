@@ -47,7 +47,12 @@ def quantize_int8(
     per-element HOF lambda re-evaluates the array-max subexpression; the
     kernel computes it once per row, vectorized). ``kernel=False`` is
     the definitional Catalyst form the oracle restates; the two are
-    equivalence-tested in tests/test_pipeline.py."""
+    equivalence-tested in tests/test_pipeline.py.
+
+    Kernel precondition: non-null vectors of one fixed dimension — a
+    NULL or ragged batch raises ValueError with the remedy named
+    (the HOF form instead silently propagates NULLs and accepts ragged
+    rows; don't rely on that divergence)."""
     if kernel:
         return _quantize_kernel(df, vec_col, id_cols)
     amax = _amax(F.col(vec_col))
@@ -88,7 +93,26 @@ def _quantize_kernel(df: DataFrame, vec_col: str, id_cols: tuple) -> DataFrame:
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            vecs = pdf[vec_col].to_numpy()
+            # np.stack needs uniform-dimension, non-null vectors; the HOF
+            # form (kernel=False) tolerates ragged/NULL rows. Rather than
+            # silently diverging on malformed input (ADVICE r10), fail
+            # loudly with the contract spelled out.
+            if any(v is None for v in vecs):
+                raise ValueError(
+                    "quantize_int8 kernel: NULL embedding in batch; drop or "
+                    "impute NULL vectors first (the kernel requires "
+                    "non-null, fixed-dimension vectors)"
+                )
+            try:
+                V = np.stack(vecs).astype(np.float64, copy=False)
+            except ValueError as exc:
+                dims = sorted({len(v) for v in vecs})
+                raise ValueError(
+                    f"quantize_int8 kernel: ragged vector dimensions {dims}; "
+                    "the kernel requires a fixed dimension (pad/truncate "
+                    "first, or use kernel=False)"
+                ) from exc
             amax = np.abs(V).max(axis=1)
             nz = amax != 0.0
             codes = np.zeros_like(V)

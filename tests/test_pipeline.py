@@ -855,3 +855,27 @@ def test_pq_shortlist_rerank_recall_vs_exact_l2(spark):
             by_q[r.query_id].append(exact_rank[(r.query_id, r.vec_id)])
     for qid, ranks in by_q.items():
         assert ranks == sorted(ranks), (qid, ranks)
+
+
+def test_quantize_kernel_rejects_null_and_ragged(spark):
+    """The numpy kernel must fail LOUDLY on inputs the HOF form would
+    silently tolerate (ADVICE r10: the two equivalence-tested forms
+    otherwise diverge on malformed data)."""
+    from pyspark.sql import types as T
+
+    from duckdb_miint_spark.pipeline.quantize import quantize_int8
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    with_null = spark.createDataFrame([(0, [1.0, 2.0]), (1, None)], schema)
+    with pytest.raises(Exception, match="NULL embedding"):
+        quantize_int8(with_null, "embedding", ("vec_id",)).collect()
+    # one partition so the ragged rows share an Arrow batch (detection
+    # is per batch — the docstring's stated contract)
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])], schema
+    ).coalesce(1)
+    with pytest.raises(Exception, match="ragged"):
+        quantize_int8(ragged, "embedding", ("vec_id",)).collect()

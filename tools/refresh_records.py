@@ -55,8 +55,12 @@ def _run(cmd: list[str], **kw) -> None:
     subprocess.run(cmd, check=True, cwd=REPO, **kw)
 
 
-def wait_idle(max_load: float, timeout_s: int = 600) -> None:
-    """Block until the 1-min load average drops below max_load."""
+def wait_idle(max_load: float, timeout_s: int = 600, force: bool = False) -> None:
+    """Block until the 1-min load average drops below max_load.
+
+    On timeout: FAIL unless --force (ADVICE r10 — PERF.md documents 3-5x
+    polluted sf10 records from runs started under ambient load; a record
+    written anyway is worse than no record)."""
     t0 = time.time()
     while True:
         load1 = os.getloadavg()[0]
@@ -64,8 +68,14 @@ def wait_idle(max_load: float, timeout_s: int = 600) -> None:
             print(f"idle: load {load1:.2f} < {max_load}", flush=True)
             return
         if time.time() - t0 > timeout_s:
-            print(f"WARNING: still loaded ({load1:.2f}) after {timeout_s}s — proceeding", flush=True)
-            return
+            if force:
+                print(f"WARNING: still loaded ({load1:.2f}) after {timeout_s}s — --force, proceeding", flush=True)
+                return
+            raise SystemExit(
+                f"load gate: still {load1:.2f} >= {max_load} after {timeout_s}s; "
+                "benching now would write a polluted record. Re-run when idle "
+                "or pass --force."
+            )
         time.sleep(15)
 
 
@@ -98,20 +108,29 @@ def _spreads(samples_path: str) -> list[tuple[str, float, float]]:
     return rows
 
 
-def run_bench(out_name: str, sf_dir: str | None, max_load: float) -> None:
-    wait_idle(max_load)
+def run_bench(out_name: str, sf_dir: str | None, max_load: float, force: bool = False) -> None:
+    """Bench into a CANDIDATE path; promote to the committed record name
+    only after the spread check passes (ADVICE r10 — a polluted run must
+    never silently overwrite a clean committed record)."""
+    wait_idle(max_load, force=force)
     env = dict(os.environ, SPARK_GRAFT_PASSES="3")
     if sf_dir is not None:
         env["SPARK_GRAFT_SF_DIR"] = sf_dir
-    out_path = os.path.join(REPO, out_name)
-    with open(out_path, "w") as fh:
+    cand_path = os.path.join(BENCH_DIR, os.path.basename(out_name) + ".candidate")
+    with open(cand_path, "w") as fh:
         print(f"+ bench.py -> {out_name} (sf={sf_dir or 'default sf2'})", flush=True)
         subprocess.run([sys.executable, "bench.py"], check=True, cwd=REPO, env=env, stdout=fh)
-    d = json.load(open(out_path))
+    # stdout is the compact line; the committed record is the FULL summary
+    # sidecar (per-query duck timings, ratios, box fingerprint).
+    full = json.load(open(os.path.join(BENCH_DIR, "bench_summary_last.json")))
+    d = json.load(open(cand_path))
     print(f"{out_name}: spark={d['value']} duck={d.get('duckdb', {}).get('value')} ratio={d.get('ratio_vs_duckdb')}", flush=True)
     noisy = [(q, s, du) for q, s, du in _spreads(os.path.join(BENCH_DIR, "bench_samples_last.json")) if s > 1.5 or du > 1.5]
     if noisy:
-        print(f"WARNING: {out_name} pass spreads >1.5x (ambient load?) — re-run before committing: {noisy}", flush=True)
+        print(f"REJECTED: {out_name} pass spreads >1.5x (ambient load?) — candidate kept at {cand_path}, committed record untouched: {noisy}", flush=True)
+        return
+    with open(os.path.join(REPO, out_name), "w") as fh:
+        json.dump(full, fh, indent=1)
 
 
 def main() -> None:
@@ -119,14 +138,16 @@ def main() -> None:
     ap.add_argument("--sweeps", action="store_true", help="only scales + correctness sweeps")
     ap.add_argument("--benches", action="store_true", help="only scales + benches")
     ap.add_argument("--max-load", type=float, default=1.0)
+    ap.add_argument("--round", default="r11", help="round tag for the committed sf10 record name")
+    ap.add_argument("--force", action="store_true", help="bench even if the load gate times out")
     args = ap.parse_args()
     both = not (args.sweeps or args.benches)
     gen_scales()
     if args.sweeps or both:
         run_sweeps()
     if args.benches or both:
-        run_bench(".bench/bench_sf2_idle.json", None, args.max_load)
-        run_bench("BENCH_SCALE_sf10_r10.json", os.path.join(BENCH_DIR, "sf10x100"), args.max_load)
+        run_bench(f".bench/bench_sf2_{args.round}_idle.json", None, args.max_load, force=args.force)
+        run_bench(f"BENCH_SCALE_sf10_{args.round}.json", os.path.join(BENCH_DIR, "sf10x100"), args.max_load, force=args.force)
     print("done.", flush=True)
 
 
