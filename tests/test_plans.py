@@ -142,9 +142,7 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
     """The bucketed-layout treatment (tools/bucketed_ab.py) must remove
     the data-sized exchange from each promoted query — woltka's per-read
     dedup aggregate and both sides of having_big_orders' orderkey join —
-    and must not change any answer. (compress_intervals/genome_coverage
-    were tried and reverted: measured sf2 negative, see
-    queries_domain.compress_intervals_flat.)"""
+    and must not change any answer."""
     from duckdb_miint_spark.storage import build_graft_layout, graft_catalog
 
     def hash_exchanges(name):
@@ -164,6 +162,8 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
         "json_event_props",
         "window_running_user_value",
         "ann_quantized_topk",
+        "compress_intervals_flat",
+        "genome_coverage",
     )
     plain = {q: (hash_exchanges(q), result(q)) for q in queries}
 
@@ -179,8 +179,13 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
         # bucket+sort IS the window's required distribution+ordering),
         # ann_quantized ->1 (code scan + broadcast scoring + the top-k
         # window's query_id exchange; the graft's gain is skipping the
-        # corpus quantization, not an exchange) — regressions fail loudly
-        ceilings = dict(zip(queries, (1, 0, 0, 1, 1, 0, 1)))
+        # corpus quantization, not an exchange), compress ->0 (the island
+        # window rides aln_ranked's buckets; the only exchange left is
+        # the output ORDER BY's range partitioning, which is not a hash
+        # exchange), genome ->3 but ZERO on the fact side (the two
+        # part-sized dim DISTINCTs + the genome_id rollup; the
+        # data-sized dedup exchange is gone) — regressions fail loudly
+        ceilings = dict(zip(queries, (1, 0, 0, 1, 1, 0, 1, 0, 3)))
         for q in queries:
             n = hash_exchanges(q)
             assert n <= ceilings[q], f"{q}: {n} > {ceilings[q]} hash exchanges"
