@@ -35,6 +35,7 @@ from duckdb_miint_spark.pipeline.pq import (
 )
 from duckdb_miint_spark.pipeline.quantize import quantize_oracle_sql as _quantize_oracle_sql
 from duckdb_miint_spark.pipeline.shuffle import (
+    epoch_schedule_oracle_sql as _epoch_schedule_oracle_sql,
     training_order_oracle_sql as _training_order_oracle_sql,
 )
 from duckdb_miint_spark.pipeline.similarity import cosine_topk, lsh_ann_topk
@@ -1388,6 +1389,38 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_codes=_embeddings_q8(spark, sf_dir),
     )
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+# Cross-epoch mixture schedule gate parameters: upweight two sources,
+# downweight one, default 10%/epoch elsewhere, 3 epochs. Oracle generated
+# by the operator's module (single source of truth).
+_MIX_RATES = {"src0": 40, "src1": 40, "src2": 4}
+_MIX_DEFAULT, _MIX_EPOCHS, _MIX_SEED = 10, 3, "mix0"
+
+
+@register(
+    "epoch_mixture_schedule",
+    oracle=_epoch_schedule_oracle_sql(
+        "documents", "doc_id", "source", _MIX_RATES, _MIX_DEFAULT, _MIX_EPOCHS, _MIX_SEED
+    ),
+    tags=("pipeline", "shuffle"),
+)
+def q_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-epoch mixture scheduling: every document gets a
+    deterministic within-domain position; epoch e consumes positions
+    [e·B_d, (e+1)·B_d) at per-domain integer budgets (B_d = n_d·pct//100)
+    — sampling WITHOUT replacement across epochs at a target domain
+    mixture, reproducible at any parallelism (pipeline/shuffle.py).
+    epoch -1 = the unscheduled remainder pool."""
+    from duckdb_miint_spark.pipeline.shuffle import epoch_schedule
+
+    docs = T(spark, sf_dir, "documents")
+    out = epoch_schedule(
+        docs, "doc_id", "source",
+        rates_pct=_MIX_RATES, default_pct=_MIX_DEFAULT,
+        n_epochs=_MIX_EPOCHS, seed=_MIX_SEED,
+    )
+    return out.orderBy("doc_id")
 
 
 # PQ gate parameters: dim-64 embeddings -> 4 subspaces x 16 dims, 8

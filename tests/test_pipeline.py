@@ -879,3 +879,38 @@ def test_quantize_kernel_rejects_null_and_ragged(spark):
     ).coalesce(1)
     with pytest.raises(Exception, match="ragged"):
         quantize_int8(ragged, "embedding", ("vec_id",)).collect()
+
+
+def test_epoch_schedule_without_replacement_and_budgets(spark):
+    """Block-partitioning a fixed permutation = exact sampling without
+    replacement: every document lands in at most one epoch, each
+    (domain, epoch) stratum has exactly B_d = n_d*pct//100 documents,
+    and a rerun reproduces the identical schedule."""
+    from collections import Counter
+
+    from duckdb_miint_spark.pipeline.shuffle import epoch_schedule
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rates = {"src0": 40, "src1": 40, "src2": 4}
+    out = epoch_schedule(
+        docs, "doc_id", "source", rates_pct=rates, default_pct=10, n_epochs=3
+    ).collect()
+    assert len(out) == docs.count()  # every doc scheduled or pooled, once
+    assert len({r.doc_id for r in out}) == len(out)
+    n_by_domain = Counter(r.source for r in out)
+    strata = Counter((r.source, r.epoch) for r in out if r.epoch >= 0)
+    for (dom, ep), n in strata.items():
+        budget = n_by_domain[dom] * rates.get(dom, 10) // 100
+        # exact budget until the pool runs out; the final scheduled
+        # epoch may be partial (e.g. src0: 25 docs at 40% = 10/epoch ->
+        # epochs of 10, 10, 5)
+        expected = min(budget, max(0, n_by_domain[dom] - ep * budget))
+        assert n == expected, (dom, ep, n, expected)
+        assert 0 <= ep < 3
+    # src2 at 4% of 25 docs -> budget 1 per epoch: exactly 3 scheduled
+    assert sum(n for (d, _), n in strata.items() if d == "src2") == 3
+    # deterministic: a fresh build reproduces the schedule exactly
+    again = epoch_schedule(
+        docs, "doc_id", "source", rates_pct=rates, default_pct=10, n_epochs=3
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
