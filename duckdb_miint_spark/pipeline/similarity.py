@@ -495,26 +495,46 @@ def cosine_threshold_pairs_exact(
     )
     thr = float(threshold)
 
+    # The similarity TILE is the memory hot spot, not the corpus matrix:
+    # an Arrow batch of r rows against n corpus vectors materializes an
+    # r x n float64 block — at 500k vectors a 10k-row batch is 40 GB and
+    # 32 workers OOM-kill the box (observed at sf10, round 11). Tile BOTH
+    # axes so the block never exceeds ~32M doubles (256 MB) per worker
+    # regardless of corpus size or Arrow batch sizing.
+    TILE_ELEMS = 32_000_000
+
     def score_blocks(batches):
         ids_a, M_a, n_a = _load_side_matrix(side_path)
+        n_corpus = len(ids_a)
+        col_tile = max(1, min(n_corpus, TILE_ELEMS // 4096))
+        row_tile = max(1, TILE_ELEMS // col_tile)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            B = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            b_ids = pdf[id_col].to_numpy().astype(np.int64)
-            b_norms = np.sqrt((B * B).sum(axis=1))
-            sims = (B @ M_a.T) / (b_norms[:, None] * n_a[None, :])
-            # emit each qualifying unordered pair once: id1 < id2
-            ii, jj = np.nonzero(sims >= thr)
-            keep = b_ids[ii] < ids_a[jj]
-            ii, jj = ii[keep], jj[keep]
-            yield pd.DataFrame(
-                {
-                    "id1": b_ids[ii],
-                    "id2": ids_a[jj],
-                    "sim": sims[ii, jj],
-                }
-            )
+            B_all = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids_all = pdf[id_col].to_numpy().astype(np.int64)
+            for r0 in range(0, len(ids_all), row_tile):
+                B = B_all[r0:r0 + row_tile]
+                b_ids = ids_all[r0:r0 + row_tile]
+                b_norms = np.sqrt((B * B).sum(axis=1))
+                out1, out2, outs = [], [], []
+                for c0 in range(0, n_corpus, col_tile):
+                    Mc = M_a[c0:c0 + col_tile]
+                    sims = (B @ Mc.T) / (b_norms[:, None] * n_a[c0:c0 + col_tile][None, :])
+                    # emit each qualifying unordered pair once: id1 < id2
+                    ii, jj = np.nonzero(sims >= thr)
+                    keep = b_ids[ii] < ids_a[c0 + jj]
+                    ii, jj = ii[keep], jj[keep]
+                    out1.append(b_ids[ii])
+                    out2.append(ids_a[c0 + jj])
+                    outs.append(sims[ii, jj])
+                yield pd.DataFrame(
+                    {
+                        "id1": np.concatenate(out1) if out1 else np.array([], np.int64),
+                        "id2": np.concatenate(out2) if out2 else np.array([], np.int64),
+                        "sim": np.concatenate(outs) if outs else np.array([], np.float64),
+                    }
+                )
 
     raw = corpus.mapInPandas(score_blocks, "id1 long, id2 long, sim double")
     # round JVM-side: F.round is HALF_UP like the DuckDB oracle's ROUND
