@@ -34,10 +34,30 @@ from pyspark.sql import functions as F
 from duckdb_miint_spark.functions.flags import alignment_is_read1
 
 
-def _per_read_split(relation: DataFrame, sequence_id_field: str, extra_cols: list[str]) -> DataFrame:
+# Fixed-point scale for the exact fold: per-term error 5e-10, random-walk
+# sum error ~sqrt(n)·5e-10 (2.4e-7 at 240k terms — invisible at 6 dp);
+# int64 headroom to ~9e15 reads.
+FIXED_SCALE = 1_000_000_000
+
+
+def _per_read_split(
+    relation: DataFrame,
+    sequence_id_field: str,
+    extra_cols: list[str],
+    fixed_point: bool = False,
+) -> DataFrame:
     """(…extra_cols, feature_id, __local_value): each distinct
     (read, orientation, *extra, feature) observation weighted 1/N where N
-    is the read's distinct hit count across ALL its samples/features."""
+    is the read's distinct hit count across ALL its samples/features.
+
+    ``fixed_point=True`` emits ROUND(1e9/N) as an INT64 instead of the
+    double 1/N: integer partial sums are order-free, so the aggregate is
+    bit-identical at any parallelism AND across engines — the round-11
+    sf10 sweep caught the double fold diverging from the DuckDB oracle
+    in the 6th decimal once feature sums reached ~240k terms (parallel
+    double addition is order-dependent; no fold order can be pinned
+    through a shuffled SUM). The default stays the reference macro's
+    float semantics (golden-validated against real Woltka)."""
     base = relation.select(
         F.col(sequence_id_field).alias("__seq_id"),
         *extra_cols,
@@ -47,30 +67,55 @@ def _per_read_split(relation: DataFrame, sequence_id_field: str, extra_cols: lis
     grouped = base.groupBy("__seq_id", "__is_fwd").agg(
         F.collect_set(F.struct(*extra_cols, "feature_id")).alias("__hits")
     )
+    weight = (
+        F.round(F.lit(float(FIXED_SCALE)) / F.size("__hits"), 0).cast("long")
+        if fixed_point
+        else (F.lit(1.0) / F.size("__hits"))
+    )
     return grouped.select(
         F.explode("__hits").alias("__h"),
-        (F.lit(1.0) / F.size("__hits")).alias("__local_value"),
+        weight.alias("__local_value"),
     ).select("__h.*", "__local_value")
+
+
+def _fold(split: DataFrame, keys: list, fixed_point: bool) -> DataFrame:
+    if not fixed_point:
+        return split.groupBy(*keys).agg(F.sum("__local_value").alias("value"))
+    # Exact 6-dp HALF-UP in INTEGER arithmetic: nano-units -> micro-units
+    # via (k + 500) div 1000 (longs throughout — k can exceed 2^53, so a
+    # double floor would lose exactness), then ONE IEEE division by 1e6
+    # that both engines round identically. Rounding the final double with
+    # ROUND(x, 6) instead re-diverged on half-boundary sums (k ≡ 500 mod
+    # 1000 — the binary double sits a hair above or below the decimal
+    # .5, and the engines' round paths disagree on which).
+    out = split.groupBy(*keys).agg(F.sum("__local_value").alias("__ksum"))
+    value = (F.expr("CAST((__ksum + 500) DIV 1000 AS DOUBLE)") / F.lit(1000000.0)).alias(
+        "value"
+    )
+    return out.select(*[c for c in out.columns if c != "__ksum"], value)
 
 
 def woltka_ogu_per_sample(
     relation: DataFrame,
     sample_id_field: str,
     sequence_id_field: str,
+    fixed_point: bool = False,
 ) -> DataFrame:
     """Per-sample OGU counts: (sample_id, feature_id, value)."""
     split = _per_read_split(
         relation.withColumn("__sample_id", F.col(sample_id_field)),
         sequence_id_field,
         ["__sample_id"],
+        fixed_point=fixed_point,
     )
-    return (
-        split.groupBy(F.col("__sample_id").alias("sample_id"), "feature_id")
-        .agg(F.sum("__local_value").alias("value"))
+    return _fold(
+        split, [F.col("__sample_id").alias("sample_id"), "feature_id"], fixed_point
     )
 
 
-def woltka_ogu(relation: DataFrame, sequence_id_field: str) -> DataFrame:
+def woltka_ogu(
+    relation: DataFrame, sequence_id_field: str, fixed_point: bool = False
+) -> DataFrame:
     """Sample-agnostic OGU counts: (feature_id, value)."""
-    split = _per_read_split(relation, sequence_id_field, [])
-    return split.groupBy("feature_id").agg(F.sum("__local_value").alias("value"))
+    split = _per_read_split(relation, sequence_id_field, [], fixed_point=fixed_point)
+    return _fold(split, ["feature_id"], fixed_point)

@@ -501,68 +501,71 @@ def q_window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fuzzy_name_pairs",
+    # Value-level gate (round 11; same rework as passjoin_name_pairs):
+    # the expanded ROW-pair answer is quadratic in per-name multiplicity
+    # — at the sf10 replay (2M parts over 1,600 distinct (brand, name)
+    # values, 34k rows per hot name) it is ~10¹² rows, unmaterializable
+    # by either engine, and the old gate timed out. Distinct-value pairs
+    # + multiplicities carry identical information with output linear in
+    # value pairs, so one gate holds from sf0.01 through sf10.
     oracle="""
-SELECT a.p_partkey AS a_partkey, b.p_partkey AS b_partkey,
-       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-FROM part a JOIN part b
-  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WITH v AS (
+  SELECT p_brand AS brand, p_name, CAST(MIN(p_partkey) AS BIGINT) AS vid, COUNT(*) AS n
+  FROM part GROUP BY p_brand, p_name
+)
+SELECT a.brand, a.vid AS a_vid, b.vid AS b_vid,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       a.n * b.n AS n_pairs
+FROM v a JOIN v b ON a.brand = b.brand AND a.vid < b.vid
 WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
   AND levenshtein(a.p_name, b.p_name) <= 2
-ORDER BY a_partkey, b_partkey
+UNION ALL
+SELECT brand, vid, vid, CAST(0 AS BIGINT), n * (n - 1) // 2
+FROM v WHERE n > 1
+ORDER BY brand, a_vid, b_vid
 """,
     tags=("pipeline", "fuzzy"),
 )
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy-match join: part-name pairs within levenshtein
+    """Blocked fuzzy-match join: part-name matches within levenshtein
     distance 2, blocked on p_brand — with VALUE DEDUP before the
     quadratic phase (round-6 scale fix). The O(n²) edit-distance work
-    runs over DISTINCT (brand, name) values only, then tiny matched
-    name-pairs broadcast-join back to the rows to expand into key pairs.
-    At sf1 the corpus has 200k rows but 64 distinct names: the naive
-    per-brand self-join is 800M levenshtein evals, the dedup'd one is
-    ~100k — and when values are mostly unique the dedup degenerates to a
-    no-op, so the plan is never worse. The length-delta prefilter
-    (|len a − len b| lower-bounds edit distance) still guards the DP."""
+    runs over DISTINCT (brand, name) values only (sf1: 200k rows but 64
+    distinct names — 800M naive DP evals become ~100k), the length-delta
+    prefilter (|len a − len b| lower-bounds edit distance) guards the
+    DP, and the gate reports each matched VALUE pair once with its
+    canonical ids and row-pair multiplicity n_a·n_b (identical-name
+    groups as dist-0 rows with n·(n−1)/2). Row expansion is a broadcast
+    join away when a consumer wants it — and at 100 TB nobody
+    materializes the 10¹²-row exploded form."""
     part = T(spark, sf_dir, "part")
-    names = part.select(
+    v = part.groupBy(
         F.col("p_brand").alias("brand"), F.col("p_name").alias("name")
-    ).distinct()
-    a_n = names.select("brand", F.col("name").alias("a_name"))
-    b_n = names.select("brand", F.col("name").alias("b_name"))
-    # unordered value pairs once (a_name <= b_name), incl. identical names
-    name_pairs = (
-        a_n.join(b_n, "brand")
-        .filter(F.col("a_name") <= F.col("b_name"))
+    ).agg(
+        F.min("p_partkey").cast("long").alias("vid"),
+        F.count("*").alias("n"),
+    )
+    a = v.select("brand", F.col("name").alias("a_name"),
+                 F.col("vid").alias("a_vid"), F.col("n").alias("n_a"))
+    b = v.select("brand", F.col("name").alias("b_name"),
+                 F.col("vid").alias("b_vid"), F.col("n").alias("n_b"))
+    cross = (
+        a.join(b, "brand")
+        .filter(F.col("a_vid") < F.col("b_vid"))
         .filter(F.abs(F.length("a_name") - F.length("b_name")) <= 2)
         .withColumn("dist", F.levenshtein("a_name", "b_name").cast("long"))
         .filter(F.col("dist") <= 2)
+        .select("brand", "a_vid", "b_vid", "dist",
+                (F.col("n_a") * F.col("n_b")).alias("n_pairs"))
     )
-    # both orientations so the partkey order below is free to pick either
-    oriented = name_pairs.union(
-        name_pairs.filter(F.col("a_name") != F.col("b_name")).select(
-            "brand",
-            F.col("b_name").alias("a_name"),
-            F.col("a_name").alias("b_name"),
-            "dist",
-        )
+    selfpairs = v.filter(F.col("n") > 1).select(
+        "brand",
+        F.col("vid").alias("a_vid"),
+        F.col("vid").alias("b_vid"),
+        F.lit(0).cast("long").alias("dist"),
+        (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_pairs"),
     )
-    a = part.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_partkey").alias("a_partkey"),
-        F.col("p_name").alias("a_name"),
-    )
-    b = part.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_partkey").alias("b_partkey"),
-        F.col("p_name").alias("b_name"),
-    )
-    return (
-        a.join(oriented, ["brand", "a_name"])  # AQE broadcasts the tiny side
-        .join(b, ["brand", "b_name"])
-        .filter(F.col("a_partkey") < F.col("b_partkey"))
-        .select("a_partkey", "b_partkey", "dist")
-        .orderBy("a_partkey", "b_partkey")
-    )
+    return cross.unionAll(selfpairs).orderBy("brand", "a_vid", "b_vid")
 
 
 @register(

@@ -142,14 +142,17 @@ SELECT
 FROM part
 """
 
-# DNA generator: digits of p_partkey*p_partkey+p_size mapped to bases; the
-# second variant maps into IUPAC ambiguity codes for the regexp function.
+# DNA generator: digits of a squared key mapped to bases; the second
+# variant maps into IUPAC ambiguity codes for the regexp function. The
+# squared key is MOD(p_partkey, 1000000)² (≤1e12): squaring the raw
+# partkey overflowed INT64 at the sf10 sweep's 9.9e9 key range (caught
+# round 11 — both engines raise, Spark as ARITHMETIC_OVERFLOW).
 DNA_GEN_SQL = """
 SELECT
   'p' || CAST(p_partkey AS STRING) AS read_id,
-  translate(CAST(p_partkey * p_partkey + p_size AS STRING),
+  translate(CAST(MOD(p_partkey, 1000000) * MOD(p_partkey, 1000000) + p_size AS STRING),
             '0123456789', 'ACGTACGTAC') AS seq,
-  translate(CAST(p_partkey * p_partkey + p_size AS STRING),
+  translate(CAST(MOD(p_partkey, 1000000) * MOD(p_partkey, 1000000) + p_size AS STRING),
             '0123456789', 'ACGTRYSWKM') AS iupac_seq
 FROM part
 """
@@ -408,13 +411,13 @@ with_counts AS (
   SELECT
     query_local_sample_id,
     feature_id,
-    1.0 / COUNT(*) OVER (PARTITION BY query_local_id_field, is_fwd) AS local_value
+    CAST(ROUND(1000000000.0 / COUNT(*) OVER (PARTITION BY query_local_id_field, is_fwd), 0) AS BIGINT) AS local_fp
   FROM base
 )
 SELECT
   query_local_sample_id AS sample_id,
   feature_id,
-  ROUND(SUM(local_value), 6) AS value
+  CAST((SUM(local_fp) + 500) // 1000 AS DOUBLE) / 1000000.0 AS value
 FROM with_counts
 GROUP BY query_local_sample_id, feature_id
 ORDER BY sample_id, feature_id
@@ -422,11 +425,19 @@ ORDER BY sample_id, feature_id
     tags=("domain", "woltka"),
 )
 def q_woltka_ogu_per_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Woltka OGU per-sample counts (miint_macros.hpp:35-58)."""
+    """Woltka OGU per-sample counts (miint_macros.hpp:35-58).
+
+    Gate runs the fixed-point fold (order-free integer sums — the
+    double fold's 6th decimal diverged from the oracle at the sf10
+    sweep's ~240k-term feature sums); the library default keeps the
+    reference macro's float semantics."""
     aln = _aln(spark, sf_dir, bucket="read")
-    out = woltka_ogu_per_sample(aln, "sample_id", "read_id")
+    out = woltka_ogu_per_sample(aln, "sample_id", "read_id", fixed_point=True)
+    # no F.round here: the fixed-point fold already emits the exact
+    # 6-dp value (re-rounding the double re-opened the half-boundary
+    # divergence the integer rounding exists to close)
     return bounded_sort(
-        out.select("sample_id", "feature_id", F.round("value", 6).alias("value")),
+        out.select("sample_id", "feature_id", "value"),
         "sample_id", "feature_id",
     )
 
@@ -445,10 +456,10 @@ base AS (
 with_counts AS (
   SELECT
     feature_id,
-    1.0 / COUNT(*) OVER (PARTITION BY query_local_id_field, is_fwd) AS local_value
+    CAST(ROUND(1000000000.0 / COUNT(*) OVER (PARTITION BY query_local_id_field, is_fwd), 0) AS BIGINT) AS local_fp
   FROM base
 )
-SELECT feature_id, ROUND(SUM(local_value), 6) AS value
+SELECT feature_id, CAST((SUM(local_fp) + 500) // 1000 AS DOUBLE) / 1000000.0 AS value
 FROM with_counts
 GROUP BY feature_id
 ORDER BY feature_id
@@ -456,11 +467,12 @@ ORDER BY feature_id
     tags=("domain", "woltka"),
 )
 def q_woltka_ogu(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Woltka OGU counts, sample-agnostic (miint_macros.hpp:80-100)."""
+    """Woltka OGU counts, sample-agnostic (miint_macros.hpp:80-100).
+    Fixed-point fold in the gate — see q_woltka_ogu_per_sample."""
     aln = _aln(spark, sf_dir, bucket="read")
-    out = woltka_ogu(aln, "read_id")
+    out = woltka_ogu(aln, "read_id", fixed_point=True)
     return bounded_sort(
-        out.select("feature_id", F.round("value", 6).alias("value")), "feature_id"
+        out.select("feature_id", "value"), "feature_id"
     )
 
 

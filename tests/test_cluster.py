@@ -178,10 +178,12 @@ def test_kmv_sketch_path_vs_oracle(spark, tmp_path):
         assert abs(oracle[lang][2] - got[lang]["est_kmv"]) < 1e-9
 
 
-def test_fuzzy_pairs_value_dedup_matches_naive(spark):
-    """The value-dedup'd fuzzy join must return exactly the naive
-    per-brand self-join's pairs (including same-name pairs, both name
-    orders collapsed by partkey<) on data WITH heavy value duplication."""
+def test_fuzzy_pairs_value_level_matches_naive(spark):
+    """The value-level fuzzy gate must carry EXACTLY the information of
+    the naive per-brand exploded self-join on duplicate-heavy data: one
+    row per matched (brand, value-pair) keyed by canonical min-partkey
+    ids, whose n_pairs multiplicities sum to the naive pair count and
+    partition it per value pair."""
     rows = []
     names = ["hot plate", "hot plata", "cold gear", "cold gearx", "blue ring"]
     k = 0
@@ -191,7 +193,6 @@ def test_fuzzy_pairs_value_dedup_matches_naive(spark):
                 rows.append((k, n, brand))
                 k += 1
     df = spark.createDataFrame(rows, "p_partkey: long, p_name: string, p_brand: string")
-    df.createOrReplaceTempView("part_fuzzy_test")
 
     from duckdb_miint_spark import queries_analytics as QA
 
@@ -199,12 +200,13 @@ def test_fuzzy_pairs_value_dedup_matches_naive(spark):
     try:
         QA.T = lambda spark, sf_dir, name: df  # route the query to the fixture
         got = {
-            (r["a_partkey"], r["b_partkey"], r["dist"])
+            (r["brand"], r["a_vid"], r["b_vid"], r["dist"]): r["n_pairs"]
             for r in QA.q_fuzzy_pairs(spark, "ignored").collect()
         }
     finally:
         QA.T = orig
-    # exact naive reference via python-side levenshtein
+    # exact naive reference via python-side levenshtein, aggregated to
+    # the value level (canonical id = min partkey of the name's group)
     def lev(a, b):
         dp = list(range(len(b) + 1))
         for i, ca in enumerate(a, 1):
@@ -213,13 +215,19 @@ def test_fuzzy_pairs_value_dedup_matches_naive(spark):
                 prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
         return dp[-1]
 
-    naive = set()
+    vid = {}
+    for key, name, brand in rows:
+        vid.setdefault((brand, name), key)
+    naive: dict = {}
+    n_exploded = 0
     for i, (ka, na, ba) in enumerate(rows):
         for kb, nb, bb in rows[i + 1 :]:
             if ba != bb or abs(len(na) - len(nb)) > 2:
                 continue
             d = lev(na, nb)
             if d <= 2:
-                lo, hi = (ka, kb) if ka < kb else (kb, ka)
-                naive.add((lo, hi, d))
+                v1, v2 = sorted((vid[(ba, na)], vid[(bb, nb)]))
+                naive[(ba, v1, v2, d)] = naive.get((ba, v1, v2, d), 0) + 1
+                n_exploded += 1
     assert got == naive and got, f"{len(got)} vs {len(naive)}"
+    assert sum(got.values()) == n_exploded
