@@ -12,9 +12,15 @@ full decomposition and the sf1 numbers alongside).
 Prints ONE JSON line (compact, HARD-guarded to <=1,900 chars so the
 driver's 2,000-char stdout tail parses it whole — VERDICT r10 #2):
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
- "sf": dir, "layout": "graft", "bucket_write_sec": ...,
+ "sf": dir, "layout": "graft", "bucket_write_sec": float-or-null,
  "duckdb": {"value": sec}, "ratio_vs_duckdb": ...,
+ "graft_ratio_vs_duckdb_plain": same number under its honest name,
+ "plain_equiv_value"/"plain_equiv_ratio_vs_duckdb": full-set total with
+ promoted queries at their plain-layout timings (like-for-like vs the
+ r8-r10 records; never dropped by the size guard),
  "plain": {"value": ..., "ratio_per_query": {...}}, "detail_file": path}
+A graft-build failure reports layout_error (string) and leaves
+bucket_write_sec null — the timing field is numeric-or-null always.
 The FULL summary (plan_build_sec, box fingerprint, per-query DuckDB
 timings, per-query ratios) goes to .bench/bench_summary_last.json; raw
 per-pass samples and per-query build times to
@@ -320,14 +326,19 @@ def main() -> None:
     # the plain parquet (the BASELINE.md condition).
     layout = os.environ.get("SPARK_GRAFT_LAYOUT", "graft")
     n_buckets = int(os.environ.get("SPARK_GRAFT_BUCKETS", "0")) or cpus
+    # bucket_write_sec is numeric-or-null, ALWAYS (ADVICE r11): failure
+    # text goes in the separate layout_error field so record consumers
+    # that parse the timing as a number keep working on exactly the runs
+    # that need inspection.
     bucket_write_sec = None
+    layout_error = None
     if layout == "graft":
         try:
             bucket_write_sec = write_bucketed_layout(spark, sf_dir, n_buckets)
             spark.conf.set("spark.graft.bucketedLayout", "true")
         except Exception as exc:  # noqa: BLE001 — layout is additive; fall back visibly
             layout = "plain"
-            bucket_write_sec = f"graft build failed: {type(exc).__name__}: {exc}"
+            layout_error = f"graft build failed: {type(exc).__name__}: {exc}"
             spark.conf.set("spark.graft.bucketedLayout", "false")
             print(f"# graft layout build failed, plain headline: {exc}", file=sys.stderr)
 
@@ -534,6 +545,7 @@ def main() -> None:
         "layout": layout,
         "n_buckets": n_buckets,
         "bucket_write_sec": bucket_write_sec,
+        "layout_error": layout_error,
         "plan_build_sec": plan_build_sec,
         "samples_file": side_path,
         "box": box,
@@ -551,6 +563,31 @@ def main() -> None:
         }
         if dtotal > 0:
             out["ratio_vs_duckdb"] = round(total / dtotal, 3)
+            if layout == "graft":
+                # Self-describing alias (ADVICE r11): the headline ratio
+                # compares Spark-on-graft-layout vs DuckDB-on-plain-parquet
+                # — a cross-layout number, NOT comparable to the r8-r10
+                # plain-vs-plain records. ratio_vs_duckdb is kept for
+                # tooling continuity; this name states the treatment.
+                out["graft_ratio_vs_duckdb_plain"] = out["ratio_vs_duckdb"]
+    if (
+        layout == "graft"
+        and duck_timings
+        and isinstance(other_out, dict)
+        and other_out.get("queries")
+    ):
+        # Like-for-like plain-vs-plain aggregate (ADVICE r11): full-set
+        # total with the layout-promoted queries swapped to their
+        # plain-layout timings — directly comparable to the r8-r10
+        # plain-primary records, and kept in the never-dropped core of
+        # the compact line below.
+        swapped = dict(timings)
+        swapped.update(other_out["queries"])
+        out["plain_equiv_value"] = round(sum(swapped.values()), 4)
+        if out["duckdb"]["value"] > 0:
+            out["plain_equiv_ratio_vs_duckdb"] = round(
+                out["plain_equiv_value"] / out["duckdb"]["value"], 3
+            )
     # Full summary goes to a sidecar; STDOUT carries a compact line with
     # a HARD size guard. The driver records only the last 2,000 chars of
     # stdout — r8-r10 all shipped `parsed: null` because the summary
@@ -574,16 +611,26 @@ def main() -> None:
         "queries": timings,
         "detail_file": summary_path,
     }
+    if layout_error:
+        compact["layout_error"] = layout_error[:200]
     if duck_timings:
         compact["duckdb"] = {"value": out["duckdb"]["value"]}
         if "ratio_vs_duckdb" in out:
             compact["ratio_vs_duckdb"] = out["ratio_vs_duckdb"]
+        if "graft_ratio_vs_duckdb_plain" in out:
+            compact["graft_ratio_vs_duckdb_plain"] = out["graft_ratio_vs_duckdb_plain"]
     if isinstance(other_out, dict) and other_out.get("queries"):
         compact[other_label] = {
             "value": round(sum(other_out["queries"].values()), 4),
         }
         if other_out.get("ratio_per_query"):
             compact[other_label]["ratio_per_query"] = other_out["ratio_per_query"]
+        # plain-vs-plain equivalents stay in the NEVER-DROPPED core so a
+        # tail-bounded reader always sees a number comparable to the
+        # r8-r10 plain-primary records next to the cross-layout ratio.
+        for key in ("plain_equiv_value", "plain_equiv_ratio_vs_duckdb"):
+            if key in out:
+                compact[key] = out[key]
     elif isinstance(other_out, dict) and other_out.get("error"):
         compact[other_label] = {"error": str(other_out["error"])[:200]}
     for drop in (

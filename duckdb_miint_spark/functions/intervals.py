@@ -211,14 +211,31 @@ def islands_from_reduced(
     (the data-sized dedup exchange — PERF.md round-10 CPU
     decomposition); when that reduction is a layout-build artifact
     (graft_b_aln_ranked: bucketed on group, per-bucket sorted on
-    (group, s)), the remaining work is ONE window pass whose required
-    distribution and ordering both come from the files — zero exchange,
-    zero sort ahead of the window."""
+    (group, s)), the remaining work is the island window with zero
+    EXCHANGE — the bucketed files already satisfy every required
+    distribution below (hashpartitioning(group) clusters any superset
+    key), so nothing fact-sized ever crosses the network.
+
+    Like compress_intervals_islands, the pass is SPLIT (ADVICE r11): a
+    phase-1 window over (group, partition-id) — partition-local, so no
+    task ever holds a whole group; a hot contig with millions of starts
+    was otherwise one straggling, spill-heavy window partition, the
+    exact single-phase killer the module docstring names — then the
+    tiny global per-group pass over the merged remainder. Both phases
+    ride the files' group-hash distribution; the split's only added
+    cost is partition-local sorts (the phase-1 ordering includes
+    __pid, which the files' (group, s) sort doesn't literally provide
+    even though __pid is constant per partition — Spark can't know
+    that). Measured near-neutral on the graft-served gates (sf0.1
+    genome_coverage medians 0.79 s single-pass vs 0.84 s split; scan +
+    final agg dominate), so the scale-safe form is unconditional."""
     base = df.select(
         *group_cols, F.col(s_col).alias("__s"), F.col(e_col).alias("__e")
     )
+    staged = base.select("*", F.spark_partition_id().alias("__pid"))
+    local = _island_pass(staged, list(group_cols) + ["__pid"]).drop("__pid")
     return (
-        _island_pass(base, list(group_cols))
+        _island_pass(local, list(group_cols))
         .withColumnRenamed("__s", "start")
         .withColumnRenamed("__e", "stop")
     )

@@ -169,9 +169,19 @@ def pq_adc_topk(
         dtabs[row[id_col]] = tab
     qids = sorted(dtabs)
 
+    # Id field types derive from the INPUT schemas (as pq_encode does):
+    # query_id from the queries relation, id_col from the corpus codes —
+    # an int32/string-keyed corpus must round-trip through the Arrow
+    # batches unchanged, not be cast to a hardcoded LongType (ADVICE r11).
+    q_id_type = dict(
+        (f.name, f.dataType) for f in queries.schema.fields
+    )[id_col]
+    c_id_type = dict(
+        (f.name, f.dataType) for f in corpus_codes.schema.fields
+    )[id_col]
     out_schema = T.StructType(
-        [T.StructField("query_id", T.LongType()),
-         T.StructField(id_col, T.LongType()),
+        [T.StructField("query_id", q_id_type),
+         T.StructField(id_col, c_id_type),
          T.StructField("adist", T.DoubleType())]
     )
 
@@ -327,6 +337,90 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, adist, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {topk}
+ORDER BY query_id, rank
+"""
+
+
+def codebooks_to_df(spark, codebooks: list[dict[int, list[float]]]) -> DataFrame:
+    """Codebooks as a (subspace, cid, centroid array<double>) relation —
+    the layout-artifact form: a production corpus stores the trained
+    model next to the codes so search never refits (the same
+    pay-at-ingest trade as a minimap2 ``.mmi`` index)."""
+    rows = [
+        (s, int(cid), [float(x) for x in c])
+        for s, book in enumerate(codebooks)
+        for cid, c in sorted(book.items())
+    ]
+    return spark.createDataFrame(
+        rows, "subspace int, cid int, centroid array<double>"
+    )
+
+
+def codebooks_from_df(df: DataFrame) -> list[dict[int, list[float]]]:
+    """Inverse of :func:`codebooks_to_df` (tiny collect — the model is
+    M·K rows)."""
+    books: dict[int, dict[int, list[float]]] = {}
+    for r in df.collect():
+        books.setdefault(r["subspace"], {})[r["cid"]] = list(r["centroid"])
+    return [books[s] for s in sorted(books)]
+
+
+def pq_shortlist_oracle_sql(
+    m: int, k: int, iters: int, dim: int, topk: int, shortlist: int, n_queries: int
+) -> str:
+    """Top-``topk`` EXACT squared-L2 neighbours from the ADC
+    top-``shortlist`` candidates (vec_id < n_queries) — the oracle
+    restatement of :func:`pq_shortlist_rerank`: identical ADC fold and
+    (adist, vec_id) shortlist ties, then the same left-to-right
+    Σ(q_i-c_i)² rerank with (d2, vec_id) ties, both ROUND(...,6)."""
+    sub = dim // m
+    d_terms = []
+    cb_joins = []
+    for s in range(m):
+        lo = s * sub + 1
+        qslice = f"list_transform(q.embedding[{lo}:{lo + sub - 1}], x -> CAST(x AS DOUBLE))"
+        d_terms.append(
+            f"(list_dot_product({qslice}, {qslice})"
+            f" - 2 * list_dot_product({qslice}, cb{s}.cv)"
+            f" + list_dot_product(cb{s}.cv, cb{s}.cv))"
+        )
+        cb_joins.append(f"JOIN c{iters}_{s} cb{s} ON cb{s}.cid = x.c{s}")
+    adist = " + ".join(d_terms)
+    return pq_oracle_ctes(m, k, iters, dim) + f""",
+adc AS (
+  SELECT q.vec_id AS query_id, x.vec_id AS vec_id, {adist} AS adist
+  FROM embeddings q
+  JOIN codes x ON x.vec_id <> q.vec_id
+  {" ".join(cb_joins)}
+  WHERE q.vec_id < {n_queries}
+),
+sl AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(adist, 6) ASC, vec_id ASC) AS srank
+    FROM adc
+  ) WHERE srank <= {shortlist}
+),
+rer AS (
+  -- d2 = list_dot_product(diff, diff): the same ((0+t1)+t2)+... IEEE
+  -- sequence as the Spark side's zip_with + aggregate fold
+  SELECT s.query_id, s.vec_id,
+         ROUND(list_dot_product(
+             list_transform(range(1, {dim} + 1),
+                 i -> CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)),
+             list_transform(range(1, {dim} + 1),
+                 i -> CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))), 6) AS d2
+  FROM sl s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings c ON c.vec_id = s.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, vec_id ASC) AS rank
+  FROM rer
+)
+SELECT query_id, vec_id, d2, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {topk}
 ORDER BY query_id, rank
 """

@@ -793,6 +793,42 @@ def test_pq_codes_shape_and_range(spark):
         assert all(0 <= c < 8 for c in r.codes)
 
 
+def test_pq_adc_topk_preserves_id_types(spark):
+    """ADC top-k derives its id field types from the INPUT schemas (ADVICE
+    r11): a string-keyed corpus and int-keyed queries must come back with
+    those exact types, not a hardcoded LongType that Arrow would reject."""
+    from duckdb_miint_spark.pipeline.pq import pq_adc_topk, pq_encode, pq_fit
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(64)
+    )
+    books = pq_fit(emb, m=4, k=4, iters=1)
+    s_corpus = pq_encode(emb, books).select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "codes"
+    )
+    s_queries = emb.filter(F.col("vec_id") < 3).select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    out = pq_adc_topk(s_corpus, s_queries, books, k=5)
+    kinds = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert kinds["query_id"] == "string" and kinds["vec_id"] == "string"
+    rows = out.collect()
+    assert rows and all(r.vec_id.startswith("doc-") for r in rows)
+    assert all(r.query_id != r.vec_id for r in rows)
+    # int32 ids survive too (the r11 report's concrete failure shape)
+    i_corpus = pq_encode(emb, books).select(
+        F.col("vec_id").cast("int").alias("vec_id"), "codes"
+    )
+    i_queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("int").alias("vec_id"), "embedding"
+    )
+    out_i = pq_adc_topk(i_corpus, i_queries, books, k=5)
+    kinds_i = {f.name: f.dataType.simpleString() for f in out_i.schema.fields}
+    assert kinds_i["query_id"] == "int" and kinds_i["vec_id"] == "int"
+    assert out_i.count() == 3 * 5
+
+
 def test_pq_shortlist_rerank_recall_vs_exact_l2(spark):
     """PQ search is a candidate GENERATOR: ADC shortlists, the floats
     rerank. On i.i.d. gaussian embeddings (PQ's worst case — no cluster
