@@ -28,6 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Table property carrying the layout identity of a bucketed graft table.
 FINGERPRINT_PROP = "graft.fingerprint"
+# Table property carrying the per-file source signature the table was
+# built from — the manifest incremental refresh diffs against.
+SRC_SIG_PROP = "graft.src_sig"
 
 
 def layout_fingerprint(*parts: object) -> str:
@@ -112,34 +115,68 @@ def serve_bucketed(spark: SparkSession, table: str, fingerprint: str) -> DataFra
 class Graft:
     """One bucketed graft table: its content identity (table name or
     derivation SQL), the source tables whose file signature guards it,
-    and its bucket/sort layout."""
+    and its bucket/sort layout.
 
-    def __init__(self, identity, sql, sources, bucket_cols, sort_cols=None):
+    ``builder`` covers derivations Spark SQL can't express (e.g. the PQ
+    codebook fit, a driver-side Lloyd's loop): a callable
+    ``(spark, sf_dir) -> DataFrame`` invoked with the source temp views
+    registered. A builder graft MUST pass an explicit ``identity``
+    string naming the algorithm + parameters + a version tag — that
+    string is the fingerprint's stand-in for the SQL text, so bump it
+    whenever the builder's output could change.
+
+    ``appendable`` marks derivations that are APPEND-DECOMPOSABLE over
+    their fact table (``fact``, default ``sources[0]``): either row-wise
+    (f(old ∪ new) = f(old) ∪ f(new) — copies, parse-at-ingest, per-row
+    quantization, per-fact-row dim joins) or a partial aggregate whose
+    registered consumers re-merge the grain (the rollup grafts;
+    aln_ranked, whose island consumers merge duplicate starts by
+    construction). Incremental refresh appends the new slice's
+    derivation into the existing buckets; everything else (the PQ model
+    + codes — a refit changes EVERY row's codes, so the exact gates need
+    a full rebuild; production would instead pin a frozen model version
+    and accept encode-drift) is rebuilt on any source change."""
+
+    def __init__(self, identity, sql, sources, bucket_cols, sort_cols=None,
+                 builder=None, appendable=False, fact=None):
+        if sql is None and builder is not None and not isinstance(identity, str):
+            raise ValueError("builder grafts need an explicit identity string")
         self.identity = identity
         self.sql = sql
         self.sources = list(sources)
         self.bucket_cols = list(bucket_cols)
         self.sort_cols = list(sort_cols) if sort_cols else None
+        self.builder = builder
+        self.appendable = appendable
+        self.fact = fact or self.sources[0]
 
 
 def graft_catalog() -> dict[str, Graft]:
     """Every graft table the engine can serve (lazily imported — the
     derivation SQL strings live next to the queries they accelerate)."""
     from duckdb_miint_spark.queries_domain import ALN_RANKED_SQL, ALN_SQL
-    from duckdb_miint_spark.queries_pipeline import EMBEDDINGS_Q8_SQL
+    from duckdb_miint_spark.queries_pipeline import (
+        EMBEDDINGS_Q8_SQL,
+        PQ_CODEBOOKS_IDENTITY,
+        PQ_CODES_IDENTITY,
+        _build_pq_codebooks,
+        _build_pq_codes,
+    )
     from duckdb_miint_spark.queries_relational import (
+        EVENTS_HOURLY_ROLLUP_SQL,
         EVENTS_PARSED_SQL,
         LINEITEM_CNAT_SQL,
         ORDERS_CNAT_SQL,
+        ORDERS_PRIO_CUST_SQL,
     )
 
     return {
         # plain copies, re-bucketed on the join key
-        "graft_b_lineitem": Graft("lineitem", None, ["lineitem"], ["l_orderkey"]),
-        "graft_b_orders": Graft("orders", None, ["orders"], ["o_orderkey"]),
+        "graft_b_lineitem": Graft("lineitem", None, ["lineitem"], ["l_orderkey"], appendable=True),
+        "graft_b_orders": Graft("orders", None, ["orders"], ["o_orderkey"], appendable=True),
         # derived: SAM-shaped alignments bucketed on read_id (woltka's
         # per-read dedup aggregate loses its data-sized exchange)
-        "graft_b_aln_read": Graft(ALN_SQL, ALN_SQL, ["lineitem"], ["read_id"]),
+        "graft_b_aln_read": Graft(ALN_SQL, ALN_SQL, ["lineitem"], ["read_id"], appendable=True),
         # derived: phase-0-reduced island input (one row per (reference,
         # start), max stop), bucketed on reference + per-bucket sorted on
         # (reference, s) — compress_intervals/genome_coverage become one
@@ -155,10 +192,14 @@ def graft_catalog() -> dict[str, Graft]:
             # no local sort ((reference, s) is unique post-reduction, so
             # e adds nothing semantically, only the plan guarantee)
             ["reference", "s", "e"],
+            # partial-aggregate append: the island consumers merge
+            # duplicate (reference, s) rows by construction
+            appendable=True,
         ),
         # derived: orders⋈customer star-flattening (q3 zero exchanges)
         "graft_b_orders_cnat": Graft(
-            ORDERS_CNAT_SQL, ORDERS_CNAT_SQL, ["orders", "customer"], ["o_orderkey"]
+            ORDERS_CNAT_SQL, ORDERS_CNAT_SQL, ["orders", "customer"], ["o_orderkey"],
+            appendable=True,  # per-fact-row dim join; dims must be unchanged
         ),
         # derived: lineitem-grain denorm (lineitem⋈orders⋈customer) — q5
         # becomes scan + broadcast dims + one aggregate, zero joins on the
@@ -170,6 +211,7 @@ def graft_catalog() -> dict[str, Graft]:
             ["lineitem", "orders", "customer"],
             ["l_orderkey"],
             ["o_orderdate"],
+            appendable=True,  # per-fact-row dim join; dims must be unchanged
         ),
         # derived: events with props parsed ONCE at layout-build time (the
         # production shape for a 100 TB events table: parse at ingest, not
@@ -181,12 +223,43 @@ def graft_catalog() -> dict[str, Graft]:
             ["events"],
             ["user_id"],
             ["user_id", "ts", "event_id"],
+            appendable=True,
         ),
         # derived: int8 embedding codes quantized ONCE at layout-build
         # time (the ingest-time artifact an ANN corpus stores — search
         # consumes the codes, never re-quantizes the floats).
         "graft_b_embeddings_q8": Graft(
-            EMBEDDINGS_Q8_SQL, EMBEDDINGS_Q8_SQL, ["embeddings"], ["vec_id"]
+            EMBEDDINGS_Q8_SQL, EMBEDDINGS_Q8_SQL, ["embeddings"], ["vec_id"],
+            appendable=True,
+        ),
+        # derived: ingest-time rollups (materialized-view analogue of
+        # events_parsed) — the aggregate grains whose data-sized first
+        # pass was the whole query-time cost of events_hourly /
+        # distinct_counts. Cents sums are fixed-point (order-free), the
+        # count grain folds exactly, so both are exact, not sketches.
+        "graft_b_events_hourly": Graft(
+            EVENTS_HOURLY_ROLLUP_SQL, EVENTS_HOURLY_ROLLUP_SQL, ["events"],
+            ["h"], ["h", "event_type"],
+            # partial-aggregate append: the consumer re-merges the grain
+            appendable=True,
+        ),
+        "graft_b_orders_prio_cust": Graft(
+            ORDERS_PRIO_CUST_SQL, ORDERS_PRIO_CUST_SQL, ["orders"],
+            ["o_orderpriority"], ["o_orderpriority", "o_custkey"],
+            appendable=True,
+        ),
+        # derived (Python builders — the fit is a driver-side Lloyd's
+        # loop SQL can't express): PQ codebooks (the trained model,
+        # M·K rows) and per-vector codes, written at layout-build time.
+        # Codebooks MUST precede codes in this dict: the codes builder
+        # reuses the fit the codebooks builder cached for this build.
+        "graft_b_pq_codebooks": Graft(
+            PQ_CODEBOOKS_IDENTITY, None, ["embeddings"], ["subspace"],
+            ["subspace", "cid"], builder=_build_pq_codebooks,
+        ),
+        "graft_b_pq_codes": Graft(
+            PQ_CODES_IDENTITY, None, ["embeddings"], ["vec_id"],
+            builder=_build_pq_codes,
         ),
     }
 
@@ -227,10 +300,167 @@ def build_graft_layout(
     try:
         for name in names:
             g = catalog[name]
-            df = spark.table(g.sources[0]) if g.sql is None else spark.sql(g.sql)
+            if g.sql is not None:
+                df = spark.sql(g.sql)
+            elif g.builder is not None:
+                df = g.builder(spark, sf_dir)
+            else:
+                df = spark.table(g.sources[0])
             fp = graft_fingerprint(sf_dir, g.identity, g.sources)
-            write_bucketed(df, name, n_buckets, g.bucket_cols, g.sort_cols, fingerprint=fp)
+            write_bucketed(
+                df, name, n_buckets, g.bucket_cols, g.sort_cols,
+                fingerprint=fp, src_sig=source_signature(sf_dir, g.sources),
+            )
             out[name] = fp
+    finally:
+        for t in sorted(src_tables):
+            spark.catalog.dropTempView(t)
+    return out
+
+
+def _stored_prop(spark: SparkSession, table: str, prop: str) -> str | None:
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES `{table}` ('{prop}')").collect()
+        val = rows[0]["value"] if rows else None
+        if val is None or "does not have property" in str(val):
+            return None
+        return val
+    except Exception:  # noqa: BLE001 — catalog access is best-effort
+        return None
+
+
+def _table_bucket_count(spark: SparkSession, table: str) -> int | None:
+    try:
+        for r in spark.sql(f"DESCRIBE FORMATTED `{table}`").collect():
+            if (r["col_name"] or "").strip() == "Num Buckets":
+                return int(r["data_type"].strip())
+    except Exception:  # noqa: BLE001
+        return None
+    return None
+
+
+def _append_delta(stored_sig: str, current_sig: str, fact: str) -> list[str] | None:
+    """Filenames newly appended under ``{fact}.parquet/`` between the two
+    signatures, or None when the change is not a pure fact append (an
+    existing file mutated/removed, a non-fact source changed, or the
+    fact is single-file — all force a rebuild)."""
+    stored = set(stored_sig.split(";")) if stored_sig else set()
+    current = set(current_sig.split(";")) if current_sig else set()
+    if not stored or not stored <= current:
+        return None
+    extras = current - stored
+    if not extras:
+        return None  # same file set but different fingerprint: rebuild
+    prefix = f"{fact}/"
+    new_files: list[str] = []
+    for e in sorted(extras):
+        name = e.rsplit(":", 2)[0]
+        if not name.startswith(prefix):
+            return None
+        new_files.append(name[len(prefix):])
+    return new_files
+
+
+def refresh_graft_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int | None = None,
+    tables: list[str] | None = None,
+) -> dict[str, str]:
+    """Incrementally maintain the graft layout after source changes —
+    the 100 TB operating mode (VERDICT r11 #3): a production deployment
+    ingests append-only batches, and a full layout rebuild per batch is
+    the one scale-killer a fingerprint-guarded cache leaves open.
+
+    Per graft table, returns one of:
+    - ``"current"``  — stored fingerprint already matches; nothing done.
+    - ``"appended"`` — the only source change was NEW files under the
+      fact table's directory and the derivation is append-decomposable
+      (``Graft.appendable``): the derivation runs over ONLY the new
+      slice and its rows are appended into the existing buckets (same
+      Murmur3 bucket spec, so co-location is preserved; existing bucket
+      files are NOT rewritten). Buckets gain a second file, which drops
+      the sorted-single-file scan fast path until a compaction rebuild —
+      plans stay exchange-free, Spark adds a local sort where needed.
+    - ``"rebuilt"``  — any other drift (mutated/removed files, non-fact
+      source change, non-appendable derivation): full rewrite, exactly
+      ``build_graft_layout``.
+
+    The per-file manifest diffed against is the ``graft.src_sig`` table
+    property every write stores; the fingerprint property is updated to
+    the new source set afterwards, so serving stays all-or-nothing."""
+    import os
+
+    catalog = graft_catalog()
+    if n_buckets is None:
+        n_buckets = (
+            int(os.environ.get("SPARK_GRAFT_BUCKETS", "0"))
+            or spark.sparkContext.defaultParallelism
+        )
+    names = list(catalog) if tables is None else list(tables)
+    src_tables: set[str] = set()
+    for name in names:
+        src_tables.update(catalog[name].sources)
+
+    def _register_full(t: str) -> None:
+        spark.read.parquet(
+            os.path.join(sf_dir, f"{t}.parquet")
+        ).createOrReplaceTempView(t)
+
+    for t in sorted(src_tables):
+        _register_full(t)
+    out: dict[str, str] = {}
+    try:
+        for name in names:
+            g = catalog[name]
+            fp = graft_fingerprint(sf_dir, g.identity, g.sources)
+            if _stored_prop(spark, name, FINGERPRINT_PROP) == fp:
+                out[name] = "current"
+                continue
+            cur_sig = source_signature(sf_dir, g.sources)
+            stored_sig = _stored_prop(spark, name, SRC_SIG_PROP)
+            new_files = (
+                _append_delta(stored_sig, cur_sig, g.fact)
+                if g.appendable and stored_sig and spark.catalog.tableExists(name)
+                else None
+            )
+            existing_buckets = _table_bucket_count(spark, name)
+            if new_files is not None and existing_buckets:
+                paths = [
+                    os.path.join(sf_dir, f"{g.fact}.parquet", f) for f in new_files
+                ]
+                # shadow the fact view with ONLY the new slice: the
+                # derivation over it is exactly the rows to append
+                spark.read.parquet(*paths).createOrReplaceTempView(g.fact)
+                try:
+                    df = spark.sql(g.sql) if g.sql is not None else spark.table(g.fact)
+                    (
+                        df.repartition(existing_buckets, *g.bucket_cols)
+                        .write.mode("append")
+                        .format("parquet")
+                        .bucketBy(existing_buckets, *g.bucket_cols)
+                        .sortBy(*(g.sort_cols or g.bucket_cols))
+                        .saveAsTable(name)
+                    )
+                finally:
+                    _register_full(g.fact)
+                spark.sql(
+                    f"ALTER TABLE `{name}` SET TBLPROPERTIES "
+                    f"('{FINGERPRINT_PROP}'='{fp}', '{SRC_SIG_PROP}'='{cur_sig}')"
+                )
+                out[name] = "appended"
+                continue
+            if g.sql is not None:
+                df = spark.sql(g.sql)
+            elif g.builder is not None:
+                df = g.builder(spark, sf_dir)
+            else:
+                df = spark.table(g.sources[0])
+            write_bucketed(
+                df, name, n_buckets, g.bucket_cols, g.sort_cols,
+                fingerprint=fp, src_sig=cur_sig,
+            )
+            out[name] = "rebuilt"
     finally:
         for t in sorted(src_tables):
             spark.catalog.dropTempView(t)
@@ -244,6 +474,7 @@ def write_bucketed(
     bucket_cols: list[str] | tuple,
     sort_cols: list[str] | tuple | None = None,
     fingerprint: str | None = None,
+    src_sig: str | None = None,
 ) -> None:
     """Write ``df`` as a bucketed (and optionally per-bucket sorted)
     catalog table. Joins/aggregations on ``bucket_cols`` against any
@@ -279,8 +510,12 @@ def write_bucketed(
         .sortBy(*sort_cols)
     )
     writer.saveAsTable(table)
+    props = []
     if fingerprint is not None:
+        props.append(f"'{FINGERPRINT_PROP}'='{fingerprint}'")
+    if src_sig is not None:
+        props.append(f"'{SRC_SIG_PROP}'='{src_sig}'")
+    if props:
         spark.sql(
-            f"ALTER TABLE `{table}` SET TBLPROPERTIES "
-            f"('{FINGERPRINT_PROP}'='{fingerprint}')"
+            f"ALTER TABLE `{table}` SET TBLPROPERTIES ({', '.join(props)})"
         )
