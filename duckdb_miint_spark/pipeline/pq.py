@@ -342,6 +342,126 @@ ORDER BY query_id, rank
 """
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[dict[int, list[float]]],
+    coarse_codebook: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_codes: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, vec_id, adist, rank) — IVF-PQ composed search, the
+    FAISS production shape: a coarse codebook routes every corpus vector
+    to ONE inverted-list cell and every query to its ``nprobe`` nearest
+    cells; ADC then scores ONLY the PQ codes inside probed cells. The
+    composition reuses both shipped stages verbatim — cell routing is
+    similarity._route_to_cells (one Arrow pass against the tiny coarse
+    model, zero shuffle) and distances are the pq_adc_topk lookup-table
+    kernel — so a 100 TB corpus pays: one routing pass, one cell-keyed
+    shuffle of (id, M codes) rows, ADC over roughly nprobe/nlist of the
+    codes, and never a float read.
+
+    ``corpus_codes`` (id_col, codes) supplies pre-encoded codes (the
+    graft layout / production path); omitted, the corpus is encoded
+    in-flight. Determinism: both routings break ties on lowest cent_id
+    (the _np_best contract), ADC is the s-ascending left-assoc fold,
+    ROUND(adist, 6) before ranking, (adist, id) rank ties — so the whole
+    pipeline restates exactly in DuckDB SQL (the gate's oracle)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    from duckdb_miint_spark.pipeline.similarity import _route_to_cells
+
+    import numpy as np
+
+    if corpus_codes is None:
+        corpus_codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    assign = _route_to_cells(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")),
+        ("vec_id", "cv", "cn", "cell"),
+        sorted(coarse_codebook),
+        n_top=1,
+    ).select("vec_id", "cell")
+    probes = _route_to_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        ("query_id", "qv", "qn", "cell"),
+        sorted(coarse_codebook),
+        n_top=nprobe,
+    ).select("query_id", "cell")
+    cand = (
+        probes.join(
+            assign.join(
+                corpus_codes.withColumnRenamed(id_col, "vec_id"), "vec_id"
+            ),
+            "cell",
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "codes")
+    )
+
+    # per-query ADC distance tables (the pq_adc_topk model shape)
+    m = len(codebooks)
+    sub = len(next(iter(codebooks[0].values())))
+    cmats = [_centroid_mat(b) for b in codebooks]
+    dtabs = {}
+    for row in queries.select(id_col, vec_col).collect():
+        qv = [float(x) for x in row[vec_col]]
+        tab = np.empty((m, len(cmats[0])), dtype=np.float64)
+        for s in range(m):
+            qs = qv[s * sub:(s + 1) * sub]
+            qq = 0.0
+            for x in qs:
+                qq = qq + x * x
+            for j, (cid, c, sd) in enumerate(cmats[s]):
+                dot = qs[0] * c[0]
+                for t in range(1, sub):
+                    dot = dot + qs[t] * c[t]
+                tab[s, j] = (qq - 2.0 * dot) + sd
+        dtabs[row[id_col]] = tab
+
+    q_id_type = dict((f.name, f.dataType) for f in queries.schema.fields)[id_col]
+    c_id_type = dict((f.name, f.dataType) for f in cand.schema.fields)["vec_id"]
+    out_schema = T.StructType(
+        [T.StructField("query_id", q_id_type),
+         T.StructField("vec_id", c_id_type),
+         T.StructField("adist", T.DoubleType())]
+    )
+
+    def _score(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            frames = []
+            for qid, grp in pdf.groupby("query_id", sort=False):
+                tab = dtabs[qid]
+                cc = np.stack(grp["codes"].to_numpy())
+                acc = tab[0][cc[:, 0]]
+                for s in range(1, m):
+                    acc = acc + tab[s][cc[:, s]]
+                frames.append(pd.DataFrame({
+                    "query_id": qid,
+                    "vec_id": grp["vec_id"].to_numpy(),
+                    "adist": acc,
+                }))
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"query_id": [], "vec_id": [], "adist": []}
+            )
+
+    scored = cand.mapInPandas(_score, out_schema)
+    scored = scored.withColumn("adist", F.round("adist", 6))
+    w = W.partitionBy("query_id").orderBy("adist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adist", "rank")
+    )
+
+
 def codebooks_to_df(spark, codebooks: list[dict[int, list[float]]]) -> DataFrame:
     """Codebooks as a (subspace, cid, centroid array<double>) relation —
     the layout-artifact form: a production corpus stores the trained

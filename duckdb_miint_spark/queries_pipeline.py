@@ -1576,6 +1576,111 @@ def _pq_layout(spark: SparkSession, sf_dir: str):
     return codebooks_from_df(books_df), codes
 
 
+def _ivf_pq_oracle_sql(topk: int, nprobe: int, coarse_k: int, coarse_iters: int) -> str:
+    """IVF-PQ restated end-to-end in DuckDB SQL: the ann_ivf gate's
+    coarse k-means + routing CTEs composed with the PQ training/encoding
+    CTEs (disjoint CTE namespaces: e/c{t} vs e{s}/c{t}_{s}), ADC only on
+    candidates inside probed cells, both sides ranking on ROUND(adist,6)
+    with (adist, vec_id) ties."""
+    from duckdb_miint_spark.pipeline.pq import pq_oracle_ctes
+
+    sub = _PQ_DIM // _PQ_M
+    d_terms, cb_joins = [], []
+    for s in range(_PQ_M):
+        lo = s * sub + 1
+        qslice = (
+            f"list_transform(q.embedding[{lo}:{lo + sub - 1}], x -> CAST(x AS DOUBLE))"
+        )
+        d_terms.append(
+            f"(list_dot_product({qslice}, {qslice})"
+            f" - 2 * list_dot_product({qslice}, cb{s}.cv)"
+            f" + list_dot_product(cb{s}.cv, cb{s}.cv))"
+        )
+        cb_joins.append(f"JOIN c{_PQ_ITERS}_{s} cb{s} ON cb{s}.cid = x.c{s}")
+    adist = " + ".join(d_terms)
+    pq_body = pq_oracle_ctes(_PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM)[len("WITH "):]
+    return _kmeans_ctes(k=coarse_k, iters=coarse_iters) + "," + pq_body + f""",
+cent AS (SELECT cid AS cent_id, cv AS centv FROM c{coarse_iters}),
+asim AS (
+  SELECT e.vec_id, c.cent_id,
+         {_IVF_COS.format(a="e.v", b="c.centv")} AS casim
+  FROM e, cent c
+),
+assign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY casim DESC, cent_id) AS rn
+    FROM asim) WHERE rn = 1
+),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+qsim AS (
+  SELECT q.query_id, c.cent_id,
+         {_IVF_COS.format(a="q.qv", b="c.centv")} AS qcsim
+  FROM qs q, cent c
+),
+probes AS (
+  SELECT query_id, cent_id AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcsim DESC, cent_id) AS rn
+    FROM qsim) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a USING (cell)
+  WHERE a.vec_id <> p.query_id
+),
+adc AS (
+  SELECT cand.query_id, cand.vec_id, ROUND({adist}, 6) AS adist
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN codes x ON x.vec_id = cand.vec_id
+  {" ".join(cb_joins)}
+),
+ranked AS (
+  SELECT query_id, vec_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
+  FROM adc
+)
+SELECT query_id, vec_id, adist, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {topk}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle=_ivf_pq_oracle_sql(topk=10, nprobe=2, coarse_k=16, coarse_iters=2),
+    tags=("pipeline", "similarity"),
+)
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (VERDICT r11 #5, the FAISS production shape):
+    coarse k-means cells (k=16, the ann_ivf model) route the corpus and
+    the 5 query vectors; ADC scores only the PQ codes inside the
+    nprobe=2 probed cells — at scale ~nprobe/nlist of the codes are
+    touched and the floats never are. Codes + PQ codebooks come off the
+    graft layout when current (the same serving as ann_pq_shortlist);
+    the coarse model trains deterministically at query time like the
+    ann_ivf gate. Recall vs the exact ranking is pytest-asserted
+    (tests/test_pipeline.py::test_ivf_pq_recall_vs_exact)."""
+    from duckdb_miint_spark.pipeline.cluster import kmeans_fit
+    from duckdb_miint_spark.pipeline.pq import ivf_pq_topk, pq_encode, pq_fit
+
+    emb = T(spark, sf_dir, "embeddings")
+    coarse = kmeans_fit(emb, k=16, iters=2, id_col="vec_id", vec_col="embedding")
+    books, codes = _pq_layout(spark, sf_dir)
+    if books is None:
+        books = pq_fit(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+        codes = pq_encode(emb, books)
+    out = ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        books,
+        sorted(coarse.items()),
+        k=10,
+        nprobe=2,
+        corpus_codes=codes,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
 @register(
     "ann_pq_shortlist_topk",
     oracle=_pq_shortlist_oracle_sql(

@@ -454,29 +454,42 @@ def q_copy_newick_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "copy_bam_roundtrip",
     oracle="""
 SELECT * FROM (VALUES
-  ('foo-1', 0, 'G1234', CAST(2 AS BIGINT), CAST(12 AS BIGINT), '10M'),
-  ('foo-2', 0, 'G1234', CAST(2 AS BIGINT), CAST(12 AS BIGINT), '10M'),
-  ('foo-3', 99, 'G000144735', CAST(76020 AS BIGINT), CAST(76170 AS BIGINT), '150M'),
-  ('foo-3', 147, 'G000144735', CAST(76146 AS BIGINT), CAST(76296 AS BIGINT), '150M')
-) AS t(read_id, flags, reference, position, stop_position, cigar)
+  ('foo-1', 0, 'G1234', CAST(2 AS BIGINT), CAST(12 AS BIGINT), '10M', true),
+  ('foo-2', 0, 'G1234', CAST(2 AS BIGINT), CAST(12 AS BIGINT), '10M', true),
+  ('foo-3', 99, 'G000144735', CAST(76020 AS BIGINT), CAST(76170 AS BIGINT), '150M', true),
+  ('foo-3', 147, 'G000144735', CAST(76146 AS BIGINT), CAST(76296 AS BIGINT), '150M', true)
+) AS t(read_id, flags, reference, position, stop_position, cigar, was_distributed)
 ORDER BY read_id, flags
 """,
     tags=("sink", "bam"),
 )
 def q_copy_bam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BAM sink (pure-Python BGZF) → BAM reader round-trip
-    (copy_bam.test shape)."""
+    (copy_bam.test shape). Writes through the DISTRIBUTED concatenated
+    member-run path over a multi-partition source and pins
+    was_distributed into the gate (VERDICT r11 #4); equality of the two
+    paths' read-back is pytest-asserted at volume
+    (tests/test_sinks.py::test_copy_bam_distributed_equals_single)."""
     import tempfile
 
     from duckdb_miint_spark.sinks import copy_bam
 
     src = read_alignments(spark, f"{DATA}/sam/foo_has_header.sam")
     out = os.path.join(tempfile.gettempdir(), "spark_graft_rt.bam")
-    copy_bam(src, out, reference_lengths=[("G1234", 1000), ("G000144735", 100000)])
+    was_distributed = copy_bam(
+        src.repartition(2),
+        out,
+        reference_lengths=[("G1234", 1000), ("G000144735", 100000)],
+        distributed=True,
+    )
     back = read_alignments(spark, out)
-    return back.select(
-        "read_id", "flags", "reference", "position", "stop_position", "cigar"
-    ).orderBy("read_id", "flags")
+    return (
+        back.select(
+            "read_id", "flags", "reference", "position", "stop_position", "cigar"
+        )
+        .withColumn("was_distributed", F.lit(bool(was_distributed)))
+        .orderBy("read_id", "flags")
+    )
 
 
 @register(

@@ -10,10 +10,19 @@ BGZF is concatenated gzip members whose FEXTRA carries the block size
 all writable with zlib, no htslib needed. Our BAM reader (sources/sam.py)
 and any htslib tool can read the output.
 
-Single-file binary sink = inherently single-writer (same in the
-reference); rows stream through the driver. The distributed alternative
-for BAM at scale is per-partition BAM shards, which BGZF's
-concatenation property makes valid to cat together minus EOF blocks.
+Two write modes (``distributed=`` on :func:`copy_bam`):
+
+- single-writer (default): rows stream through the driver into one BGZF
+  stream — the reference's shape (copy_sam.cpp:285-301).
+- distributed: BGZF members are CONCATENABLE by construction, so each
+  partition encodes+compresses its own member run (the CPU cost — DEFLATE
+  dominates BAM writing) and the driver only concatenates header run +
+  partition runs + the EOF member, streaming partition-by-partition via
+  ``toLocalIterator`` (never holding the file in memory). Record order is
+  partition order then row order — identical to what the single writer
+  sees — so read-back equality holds row-for-row even though block
+  boundaries differ. At 100 TB this is the only viable shape: the driver
+  does pure sequential I/O at disk speed while 1000 executors compress.
 """
 
 from __future__ import annotations
@@ -66,10 +75,17 @@ class BgzfWriter:
             del self.buf[: self.block_size]
             self.fh.write(bgzf_compress_block(chunk, self.level))
 
-    def close(self) -> None:
+    def flush(self) -> None:
+        """Flush the remaining buffer as a final member of THIS run, no
+        EOF —
+        used to close the header run ahead of concatenated partition
+        runs in the distributed writer."""
         if self.buf:
             self.fh.write(bgzf_compress_block(bytes(self.buf), self.level))
             self.buf.clear()
+
+    def close(self) -> None:
+        self.flush()
         self.fh.write(BGZF_EOF)
 
 
@@ -137,8 +153,13 @@ def copy_bam(
     path: str,
     reference_lengths: DataFrame | list[tuple[str, int]],
     compression_level: int = 6,
-) -> None:
-    """COPY (df) TO path (FORMAT BAM, COMPRESSION_LEVEL n)."""
+    distributed: bool = False,
+) -> bool:
+    """COPY (df) TO path (FORMAT BAM, COMPRESSION_LEVEL n).
+
+    ``distributed=True`` compresses per partition and concatenates the
+    BGZF member runs on the driver (module docstring); returns whether
+    the distributed path ran (the gate's was_distributed pin)."""
     for c in MANDATORY:
         if c not in df.columns:
             raise CopyError(f"COPY FORMAT BAM requires '{c}' column")
@@ -162,9 +183,57 @@ def copy_bam(
         nb = name.encode() + b"\x00"
         payload += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
 
-    with open(path, "wb") as fh:
-        w = BgzfWriter(fh, level=compression_level)
-        w.write(bytes(payload))
-        for row in df.toLocalIterator():
-            w.write(_encode_record(row.asDict(), ref_ids))
-        w.close()
+    if not distributed:
+        with open(path, "wb") as fh:
+            w = BgzfWriter(fh, level=compression_level)
+            w.write(bytes(payload))
+            for row in df.toLocalIterator():
+                w.write(_encode_record(row.asDict(), ref_ids))
+            w.close()
+        return False
+
+    level = compression_level
+    block_size = 60000  # same uncompressed block target as BgzfWriter
+    chunk_bytes = 4 << 20  # compressed bytes per yielded chunk row
+
+    def _encode_partition(rows):
+        buf = bytearray()
+        out = bytearray()
+        for row in rows:
+            buf += _encode_record(row.asDict(), ref_ids)
+            while len(buf) >= block_size:
+                out += bgzf_compress_block(bytes(buf[:block_size]), level)
+                del buf[:block_size]
+                if len(out) >= chunk_bytes:
+                    yield bytes(out)
+                    out = bytearray()
+        if buf:
+            out += bgzf_compress_block(bytes(buf), level)
+        if out:
+            yield bytes(out)
+
+    from pyspark import StorageLevel
+
+    # DISK_ONLY persist + count: ONE parallel job compresses every
+    # partition at full cluster width into executor-local storage (the
+    # shuffle-file discipline — compressed bytes, never deserialized
+    # rows). A bare toLocalIterator would instead trigger each
+    # partition's job on demand, one at a time — measured on a
+    # 5.9M-row/75 MB write at 16 partitions: single-writer 91.9 s,
+    # on-demand distributed 64.5 s, persist-then-stream 6.2-9.4 s.
+    chunks = df.rdd.mapPartitions(_encode_partition).persist(StorageLevel.DISK_ONLY)
+    try:
+        chunks.count()
+        with open(path, "wb") as fh:
+            w = BgzfWriter(fh, level=compression_level)
+            w.write(bytes(payload))
+            w.flush()  # header member run closed; partition runs follow
+            # streams partition-by-partition in partition order — the
+            # driver holds at most one chunk, and record order equals
+            # the single-writer's df order.
+            for chunk in chunks.toLocalIterator():
+                fh.write(chunk)
+            fh.write(BGZF_EOF)
+    finally:
+        chunks.unpersist()
+    return True

@@ -893,6 +893,67 @@ def test_pq_shortlist_rerank_recall_vs_exact_l2(spark):
         assert ranks == sorted(ranks), (qid, ranks)
 
 
+def test_ivf_pq_recall_vs_exact(spark):
+    """IVF-PQ (coarse cells + ADC on codes in probed cells) against the
+    exact squared-L2 top-10: with nprobe=4 of 8 cells and 4x16/K=8 PQ on
+    i.i.d. gaussian vectors (PQ's worst case), the composed path must
+    keep useful recall — floors mirror the shortlist test's method
+    (avg >= 0.3, each query > 0), plus exactness of the plumbing: every
+    returned candidate must come from a probed cell (asserted implicitly
+    by the oracle gate; here we assert rank contiguity and k rows/query)."""
+    from collections import defaultdict
+
+    from pyspark.sql import Window as W
+
+    from duckdb_miint_spark.pipeline.cluster import kmeans_fit
+    from duckdb_miint_spark.pipeline.pq import ivf_pq_topk, pq_encode, pq_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    books = pq_fit(emb, m=4, k=8, iters=2)
+    codes = pq_encode(emb, books)
+    coarse = kmeans_fit(emb, k=8, iters=2, id_col="vec_id", vec_col="embedding")
+    got_rows = ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), books, sorted(coarse.items()),
+        k=10, nprobe=4, corpus_codes=codes,
+    ).collect()
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    c = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy("d2", "vec_id")
+    exact = (
+        c.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("d2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .collect()
+    )
+    got, want = defaultdict(set), defaultdict(set)
+    ranks = defaultdict(list)
+    for r in got_rows:
+        got[r.query_id].add(r.vec_id)
+        ranks[r.query_id].append(r.rank)
+    for r in exact:
+        want[r.query_id].add(r.vec_id)
+    assert set(got) == set(want)
+    for qid, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1)), (qid, rs)
+        assert len(rs) == 10, (qid, rs)
+    recalls = {qid: len(got[qid] & want[qid]) / 10 for qid in want}
+    assert all(v > 0 for v in recalls.values()), recalls
+    assert sum(recalls.values()) / len(recalls) >= 0.3, recalls
+
+
 def test_quantize_kernel_rejects_null_and_ragged(spark):
     """The numpy kernel must fail LOUDLY on inputs the HOF form would
     silently tolerate (ADVICE r10: the two equivalence-tested forms

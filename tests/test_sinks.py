@@ -8,6 +8,7 @@ import gzip
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from duckdb_miint_spark.sinks import copy_fasta, copy_fastq, copy_sam
 from duckdb_miint_spark.sinks.fastx_sink import CopyError
@@ -274,6 +275,54 @@ def test_bam_matches_reference_bam(spark, tmp_path):
     ours = read_alignments(spark, out)
     theirs = read_alignments(spark, f"{DATA}/sam/foo_has_header.bam")
     assert sorted(map(tuple, ours.collect())) == sorted(map(tuple, theirs.collect()))
+
+
+def test_copy_bam_distributed_equals_single(spark, tmp_path):
+    """The distributed writer (per-partition BGZF member runs, driver
+    concatenation) must produce a file whose read-back EQUALS the
+    single-writer output row-for-row — same df, deterministic range
+    partitioning, so both paths see the identical record sequence —
+    at a volume that spans many blocks and partitions (VERDICT r11 #4)."""
+    from duckdb_miint_spark.queries_domain import ALN_SQL
+    from duckdb_miint_spark.sinks import copy_bam
+
+    spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
+    try:
+        aln = (
+            spark.sql(ALN_SQL)
+            .filter(F.col("position").isNotNull())
+            .withColumn("mapq", (F.col("flags") % 60).cast("int"))
+            .withColumn(
+                "cigar",
+                F.concat(
+                    (
+                        F.greatest("stop_position", "position")
+                        - F.least("stop_position", "position")
+                        + 1
+                    ).cast("string"),
+                    F.lit("M"),
+                ),
+            )
+            .withColumn("mate_reference", F.lit("*"))
+            .withColumn("mate_position", F.lit(0).cast("long"))
+            .withColumn("template_length", F.lit(0).cast("long"))
+            .repartitionByRange(8, "read_id", "flags")
+        )
+        refs = [(f"contig_{i}", 200_000) for i in range(50)]
+        single = str(tmp_path / "single.bam")
+        dist = str(tmp_path / "dist.bam")
+        assert copy_bam(aln, single, reference_lengths=refs) is False
+        assert copy_bam(aln, dist, reference_lengths=refs, distributed=True) is True
+        a = read_alignments(spark, single)
+        b = read_alignments(spark, dist)
+        rows_a = [tuple(r) for r in a.collect()]
+        rows_b = [tuple(r) for r in b.collect()]
+        assert len(rows_a) > 50_000  # spans many BGZF blocks + partitions
+        assert rows_a == rows_b  # same order, same content
+    finally:
+        spark.catalog.dropTempView("lineitem")
 
 
 def test_bam_errors(spark, tmp_path):
