@@ -201,6 +201,19 @@ def main() -> None:
     size_session_for_input(spark, dir_parquet_bytes(sf_dir))
 
     con = duckdb.connect()
+    # DuckDB sizes its default memory_limit to 80% of PHYSICAL RAM with
+    # no awareness of the co-resident Spark driver JVM — at sf10 the PQ
+    # oracles then malloc past what the OS actually has left and die
+    # with bad_alloc (round-12 failure: ann_pq_adc/shortlist, small
+    # allocations failing with 120 GB "available" at process start but a
+    # 30+ GB JVM RSS mid-sweep). Cap the oracle at a ceiling that always
+    # leaves the JVM its share, and give DuckDB a spill directory so
+    # capped queries complete instead of erroring.
+    duck_mem = os.environ.get("DUCK_MEM_LIMIT", "40GiB")
+    duck_tmp = os.path.join(REPO, ".bench", "duck_tmp")
+    os.makedirs(duck_tmp, exist_ok=True)
+    con.execute(f"SET memory_limit='{duck_mem}'")
+    con.execute(f"SET temp_directory='{duck_tmp}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
