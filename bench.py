@@ -181,12 +181,30 @@ def resolve_sf_dir() -> tuple[str, int]:
 
 
 def duck_connection(sf_dir: str):
-    """A DuckDB connection with the bench tables as views, or None."""
+    """A DuckDB connection with the bench tables as views, or None.
+
+    The connection is capped (DUCK_MEM_LIMIT, default 40GiB) with a
+    spill temp_directory: DuckDB's default memory_limit is 80% of
+    PHYSICAL RAM and ignores the co-resident Spark driver JVM, so the
+    heavy PQ-training oracles hit system bad_alloc mid-bench (round-12
+    failure — same fix as tools/oracle_at_scale.py). Capped, they spill
+    and complete; the cap is far above any oracle's honest working set
+    at bench scale."""
     try:
         import duckdb
     except ImportError:
         return None
     con = duckdb.connect()
+    duck_mem = os.environ.get("DUCK_MEM_LIMIT", "40GiB")
+    duck_tmp = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench", "duck_tmp"
+    )
+    try:
+        os.makedirs(duck_tmp, exist_ok=True)
+        con.execute(f"SET memory_limit='{duck_mem}'")
+        con.execute(f"SET temp_directory='{duck_tmp}'")
+    except Exception as exc:  # noqa: BLE001 — cap is protective, not load-bearing
+        print(f"# duck memory cap not applied: {exc}", file=sys.stderr)
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
