@@ -30,7 +30,8 @@ ingest-derived tables a production 100 TB deployment maintains, with the
 one-time, fingerprint-amortized layout cost reported as
 bucket_write_sec. "plain" re-measures the layout-promoted queries
 (BUCKETED_QUERIES: q3/q5/having/woltka/json_event_props/window_running/
-compress_intervals/genome_coverage/ann_pq_shortlist) on the plain layout — what they cost when the engine re-derives the
+compress_intervals/genome_coverage/ann_pq_shortlist/distinct_counts/
+events_hourly/q1/token_stats/explode_word_counts) on the plain layout — what they cost when the engine re-derives the
 layout's content per query — with the same interleaved protocol, and
 checks FULL content parity between layouts (a mismatch raises
 BucketedParityError and fails the bench). The DuckDB side always runs
@@ -269,6 +270,9 @@ BUCKETED_QUERIES = [
     "ann_pq_shortlist_topk",
     "distinct_counts",
     "events_hourly",
+    "q1_pricing_summary",
+    "token_stats",
+    "explode_word_counts",
 ]
 
 

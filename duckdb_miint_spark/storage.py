@@ -126,7 +126,10 @@ class Graft:
     whenever the builder's output could change.
 
     ``appendable`` marks derivations that are APPEND-DECOMPOSABLE over
-    their fact table (``fact``, default ``sources[0]``): either row-wise
+    their fact table (``fact``, default ``sources[0]``; an appendable
+    ``builder`` graft gets its builder invoked over the shadowed
+    new-slice view at refresh, so row-wise builder derivations like
+    tokenize-at-ingest append in place too): either row-wise
     (f(old ∪ new) = f(old) ∪ f(new) — copies, parse-at-ingest, per-row
     quantization, per-fact-row dim joins) or a partial aggregate whose
     registered consumers re-merge the grain (the rollup grafts;
@@ -156,9 +159,11 @@ def graft_catalog() -> dict[str, Graft]:
     derivation SQL strings live next to the queries they accelerate)."""
     from duckdb_miint_spark.queries_domain import ALN_RANKED_SQL, ALN_SQL
     from duckdb_miint_spark.queries_pipeline import (
+        DOC_TOKENS_IDENTITY,
         EMBEDDINGS_Q8_SQL,
         PQ_CODEBOOKS_IDENTITY,
         PQ_CODES_IDENTITY,
+        _build_doc_tokens,
         _build_pq_codebooks,
         _build_pq_codes,
     )
@@ -166,8 +171,10 @@ def graft_catalog() -> dict[str, Graft]:
         EVENTS_HOURLY_ROLLUP_SQL,
         EVENTS_PARSED_SQL,
         LINEITEM_CNAT_SQL,
+        LINEITEM_PRICING_SQL,
         ORDERS_CNAT_SQL,
         ORDERS_PRIO_CUST_SQL,
+        WORD_COUNTS_SQL,
     )
 
     return {
@@ -247,6 +254,30 @@ def graft_catalog() -> dict[str, Graft]:
             ORDERS_PRIO_CUST_SQL, ORDERS_PRIO_CUST_SQL, ["orders"],
             ["o_orderpriority"], ["o_orderpriority", "o_custkey"],
             appendable=True,
+        ),
+        # q1's pricing grain: exact shipdate keeps any date predicate
+        # re-mergeable; the grain is SF-invariant (~distinct dates × 6)
+        "graft_b_lineitem_pricing": Graft(
+            LINEITEM_PRICING_SQL, LINEITEM_PRICING_SQL, ["lineitem"],
+            ["l_returnflag"], ["l_returnflag", "l_linestatus", "l_shipdate"],
+            appendable=True,
+        ),
+        # vocabulary-grain word frequencies (explode_word_counts):
+        # the token-instance explode is paid here, queries re-merge
+        "graft_b_word_counts": Graft(
+            WORD_COUNTS_SQL, WORD_COUNTS_SQL, ["documents"],
+            ["word"], ["word"],
+            appendable=True,
+        ),
+        # tokenize-at-ingest: per-document token stats via the SAME
+        # pipeline.text.token_stats derivation the plain path runs (a
+        # Python builder — its RE2 pandas UDF has no bit-safe JVM-SQL
+        # restatement). Row-wise, so appends refresh in place; the
+        # builder reads the `documents` temp view, which the append
+        # branch shadows with just the new slice.
+        "graft_b_doc_tokens": Graft(
+            DOC_TOKENS_IDENTITY, None, ["documents"], ["doc_id"], ["doc_id"],
+            builder=_build_doc_tokens, appendable=True,
         ),
         # derived (Python builders — the fit is a driver-side Lloyd's
         # loop SQL can't express): PQ codebooks (the trained model,
@@ -433,7 +464,15 @@ def refresh_graft_layout(
                 # derivation over it is exactly the rows to append
                 spark.read.parquet(*paths).createOrReplaceTempView(g.fact)
                 try:
-                    df = spark.sql(g.sql) if g.sql is not None else spark.table(g.fact)
+                    # appendable builder grafts (row-wise derivations like
+                    # tokenize-at-ingest) run their builder over the
+                    # shadowed new-slice view, same as the SQL grafts
+                    if g.sql is not None:
+                        df = spark.sql(g.sql)
+                    elif g.builder is not None:
+                        df = g.builder(spark, sf_dir)
+                    else:
+                        df = spark.table(g.fact)
                     (
                         df.repartition(existing_buckets, *g.bucket_cols)
                         .write.mode("append")

@@ -164,6 +164,9 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
         "ann_quantized_topk",
         "compress_intervals_flat",
         "genome_coverage",
+        "q1_pricing_summary",
+        "explode_word_counts",
+        "token_stats",
     )
     plain = {q: (hash_exchanges(q), result(q)) for q in queries}
 
@@ -184,8 +187,12 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
         # the output ORDER BY's range partitioning, which is not a hash
         # exchange), genome ->3 but ZERO on the fact side (the two
         # part-sized dim DISTINCTs + the genome_id rollup; the
-        # data-sized dedup exchange is gone) — regressions fail loudly
-        ceilings = dict(zip(queries, (1, 0, 0, 1, 1, 0, 1, 0, 3)))
+        # data-sized dedup exchange is gone), q1/explode/token_stats ->0
+        # (r12 ingest-time rollup + tokenize-at-ingest grafts: the
+        # re-merge groupBys ride the bucket partitioning; token_stats'
+        # final ORDER BY is a range exchange, not hash) — regressions
+        # fail loudly
+        ceilings = dict(zip(queries, (1, 0, 0, 1, 1, 0, 1, 0, 3, 0, 0, 0)))
         for q in queries:
             n = hash_exchanges(q)
             assert n <= ceilings[q], f"{q}: {n} > {ceilings[q]} hash exchanges"

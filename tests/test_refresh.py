@@ -155,6 +155,92 @@ def test_append_refresh_lifecycle(graft_session, tmp_path):
     assert got == _events_hourly_plain(spark, sf)
 
 
+def test_builder_graft_append_refresh(graft_session, tmp_path):
+    """An appendable BUILDER graft (tokenize-at-ingest, r12) must absorb
+    a documents append by running its builder over only the new slice —
+    existing buckets untouched, served stats equal to the plain
+    derivation over the grown corpus — and the word-count ROLLUP graft
+    on the same fact must re-merge exactly (duplicate grain rows from
+    the appended partial counts fold back to the plain answer)."""
+    spark = graft_session
+    from duckdb_miint_spark.pipeline.text import token_stats
+    from duckdb_miint_spark.registry import load_all
+    from duckdb_miint_spark.storage import build_graft_layout, refresh_graft_layout
+
+    tables = ["graft_b_doc_tokens", "graft_b_word_counts"]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for fname in os.listdir(SRC):
+        if not fname.endswith(".parquet"):
+            continue
+        if fname == "documents.parquet":
+            d = sf / "documents.parquet"
+            d.mkdir()
+            shutil.copy2(os.path.join(SRC, fname), d / "part-000.parquet")
+        else:
+            shutil.copy2(os.path.join(SRC, fname), sf / fname)
+    sf = str(sf)
+    try:
+        build_graft_layout(spark, sf, 4, tables=tables)
+        before = {t: _warehouse_files(spark, t) for t in tables}
+
+        # ingest batch: 50 docs re-keyed + re-worded into a fresh range
+        tbl = pq.read_table(os.path.join(sf, "documents.parquet", "part-000.parquet"))
+        batch = tbl.slice(0, 50)
+        cols = {}
+        for name in batch.column_names:
+            col = batch.column(name)
+            if name == "doc_id":
+                col = pc.add(col, 10_000_000)
+            elif name == "text":
+                col = pa.array(
+                    ["new" + (t or "") for t in col.to_pylist()], type=pa.string()
+                )
+            cols[name] = col
+        pq.write_table(
+            pa.table(cols, schema=batch.schema),
+            os.path.join(sf, "documents.parquet", "part-001-new.parquet"),
+        )
+
+        actions = refresh_graft_layout(spark, sf, 4, tables=tables)
+        assert actions == {t: "appended" for t in tables}, actions
+        for t in tables:
+            after = _warehouse_files(spark, t)
+            for rel, sig in before[t].items():
+                assert after.get(rel) == sig, f"{t}: {rel} was rewritten"
+            assert set(after) > set(before[t]), f"{t}: nothing appended"
+
+        reg = load_all()
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        want_tokens = sorted(
+            tuple(r)
+            for r in token_stats(docs)
+            .select("id", "n_ws_tokens", "n_re_tokens", "n_chars_tok", "avg_token_len")
+            .collect()
+        )
+        got_tokens = sorted(
+            tuple(r) for r in reg["token_stats"].spark_fn(spark, sf).collect()
+        )
+        assert got_tokens == want_tokens
+        want_words = sorted(
+            tuple(r)
+            for r in docs.select(F.explode(F.split("text", " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .count()
+            .orderBy(F.desc("count"), "word")
+            .limit(20)
+            .collect()
+        )
+        got_words = sorted(
+            tuple(r) for r in reg["explode_word_counts"].spark_fn(spark, sf).collect()
+        )
+        assert got_words == want_words
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_non_appendable_graft_rebuilds(graft_session, tmp_path):
     """A source change to a non-appendable graft (the PQ model — a refit
     changes every row's codes) must rebuild even when the change is a
