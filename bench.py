@@ -34,8 +34,12 @@ compress_intervals/genome_coverage/ann_pq_shortlist/distinct_counts/
 events_hourly/q1/token_stats/explode_word_counts) on the plain layout — what they cost when the engine re-derives the
 layout's content per query — with the same interleaved protocol, and
 checks FULL content parity between layouts (a mismatch raises
-BucketedParityError and fails the bench). The DuckDB side always runs
-the plain SQL on the plain parquet (the BASELINE.md condition).
+BucketedParityError and fails the bench). The DuckDB side runs the
+plain SQL on the plain parquet (the BASELINE.md condition) — EXCEPT
+queries with a like-for-like serving path (_duck_serve, currently the
+PQ ANN row): there DuckDB also serves from a once-built index (timed as
+duck_index_build_sec), because timing a per-pass model retrain against
+Spark's graft-served plan would overstate the win ~25x.
 SPARK_GRAFT_LAYOUT=plain restores the r8-r10 plain-primary protocol.
 
 Methodology
@@ -276,6 +280,51 @@ BUCKETED_QUERIES = [
 ]
 
 
+def _duck_serve() -> dict:
+    """Like-for-like DuckDB serving paths for queries whose Spark side
+    is graft-served from a materialized index (currently the PQ ANN
+    row). The CORRECTNESS oracle restates train+encode+search end-to-end
+    — right for the differential gate, wrong as a TIMING baseline: no
+    engine retrains a PQ model per query (the first r12 sf2 candidate
+    read 208 s/pass on this row — a ~25x overstatement of the graft
+    win). Here DuckDB gets the same pay-at-ingest trade: ``setup`` DDL
+    materializes the index ONCE (timed, reported as
+    duck_index_build_sec next to Spark's bucket_write_sec) and the
+    timed passes run ``serve`` — equivalence of serve-from-index vs the
+    full oracle is pytest-asserted (tests/test_oracle.py)."""
+    from duckdb_miint_spark.pipeline.pq import (
+        pq_index_setup_sqls,
+        pq_shortlist_serve_sql,
+    )
+    from duckdb_miint_spark.queries_pipeline import _PQ_DIM, _PQ_ITERS, _PQ_K, _PQ_M
+
+    return {
+        "ann_pq_shortlist_topk": {
+            "setup": pq_index_setup_sqls(_PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM),
+            "serve": pq_shortlist_serve_sql(
+                _PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM, topk=10, shortlist=100, n_queries=5
+            ),
+        },
+    }
+
+
+def _duck_sql_for(name, con, oracle_sqls, duck_serve, duck_index_build):
+    """The SQL to time for ``name`` on the DuckDB side: the serving
+    statement when a like-for-like index path exists (building the index
+    once, timed into ``duck_index_build``), else the registry oracle."""
+    if con is None:
+        return None
+    spec = duck_serve.get(name)
+    if spec is None:
+        return oracle_sqls.get(name)
+    if name not in duck_index_build:
+        t0 = time.perf_counter()
+        for stmt in spec["setup"]:
+            con.execute(stmt)
+        duck_index_build[name] = round(time.perf_counter() - t0, 4)
+    return spec["serve"]
+
+
 class BucketedParityError(AssertionError):
     """The bucketed layout changed a query's ANSWER — a correctness
     break, re-raised out of the treatment's blanket except so it fails
@@ -412,6 +461,8 @@ def main() -> None:
     debug = os.environ.get("SPARK_GRAFT_BENCH_DEBUG", "0") not in ("0", "false")
     con = duck_connection(sf_dir)
     oracle_sqls = {n: reg[n].oracle for n in names if reg[n].oracle}
+    duck_serve = _duck_serve()
+    duck_index_build: dict[str, float] = {}
     timings: dict[str, float] = {}
     build_timings: dict[str, float] = {}
     duck_timings: dict[str, float] = {}
@@ -422,7 +473,7 @@ def main() -> None:
         t0 = time.perf_counter()
         reg[name].spark_fn(spark, sf_dir).toPandas()  # untimed Spark warm-up
         warm_s = time.perf_counter() - t0
-        sql = oracle_sqls.get(name) if con is not None else None
+        sql = _duck_sql_for(name, con, oracle_sqls, duck_serve, duck_index_build)
         if sql is not None:
             con.execute(sql).fetchall()  # untimed DuckDB warm-up
         if debug:
@@ -495,7 +546,7 @@ def main() -> None:
             if name not in names:
                 continue
             pdf = reg[name].spark_fn(spark, sf_dir).toPandas()  # warm-up
-            sql = oracle_sqls.get(name) if con is not None else None
+            sql = _duck_sql_for(name, con, oracle_sqls, duck_serve, duck_index_build)
             if sql is not None:
                 con.execute(sql).fetchall()
             s_passes, d_passes = [], []
@@ -579,6 +630,10 @@ def main() -> None:
         "n_buckets": n_buckets,
         "bucket_write_sec": bucket_write_sec,
         "layout_error": layout_error,
+        # one-time DuckDB index-build cost for queries timed on a
+        # like-for-like serving path (see _duck_serve) — the oracle-side
+        # twin of bucket_write_sec
+        "duck_index_build_sec": duck_index_build or None,
         "plan_build_sec": plan_build_sec,
         "samples_file": side_path,
         "box": box,

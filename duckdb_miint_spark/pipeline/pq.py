@@ -546,6 +546,133 @@ ORDER BY query_id, rank
 """
 
 
+def pq_index_setup_sqls(
+    m: int,
+    k: int,
+    iters: int,
+    dim: int,
+    codes_table: str = "bench_pq_codes",
+    books_table: str = "bench_pq_codebooks",
+) -> list[str]:
+    """DDL materializing the PQ index artifacts on the DuckDB side —
+    the oracle-dialect analogue of graft_b_pq_codebooks/_codes: train
+    once into ``books_table`` (s, cid, cv), encode once into
+    ``codes_table`` (vec_id, c0..c{m-1}) FROM the materialized books
+    (one training pass total, same arithmetic as pq_oracle_ctes).
+
+    Used by bench.py so the benched DuckDB serving path is
+    like-for-like with Spark's graft-served plan: NEITHER engine trains
+    or encodes at query time, and each side's one-time index cost is
+    reported separately (bucket_write_sec / duck_index_build_sec). The
+    CORRECTNESS oracle stays the full end-to-end restatement — no
+    engine retrains a PQ model per query, so timing that restatement
+    per pass would overstate the graft win ~25x (the r12 first sf2
+    candidate read 208 s/pass on this row; see PERF.md)."""
+    sub = dim // m
+    kmeans = ",".join(_subspace_kmeans_ctes(s, k, iters, sub) for s in range(m))
+    books_union = " UNION ALL ".join(
+        f"SELECT {s} AS s, cid, cv FROM c{iters}_{s}" for s in range(m)
+    )
+    books_sql = (
+        f"CREATE OR REPLACE TEMP TABLE {books_table} AS WITH {kmeans} {books_union}"
+    )
+    e_ctes, assigns = [], []
+    for s in range(m):
+        lo = s * sub + 1
+        e_ctes.append(
+            f"e{s} AS (SELECT vec_id, "
+            f"list_transform(embedding[{lo}:{lo + sub - 1}], x -> CAST(x AS DOUBLE)) AS v "
+            "FROM embeddings)"
+        )
+        dist = (
+            f"list_dot_product(e{s}.v, e{s}.v) - 2 * list_dot_product(e{s}.v, c.cv)"
+            " + list_dot_product(c.cv, c.cv)"
+        )
+        assigns.append(f"""
+code{s} AS (
+  SELECT vec_id, cid AS c{s} FROM (
+    SELECT e{s}.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e{s}.vec_id ORDER BY {dist} ASC, c.cid ASC) AS rn
+    FROM e{s} CROSS JOIN (SELECT cid, cv FROM {books_table} WHERE s = {s}) c
+  ) t WHERE rn = 1
+)""")
+    joins = " ".join(f"JOIN code{s} USING (vec_id)" for s in range(1, m))
+    codes_sql = (
+        f"CREATE OR REPLACE TEMP TABLE {codes_table} AS WITH "
+        + ",".join(e_ctes)
+        + ","
+        + ",".join(assigns)
+        + f" SELECT vec_id, {', '.join(f'c{s}' for s in range(m))} FROM code0 {joins}"
+    )
+    return [books_sql, codes_sql]
+
+
+def pq_shortlist_serve_sql(
+    m: int,
+    k: int,
+    iters: int,
+    dim: int,
+    topk: int,
+    shortlist: int,
+    n_queries: int,
+    codes_table: str = "bench_pq_codes",
+    books_table: str = "bench_pq_codebooks",
+) -> str:
+    """Per-query serving SQL over the materialized index tables —
+    identical ADC shortlist + exact-L2 rerank math as
+    :func:`pq_shortlist_oracle_sql` (equivalence pytest-asserted), zero
+    training or encoding inside the timed statement."""
+    sub = dim // m
+    d_terms, cb_joins = [], []
+    for s in range(m):
+        lo = s * sub + 1
+        qslice = f"list_transform(q.embedding[{lo}:{lo + sub - 1}], x -> CAST(x AS DOUBLE))"
+        d_terms.append(
+            f"(list_dot_product({qslice}, {qslice})"
+            f" - 2 * list_dot_product({qslice}, cb{s}.cv)"
+            f" + list_dot_product(cb{s}.cv, cb{s}.cv))"
+        )
+        cb_joins.append(
+            f"JOIN {books_table} cb{s} ON cb{s}.s = {s} AND cb{s}.cid = x.c{s}"
+        )
+    adist = " + ".join(d_terms)
+    return f"""
+WITH adc AS (
+  SELECT q.vec_id AS query_id, x.vec_id AS vec_id, {adist} AS adist
+  FROM embeddings q
+  JOIN {codes_table} x ON x.vec_id <> q.vec_id
+  {" ".join(cb_joins)}
+  WHERE q.vec_id < {n_queries}
+),
+sl AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(adist, 6) ASC, vec_id ASC) AS srank
+    FROM adc
+  ) WHERE srank <= {shortlist}
+),
+rer AS (
+  SELECT s.query_id, s.vec_id,
+         ROUND(list_dot_product(
+             list_transform(range(1, {dim} + 1),
+                 i -> CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)),
+             list_transform(range(1, {dim} + 1),
+                 i -> CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))), 6) AS d2
+  FROM sl s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings c ON c.vec_id = s.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, vec_id ASC) AS rank
+  FROM rer
+)
+SELECT query_id, vec_id, d2, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {topk}
+ORDER BY query_id, rank
+"""
+
+
 def pq_shortlist_rerank(
     corpus: DataFrame,
     corpus_codes: DataFrame,

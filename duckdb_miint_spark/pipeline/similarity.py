@@ -196,6 +196,117 @@ def lsh_ann_topk(
     )
 
 
+def _band_probe_cols(vec_col: str, planes, bands: int, rows: int, n_probes: int):
+    """Per band: an ARRAY of probe buckets — the base r-bit bucket plus
+    single-bit flips in increasing |projection| order (Lv et al.'s
+    multi-probe perturbation sequence truncated to 1-bit perturbations,
+    so ``n_probes <= rows + 1``). The bit with the smallest margin is
+    the one most likely to be on the wrong side of its hyperplane for a
+    true neighbour, so it is flipped first; ties break on bit index.
+    All-JVM: projections are the same left-to-right ``_dot`` fold the
+    base buckets use, ordering is an ``array_sort`` over (|proj|, idx)
+    structs — no UDF, and every step restates exactly in the gate's
+    DuckDB oracle."""
+    band_arrays = []
+    for b in range(bands):
+        projs = F.array(
+            *[
+                _dot(F.col(vec_col), F.array(*[F.lit(v) for v in planes[b * rows + r]]))
+                for r in range(rows)
+            ]
+        )
+        bits = F.transform(
+            projs, lambda p: F.when(p >= 0, F.lit("1")).otherwise(F.lit("0"))
+        )
+        order = F.transform(
+            F.array_sort(
+                F.transform(
+                    projs, lambda p, i: F.struct(F.abs(p).alias("m"), i.alias("i"))
+                )
+            ),
+            lambda s: s["i"],
+        )
+        probes = [F.array_join(bits, "")]
+        for t in range(1, n_probes):
+            j = F.element_at(order, t)  # t-th smallest |proj| (1-based)
+            flipped = F.transform(
+                bits,
+                lambda ch, i: F.when(
+                    i == j,
+                    F.when(ch == "1", F.lit("0")).otherwise(F.lit("1")),
+                ).otherwise(ch),
+            )
+            probes.append(F.array_join(flipped, ""))
+        band_arrays.append(F.array(*probes).alias(f"probes_{b}"))
+    return band_arrays
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    rows: int = 2,
+    dim: int = 64,
+    n_probes: int = 2,
+) -> DataFrame:
+    """(query_id, vec_id, sim, rank) — multi-probe hyperplane LSH.
+
+    Same corpus-side index as ``lsh_ann_topk`` (one r-bit bucket per
+    band — multi-probe's whole point is recall WITHOUT extra index
+    storage or more bands); each QUERY additionally probes the buckets
+    reachable by flipping its lowest-margin bits, so the candidate set
+    is a superset of the single-probe set (recall can only go up —
+    pytest-asserted) at query-time-only extra cost. At 100 TB the
+    trade matters: corpus buckets are the stored/shuffled artifact and
+    stay one row per (vector, band); the probe fan-out multiplies only
+    the tiny broadcast query side. ``n_probes <= rows + 1`` (base +
+    single-bit flips; multi-bit perturbations deliberately out of
+    scope — at r=2 they degenerate to probing every bucket)."""
+    from pyspark.sql import Window as W
+
+    if not 1 <= n_probes <= rows + 1:
+        raise ValueError(f"n_probes must be in [1, rows+1]={rows + 1}, got {n_probes}")
+    planes = hyperplanes(dim, bands * rows)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    ).select("vec_id", "cv", *_bucket_cols("cv", planes, bands, rows))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).select("query_id", "qv", *_band_probe_cols("qv", planes, bands, rows, n_probes))
+
+    band_structs_c = F.array(
+        *[F.struct(F.lit(b).alias("band"), F.col(f"bucket_{b}").alias("bucket")) for b in range(bands)]
+    )
+    band_structs_q = F.array(
+        *[F.struct(F.lit(b).alias("band"), F.col(f"probes_{b}").alias("probes")) for b in range(bands)]
+    )
+    cf = c.select("vec_id", "cv", F.explode(band_structs_c).alias("bb")).select(
+        "vec_id", "cv", "bb.band", "bb.bucket"
+    )
+    qf = (
+        q.select("query_id", "qv", F.explode(band_structs_q).alias("bb"))
+        .select("query_id", "qv", "bb.band", F.explode("bb.probes").alias("bucket"))
+    )
+    cand = (
+        cf.join(F.broadcast(qf), ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "vec_id", "cv")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "sim", F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
 def _route_to_cells(df, out_names, codebook, n_top: int):
     """(id, vec, norm, cell) x n_top rows per input row — nearest-cell
     routing against a plan-constant codebook.

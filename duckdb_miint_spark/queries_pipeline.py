@@ -39,7 +39,11 @@ from duckdb_miint_spark.pipeline.shuffle import (
     epoch_schedule_oracle_sql as _epoch_schedule_oracle_sql,
     training_order_oracle_sql as _training_order_oracle_sql,
 )
-from duckdb_miint_spark.pipeline.similarity import cosine_topk, lsh_ann_topk
+from duckdb_miint_spark.pipeline.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+    lsh_multiprobe_topk,
+)
 from duckdb_miint_spark.queries_analytics import _kmeans_ctes
 from duckdb_miint_spark.pipeline.text import (
     bottomk_fingerprint,
@@ -350,6 +354,89 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     return (
         lsh_ann_topk(emb, queries, k=10)
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    # Multi-probe LSH (round 12, VERDICT r11 #5b): the corpus index is
+    # the SAME one-bucket-per-band table as ann_lsh_topk; each query
+    # additionally probes the bucket reached by flipping its
+    # lowest-|projection| bit per band (n_probes=2 — the margin
+    # ordering is load-bearing, not just a candidate union). The whole
+    # probe sequence restates in SQL: same md5 ±1 planes, projections
+    # via list_dot_product (the same left-to-right fold as the Spark
+    # HOF), flip-first = smaller |proj|, ties to bit 0.
+    oracle="""
+WITH plane_vals AS (
+  SELECT p.p, d.d,
+         CASE WHEN strpos('89abcdef',
+                substr(md5('spark-graft:' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d // 16 AS VARCHAR)),
+                       ((d.d % 16) * 2) + 1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM range(16) p(p), range(64) d(d)
+),
+planes AS (SELECT p, list(w ORDER BY d) AS pv FROM plane_vals GROUP BY p),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+proj AS (
+  SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.pv) AS pr
+  FROM e, planes pl
+),
+cb AS (
+  SELECT vec_id, p // 2 AS band,
+         string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM proj GROUP BY vec_id, p // 2
+),
+qp AS (
+  SELECT vec_id AS query_id, p // 2 AS band,
+         max(CASE WHEN p % 2 = 0 THEN CASE WHEN pr >= 0 THEN '1' ELSE '0' END END) AS b0,
+         max(CASE WHEN p % 2 = 1 THEN CASE WHEN pr >= 0 THEN '1' ELSE '0' END END) AS b1,
+         max(CASE WHEN p % 2 = 0 THEN abs(pr) END) AS m0,
+         max(CASE WHEN p % 2 = 1 THEN abs(pr) END) AS m1
+  FROM proj WHERE vec_id < 5 GROUP BY vec_id, p // 2
+),
+qb AS (
+  SELECT query_id, band, b0 || b1 AS bucket FROM qp
+  UNION ALL
+  SELECT query_id, band,
+         CASE WHEN m0 <= m1
+              THEN (CASE WHEN b0 = '1' THEN '0' ELSE '1' END) || b1
+              ELSE b0 || (CASE WHEN b1 = '1' THEN '0' ELSE '1' END) END AS bucket
+  FROM qp
+),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id
+  FROM cb b JOIN qb q USING (band, bucket)
+  WHERE b.vec_id <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         ROUND(list_dot_product(q.v, t.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v))), 6) AS sim
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e t ON t.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+""",
+    tags=("pipeline", "similarity"),
+)
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane-LSH top-10: base bucket + lowest-margin
+    single-bit flip per band (n_probes=2), exact rerank on candidates."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (
+        lsh_multiprobe_topk(emb, queries, k=10, n_probes=2)
         .withColumn("rank", F.col("rank").cast("long"))
         .orderBy("query_id", "rank")
     )

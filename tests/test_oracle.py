@@ -106,6 +106,35 @@ def test_rows_only_runs(spark, name):
     assert sdf.count() >= 0
 
 
+def test_bench_duck_serve_matches_full_oracle():
+    """The bench's like-for-like DuckDB serving path (index built once
+    by pq_index_setup_sqls, passes timed on pq_shortlist_serve_sql) must
+    return EXACTLY the full train+encode+search oracle's rows — if the
+    serving SQL drifted from the restatement, the bench would be timing
+    a different computation than the correctness gate verifies."""
+    from duckdb_miint_spark.pipeline.pq import (
+        pq_index_setup_sqls,
+        pq_shortlist_oracle_sql,
+        pq_shortlist_serve_sql,
+    )
+    from duckdb_miint_spark.queries_pipeline import _PQ_DIM, _PQ_ITERS, _PQ_K, _PQ_M
+
+    con = duck_con(SF_DIR)
+    for stmt in pq_index_setup_sqls(_PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM):
+        con.execute(stmt)
+    serve = con.execute(
+        pq_shortlist_serve_sql(
+            _PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM, topk=10, shortlist=100, n_queries=5
+        )
+    ).fetchall()
+    full = con.execute(
+        pq_shortlist_oracle_sql(
+            _PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM, topk=10, shortlist=100, n_queries=5
+        )
+    ).fetchall()
+    assert serve and serve == full
+
+
 def test_driver_canon_rejects_array_cells():
     """The canonicalizer replica must FAIL on a gate returning array
     cells (the round-10 failure mode) — if pandas ever starts accepting

@@ -82,6 +82,39 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.6, f"LSH-ANN recall {recall:.2f} below floor"
 
 
+def test_ann_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe candidates are a SUPERSET of the single-probe set
+    (the probe list starts with the base bucket), so recall@10 must not
+    regress vs lsh_ann_topk at the same bands/rows — and n_probes=1 must
+    reproduce lsh_ann_topk exactly (same buckets, same rerank)."""
+    from duckdb_miint_spark.pipeline.similarity import lsh_multiprobe_topk
+
+    e = emb(spark)
+    queries = e.filter(F.col("vec_id") < 5)
+    truth = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(e, queries, k=10).collect()
+    }
+    single = {
+        (r["query_id"], r["vec_id"]) for r in lsh_ann_topk(e, queries, k=10).collect()
+    }
+    one_probe = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_multiprobe_topk(e, queries, k=10, n_probes=1).collect()
+    }
+    assert one_probe == single
+    multi = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_multiprobe_topk(e, queries, k=10, n_probes=2).collect()
+    }
+    r_single = len(truth & single) / len(truth)
+    r_multi = len(truth & multi) / len(truth)
+    assert r_multi >= r_single, (
+        f"multi-probe recall {r_multi:.2f} < single-probe {r_single:.2f}"
+    )
+    with pytest.raises(ValueError, match="n_probes"):
+        lsh_multiprobe_topk(e, queries, k=10, n_probes=5)
+
+
 def test_language_id_goldens(spark):
     rows = [
         (1, "the cat sat on the mat and it is happy"),
