@@ -132,6 +132,14 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 """
 
 ORDERS_PRIO_CUST_SQL = """
+-- layout v2: bucketed on the FULL (priority, custkey) grain. Priority
+-- alone has 5 distinct values, so at sf10 the ~7M-row grain re-merge
+-- collapsed to <=5 tasks (4.98 s — the one 29x row of the first r12
+-- sf10 candidate); the full-grain bucketing keeps the exchange-free
+-- first merge at full parallelism and the priority-level fold becomes
+-- a tiny partial-aggregate exchange. (The comment is load-bearing: the
+-- SQL text is the graft fingerprint, so changing it forces existing
+-- layouts to rebuild under the new bucket spec.)
 SELECT o_orderpriority, o_custkey, COUNT(*) AS c
 FROM orders GROUP BY o_orderpriority, o_custkey
 """
@@ -554,16 +562,18 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, so the one real shuffle carries only distinct pairs.
 
     Graft path: the (priority, custkey) grain is maintained at ingest
-    (graft_b_orders_prio_cust, bucketed on o_orderpriority), so the
-    query is one exchange-free fold over rows proportional to the
-    distinct pairs — the data-sized first aggregate, the query's whole
-    cost (PERF.md r9-r11 decompositions), is paid at layout build."""
+    (graft_b_orders_prio_cust, bucketed on the FULL grain — priority
+    alone has 5 distinct values, which collapsed the sf10 re-merge to
+    <=5 tasks), so the grain merge is exchange-free at full parallelism
+    and only <=5 partial rows per partition reach the priority-level
+    fold — the data-sized first aggregate, the query's whole cost
+    (PERF.md r9-r11 decompositions), is paid at layout build."""
     pre = _orders_prio_cust(spark, sf_dir)
     if pre is not None:
         # merge the grain: incremental refresh appends the new slice's
         # PARTIAL (priority, custkey) counts, so the same pair can occur
-        # twice. Exchange-free (bucketed on o_orderpriority clusters any
-        # superset key), a no-op pass when the grain is unique.
+        # twice. Exchange-free (bucketed on exactly these keys), a
+        # no-op pass when the grain is unique.
         pre = (
             pre.groupBy("o_orderpriority", "o_custkey")
             .agg(F.sum("c").alias("c"))

@@ -250,9 +250,11 @@ def graft_catalog() -> dict[str, Graft]:
             # partial-aggregate append: the consumer re-merges the grain
             appendable=True,
         ),
+        # bucketed on the FULL grain (see the SQL's layout-v2 note):
+        # priority alone has 5 values — a parallelism collapse at scale
         "graft_b_orders_prio_cust": Graft(
             ORDERS_PRIO_CUST_SQL, ORDERS_PRIO_CUST_SQL, ["orders"],
-            ["o_orderpriority"], ["o_orderpriority", "o_custkey"],
+            ["o_orderpriority", "o_custkey"], ["o_orderpriority", "o_custkey"],
             appendable=True,
         ),
         # q1's pricing grain: exact shipdate keeps any date predicate
