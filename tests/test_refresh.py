@@ -155,6 +155,73 @@ def test_append_refresh_lifecycle(graft_session, tmp_path):
     assert got == _events_hourly_plain(spark, sf)
 
 
+def test_streaming_ingest_with_refresh(graft_session, tmp_path):
+    """The continuous form of the append lifecycle: a foreachBatch sink
+    (streaming/ingest.py) lands each micro-batch as flat parquet files
+    in the source dir and incrementally refreshes the layout — every
+    batch must resolve to 'appended' (never a rebuild), existing bucket
+    files must stay byte-identical across BOTH batches, and the served
+    gate must equal the plain derivation over the grown source."""
+    import json as _json
+
+    spark = graft_session
+    from duckdb_miint_spark.registry import load_all
+    from duckdb_miint_spark.storage import build_graft_layout
+    from duckdb_miint_spark.streaming.events import read_events_stream
+    from duckdb_miint_spark.streaming.ingest import stream_ingest_with_refresh
+
+    sf = _make_sf_dir(tmp_path)
+    build_graft_layout(spark, sf, 4, tables=REFRESH_TABLES)
+    before = {t: _warehouse_files(spark, t) for t in REFRESH_TABLES}
+
+    # two ingest batches staged as JSON-lines files (the stream source);
+    # maxFilesPerTrigger=1 -> two micro-batches under availableNow
+    tbl = pq.read_table(os.path.join(sf, "events.parquet", "part-000.parquet"))
+    rows = tbl.to_pylist()
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    for b in range(2):
+        with open(staging / f"batch-{b}.json", "w") as fh:
+            for r in rows[b * 100 : (b + 1) * 100]:
+                r = dict(r)
+                r["event_id"] += 20_000_000
+                r["ts"] = r["ts"].isoformat()
+                fh.write(_json.dumps(r) + "\n")
+
+    stream = read_events_stream(spark, str(staging), max_files=1)
+    q, actions = stream_ingest_with_refresh(
+        spark,
+        stream,
+        sf,
+        "events",
+        4,
+        tables=REFRESH_TABLES,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    try:
+        assert q.awaitTermination(180), "ingest stream did not finish"
+    finally:
+        q.stop()
+    assert len(actions) == 2, actions
+    assert all(a == {t: "appended" for t in REFRESH_TABLES} for a in actions), actions
+
+    for t in REFRESH_TABLES:
+        after = _warehouse_files(spark, t)
+        for rel, sig in before[t].items():
+            assert after.get(rel) == sig, f"{t}: {rel} was rewritten"
+        assert set(after) > set(before[t]), f"{t}: nothing appended"
+
+    reg = load_all()
+    got = sorted(tuple(r) for r in reg["events_hourly"].spark_fn(spark, sf).collect())
+    assert got == _events_hourly_plain(spark, sf)
+    n_src = spark.read.parquet(os.path.join(sf, "events.parquet")).count()
+    assert n_src == len(rows) + 200
+    from duckdb_miint_spark.queries_relational import _events_parsed
+
+    served = _events_parsed(spark, sf)
+    assert served is not None and served.count() == n_src
+
+
 def test_builder_graft_append_refresh(graft_session, tmp_path):
     """An appendable BUILDER graft (tokenize-at-ingest, r12) must absorb
     a documents append by running its builder over only the new slice —
