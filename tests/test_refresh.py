@@ -234,7 +234,7 @@ def test_builder_graft_append_refresh(graft_session, tmp_path):
     from duckdb_miint_spark.registry import load_all
     from duckdb_miint_spark.storage import build_graft_layout, refresh_graft_layout
 
-    tables = ["graft_b_doc_tokens", "graft_b_word_counts"]
+    tables = ["graft_b_doc_tokens", "graft_b_word_counts", "graft_b_doc_hashes"]
     sf = tmp_path / "sf"
     sf.mkdir()
     for fname in os.listdir(SRC):
@@ -303,6 +303,18 @@ def test_builder_graft_append_refresh(graft_session, tmp_path):
             tuple(r) for r in reg["explode_word_counts"].spark_fn(spark, sf).collect()
         )
         assert got_words == want_words
+        # fingerprint-at-ingest graft: served dedup groups over the
+        # grown corpus equal the direct hash-groupBy derivation
+        want_hashes = sorted(
+            tuple(r)
+            for r in docs.groupBy(F.md5("text").alias("content_hash"))
+            .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+            .collect()
+        )
+        got_hashes = sorted(
+            tuple(r) for r in reg["dedup_exact_groups"].spark_fn(spark, sf).collect()
+        )
+        assert got_hashes == want_hashes
     finally:
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
