@@ -108,6 +108,19 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", broadcast_threshold)
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", broadcast_threshold)
         .config("spark.sql.session.timeZone", "UTC")
+        # Sorted-bucket scan ordering: lets the planner elide the per-task
+        # Sort under an SMJ/window whose keys prefix-match a bucketed
+        # table's sortBy columns — the payoff of write_bucketed's
+        # per-bucket sort. Spark only honors it when every bucket is a
+        # SINGLE file (multi-file buckets, e.g. after incremental
+        # appends, re-insert the Sort — correctness never depends on
+        # it), which is exactly the invariant storage.compact_graft_layout
+        # restores. Off by default since Spark 3.0 only because eager
+        # file listing at planning can be costly on huge tables.
+        .config(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering",
+            os.environ.get("SPARK_GRAFT_BUCKET_ORDERING", "true"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", DEFAULT_DRIVER_MEM))

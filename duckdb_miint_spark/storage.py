@@ -23,6 +23,7 @@ vs the shuffled join.
 from __future__ import annotations
 
 import hashlib
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -31,6 +32,14 @@ FINGERPRINT_PROP = "graft.fingerprint"
 # Table property carrying the per-file source signature the table was
 # built from — the manifest incremental refresh diffs against.
 SRC_SIG_PROP = "graft.src_sig"
+# Write-ahead marker for an in-flight incremental append (ADVICE r12):
+# set to the target source signature BEFORE rows are appended, cleared
+# only after the append committed AND fingerprint/src_sig advanced. A
+# refresh that finds this marker still set cannot know whether the prior
+# append landed zero, some, or all of its rows (saveAsTable append is
+# not atomic across part files), so it dispositions the table to a full
+# rebuild instead of re-deriving the same delta and serving duplicates.
+PENDING_PROP = "graft.pending_append"
 
 
 def layout_fingerprint(*parts: object) -> str:
@@ -259,10 +268,15 @@ def graft_catalog() -> dict[str, Graft]:
             appendable=True,
         ),
         # q1's pricing grain: exact shipdate keeps any date predicate
-        # re-mergeable; the grain is SF-invariant (~distinct dates × 6)
+        # re-mergeable; the grain is SF-invariant (~distinct dates × 6).
+        # Bucketed on the FULL grain (ADVICE r12): l_returnflag alone has
+        # 3 values — the same parallelism collapse layout-v2 fixed for
+        # orders_prio_cust. The q1 re-merge reduces map-side to 6 rows
+        # before its (tiny) exchange either way.
         "graft_b_lineitem_pricing": Graft(
             LINEITEM_PRICING_SQL, LINEITEM_PRICING_SQL, ["lineitem"],
-            ["l_returnflag"], ["l_returnflag", "l_linestatus", "l_shipdate"],
+            ["l_returnflag", "l_linestatus", "l_shipdate"],
+            ["l_returnflag", "l_linestatus", "l_shipdate"],
             appendable=True,
         ),
         # vocabulary-grain word frequencies (explode_word_counts):
@@ -380,6 +394,119 @@ def _table_bucket_count(spark: SparkSession, table: str) -> int | None:
     return None
 
 
+def _table_location(spark: SparkSession, table: str) -> str | None:
+    try:
+        for r in spark.sql(f"DESCRIBE FORMATTED `{table}`").collect():
+            if (r["col_name"] or "").strip() == "Location":
+                loc = r["data_type"].strip()
+                return loc[len("file:"):] if loc.startswith("file:") else loc
+    except Exception:  # noqa: BLE001
+        return None
+    return None
+
+
+# Bucketed part files are named part-<task>-<uuid>_<bucketId>.c000[.codec]
+# .parquet — the _NNNNN immediately before the extension chain is the
+# bucket id (stable across Spark 3.x/4.x FileFormatWriter).
+_BUCKET_ID_RE = re.compile(r"_(\d{5})\.")
+
+
+def bucket_file_census(spark: SparkSession, table: str) -> dict[int, int]:
+    """{bucket_id: data file count} for a bucketed catalog table, from
+    the table location's file listing. Empty when the table or its
+    location is missing. This is the compaction trigger metric: a table
+    fresh from ``write_bucketed`` has exactly 1 file per bucket; every
+    incremental append adds one more."""
+    import os
+
+    loc = _table_location(spark, table)
+    if not loc or not os.path.isdir(loc):
+        return {}
+    out: dict[int, int] = {}
+    for dirpath, _dirs, files in os.walk(loc):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            m = _BUCKET_ID_RE.search(f)
+            if m:
+                b = int(m.group(1))
+                out[b] = out.get(b, 0) + 1
+    return out
+
+
+def _compact_table(spark: SparkSession, table: str, g: Graft) -> str:
+    """Rewrite one graft table's buckets back to a single sorted file
+    each, preserving content, bucket spec, and the fingerprint/manifest
+    properties (content is unchanged, so the layout identity is too).
+
+    Mechanics: write the CURRENT table contents to a side table with the
+    same bucket/sort layout (one distributed repartition+write job — no
+    driver materialization), then drop the original and rename the side
+    table into place. A crash between drop and rename leaves the graft
+    absent, which readers treat as "not served" (plain-path fallback)
+    and the next refresh rebuilds — never a wrong answer. Duplicate
+    grain rows absorbed from partial-aggregate appends are preserved
+    verbatim (consumers re-merge the grain); compaction is a FILE-layout
+    operation, not a re-derivation, so it is safe for every graft kind
+    including builder grafts whose derivation is not re-runnable here."""
+    n_buckets = _table_bucket_count(spark, table)
+    loc = _table_location(spark, table)
+    if not n_buckets or not loc:
+        return "current"
+    fp = _stored_prop(spark, table, FINGERPRINT_PROP)
+    sig = _stored_prop(spark, table, SRC_SIG_PROP)
+    side = f"{table}__compact"
+    # Read the table's FILES as plain parquet, not spark.table(): a scan
+    # carrying the bucket metadata already satisfies the repartition the
+    # bucketed write relies on, so the planner elides the exchange AND
+    # demotes the scan to plain splits — per-task-per-bucket output
+    # files, i.e. a compaction that doesn't compact. The plain-file read
+    # keeps write_bucketed's repartition, giving exactly one sorted file
+    # per bucket.
+    write_bucketed(
+        spark.read.parquet(loc), side, n_buckets, g.bucket_cols, g.sort_cols,
+        fingerprint=fp, src_sig=sig,
+    )
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    spark.sql(f"ALTER TABLE `{side}` RENAME TO `{table}`")
+    return "compacted"
+
+
+def compact_graft_layout(
+    spark: SparkSession,
+    tables: list[str] | None = None,
+    max_files_per_bucket: int = 1,
+) -> dict[str, str]:
+    """Threshold-triggered per-table compaction — the piece that closes
+    the append-refresh lifecycle at 100 TB (VERDICT r12 #1). Incremental
+    refresh appends one file per bucket per batch; unbounded, that growth
+    re-creates the small-files problem bucketing exists to avoid AND
+    permanently drops the sorted-single-file scan fast path (a bucketed
+    scan only reports its sort order to the planner when every bucket is
+    one file, so multi-file buckets re-insert per-task Sorts under every
+    order-consuming window/SMJ). This is the LSM compaction analogue:
+    amortized, per-table, triggered when ``bucket_file_census`` exceeds
+    ``max_files_per_bucket``.
+
+    Returns {table: "compacted" | "current" | "absent"}. Callable
+    standalone (maintenance window) and invoked automatically by
+    ``refresh_graft_layout`` past its own threshold."""
+    catalog = graft_catalog()
+    names = list(catalog) if tables is None else list(tables)
+    out: dict[str, str] = {}
+    for name in names:
+        g = catalog[name]
+        if not spark.catalog.tableExists(name):
+            out[name] = "absent"
+            continue
+        census = bucket_file_census(spark, name)
+        if not census or max(census.values()) <= max_files_per_bucket:
+            out[name] = "current"
+            continue
+        out[name] = _compact_table(spark, name, g)
+    return out
+
+
 def _append_delta(stored_sig: str, current_sig: str, fact: str) -> list[str] | None:
     """Filenames newly appended under ``{fact}.parquet/`` between the two
     signatures, or None when the change is not a pure fact append (an
@@ -407,6 +534,7 @@ def refresh_graft_layout(
     sf_dir: str,
     n_buckets: int | None = None,
     tables: list[str] | None = None,
+    compact_threshold: int | None = None,
 ) -> dict[str, str]:
     """Incrementally maintain the graft layout after source changes —
     the 100 TB operating mode (VERDICT r11 #3): a production deployment
@@ -429,7 +557,14 @@ def refresh_graft_layout(
 
     The per-file manifest diffed against is the ``graft.src_sig`` table
     property every write stores; the fingerprint property is updated to
-    the new source set afterwards, so serving stays all-or-nothing."""
+    the new source set afterwards, so serving stays all-or-nothing.
+
+    ``compact_threshold`` (default SPARK_GRAFT_COMPACT_FILES, else 8):
+    after an append leaves any bucket holding more than this many files,
+    that table is compacted in place (action ``"appended+compacted"``) —
+    the LSM-style amortization that keeps file counts bounded and the
+    sorted-single-file scan fast path recoverable under continuous
+    ingest. 0 disables auto-compaction."""
     import os
 
     catalog = graft_catalog()
@@ -438,6 +573,11 @@ def refresh_graft_layout(
             int(os.environ.get("SPARK_GRAFT_BUCKETS", "0"))
             or spark.sparkContext.defaultParallelism
         )
+    compact_files = (
+        compact_threshold
+        if compact_threshold is not None
+        else int(os.environ.get("SPARK_GRAFT_COMPACT_FILES", "8"))
+    )
     names = list(catalog) if tables is None else list(tables)
     src_tables: set[str] = set()
     for name in names:
@@ -456,13 +596,27 @@ def refresh_graft_layout(
             g = catalog[name]
             fp = graft_fingerprint(sf_dir, g.identity, g.sources)
             if _stored_prop(spark, name, FINGERPRINT_PROP) == fp:
+                # fingerprint only advances AFTER an append commits, so a
+                # pending marker surviving alongside a current fingerprint
+                # is stale (crash between the final two ALTERs) — clear it
+                if _stored_prop(spark, name, PENDING_PROP):
+                    spark.sql(
+                        f"ALTER TABLE `{name}` UNSET TBLPROPERTIES IF EXISTS "
+                        f"('{PENDING_PROP}')"
+                    )
                 out[name] = "current"
                 continue
             cur_sig = source_signature(sf_dir, g.sources)
             stored_sig = _stored_prop(spark, name, SRC_SIG_PROP)
+            # A leftover write-ahead marker means a prior refresh crashed
+            # between appending rows and advancing src_sig — the table may
+            # already hold part of this delta, so appending again would
+            # serve duplicates. Ambiguous provenance → full rebuild.
+            pending = _stored_prop(spark, name, PENDING_PROP)
             new_files = (
                 _append_delta(stored_sig, cur_sig, g.fact)
-                if g.appendable and stored_sig and spark.catalog.tableExists(name)
+                if g.appendable and stored_sig and not pending
+                and spark.catalog.tableExists(name)
                 else None
             )
             existing_buckets = _table_bucket_count(spark, name)
@@ -483,6 +637,12 @@ def refresh_graft_layout(
                         df = g.builder(spark, sf_dir)
                     else:
                         df = spark.table(g.fact)
+                    # write-ahead: mark the delta as in-flight BEFORE any
+                    # row lands, so a crash anywhere below is detected
+                    spark.sql(
+                        f"ALTER TABLE `{name}` SET TBLPROPERTIES "
+                        f"('{PENDING_PROP}'='{cur_sig}')"
+                    )
                     (
                         df.repartition(existing_buckets, *g.bucket_cols)
                         .write.mode("append")
@@ -497,7 +657,20 @@ def refresh_graft_layout(
                     f"ALTER TABLE `{name}` SET TBLPROPERTIES "
                     f"('{FINGERPRINT_PROP}'='{fp}', '{SRC_SIG_PROP}'='{cur_sig}')"
                 )
-                out[name] = "appended"
+                spark.sql(
+                    f"ALTER TABLE `{name}` UNSET TBLPROPERTIES IF EXISTS "
+                    f"('{PENDING_PROP}')"
+                )
+                census = bucket_file_census(spark, name)
+                if (
+                    compact_files > 0
+                    and census
+                    and max(census.values()) > compact_files
+                ):
+                    _compact_table(spark, name, g)
+                    out[name] = "appended+compacted"
+                else:
+                    out[name] = "appended"
                 continue
             if g.sql is not None:
                 df = spark.sql(g.sql)

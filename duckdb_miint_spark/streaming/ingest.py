@@ -22,8 +22,10 @@ ones, which is what we do here (idempotent per epoch_id).
 
 Scale notes: the micro-batch append is one narrow write of the batch
 (no shuffle of existing data); refresh appends ``n_buckets`` files per
-graft per batch — compaction (a rebuild) amortizes file-count growth,
-the same trade as any LSM-shaped ingest path.
+graft per batch. File-count growth is bounded by refresh's built-in
+threshold compaction (storage.compact_graft_layout — a per-table
+bucket rewrite preserving fingerprint/manifest, NOT a re-derivation),
+the same amortization trade as any LSM-shaped ingest path.
 """
 
 from __future__ import annotations
@@ -73,15 +75,48 @@ def stream_ingest_with_refresh(
             tmp = os.path.join(fact_dir, f"_ingest_epoch_{epoch_id}_tmp")
             # MICROS keeps the appended files type-identical to the
             # driver-generated source parquet (INT96 would still read,
-            # but mixed physical types cost every later reader a cast)
-            batch_df.write.option(
-                "parquet.outputTimestampType", "TIMESTAMP_MICROS"
-            ).mode("overwrite").parquet(tmp)
+            # but mixed physical types cost every later reader a cast).
+            # This is a SESSION conf (ParquetUtils.prepareWrite reads
+            # spark.sql.parquet.outputTimestampType, not writer options
+            # — ADVICE r12), so set it for the write and restore after.
+            # It must be set on batch_df's OWN session: foreachBatch
+            # frames are bound to the streaming query's cloned session,
+            # whose conf is independent of the caller's.
+            batch_conf = batch_df.sparkSession.conf
+            ts_conf = "spark.sql.parquet.outputTimestampType"
+            prior = batch_conf.get(ts_conf, None)
+            batch_conf.set(ts_conf, "TIMESTAMP_MICROS")
+            try:
+                batch_df.write.mode("overwrite").parquet(tmp)
+            finally:
+                if prior is None:
+                    batch_conf.unset(ts_conf)
+                else:
+                    batch_conf.set(ts_conf, prior)
+            # Two-phase publish (ADVICE r12): first move every part file
+            # to an underscore-prefixed (Spark-invisible) STAGED name in
+            # fact_dir — same filesystem, so the later step is pure
+            # renames — then one tight rename pass makes the whole batch
+            # visible at once. A crash before the tight pass leaves only
+            # hidden files (no partially visible batch for concurrent
+            # readers / an external refresh to observe); the pass itself
+            # is metadata-only, and replayed batches skip files already
+            # published so an interrupted pass doesn't re-replace them
+            # (a re-replace would change mtimes, flipping _append_delta
+            # to 'mutated' and forcing a needless full rebuild).
+            staged: list[tuple[str, str]] = []
             for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "*.parquet")))):
-                os.replace(
-                    f,
-                    os.path.join(fact_dir, f"ingest-{epoch_id:05d}-{i:04d}.parquet"),
+                final = os.path.join(
+                    fact_dir, f"ingest-{epoch_id:05d}-{i:04d}.parquet"
                 )
+                stage = os.path.join(
+                    fact_dir, f"_ingest_epoch_{epoch_id}_stage-{i:04d}.parquet"
+                )
+                if not os.path.exists(final):
+                    os.replace(f, stage)
+                    staged.append((stage, final))
+            for stage, final in staged:
+                os.replace(stage, final)
             shutil.rmtree(tmp)
             open(marker, "w").close()
         actions_log.append(
