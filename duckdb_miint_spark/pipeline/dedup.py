@@ -430,3 +430,118 @@ def jaccard_join_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+
+
+def incremental_exact(
+    batch: DataFrame,
+    corpus_hashes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Which docs in this new batch duplicate anything already ingested?
+    (VERDICT r12 #3 — the natural 100 TB ingest question.)
+
+    ``corpus_hashes`` is the fingerprint-at-ingest table
+    (doc_id, content_hash) — at scale the graft_b_doc_hashes layout,
+    bucketed on content_hash, so the canonical-id groupBy AND the
+    corpus side of the join are exchange-free; only the (small) batch
+    side shuffles. The batch's own hashes are computed here — it is new
+    data, so hashing it is the irreducible work.
+
+    Returns one row per batch doc: (batch_id, content_hash, is_dup,
+    canonical_id) — canonical_id is the smallest corpus doc_id holding
+    identical content, NULL when the batch doc is fresh."""
+    b = batch.select(
+        F.col(id_col).alias("batch_id"), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    canon = corpus_hashes.groupBy("content_hash").agg(
+        F.min(id_col).alias("canonical_id")
+    )
+    return b.join(canon, "content_hash", "left").select(
+        "batch_id",
+        "content_hash",
+        F.col("canonical_id").isNotNull().cast("int").alias("is_dup"),
+        "canonical_id",
+    )
+
+
+def incremental_near_dup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    corpus_index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    num_perm: int = DEFAULT_NUM_PERM,
+    n: int = DEFAULT_SHINGLE,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-duplicate analogue of :func:`incremental_exact`: batch docs
+    vs the ALREADY-INGESTED corpus via the banded MinHash index, verified
+    with exact Jaccard ≥ threshold. Returns (batch_id, corpus_id,
+    jaccard) — only cross pairs, never corpus×corpus.
+
+    ``corpus_index`` is the long-form banded index (id, band, v) — at
+    scale the graft_b_lsh_index layout maintained at ingest (bucketed on
+    (band, v), row-wise appendable, so each refresh appends just the new
+    docs' signatures). When it is None the index is derived here (the
+    plain-path fallback). Candidate generation NEVER rescans corpus
+    text: the index side is grouped per (band, v) bucket — a groupBy
+    that rides the bucket layout exchange-free — capped at
+    ``max_bucket`` ids (degenerate-bucket skew guard, same rationale as
+    lsh_candidate_pairs_long), then joined against the batch's freshly
+    computed bands. Only candidate corpus docs' text is read back for
+    the exact-Jaccard verify (semi-join pruned scan)."""
+    if corpus_index is None:
+        corpus_index = minhash_long(corpus, id_col, text_col, num_perm, n)
+    batch_sh_raw = shingles(batch, id_col, text_col, n, distinct=False).cache()
+    batch_bands = minhash_long(
+        batch, id_col, text_col, num_perm, n, _shingles=batch_sh_raw
+    )
+    # min band matches at the verify threshold — the free Jaccard
+    # estimate prune (see lsh_candidate_pairs_long)
+    min_match = max(1, int(num_perm * threshold / 2))
+    corpus_buckets = (
+        corpus_index.groupBy("band", "v")
+        .agg(F.sort_array(F.collect_set("id")).alias("cids"))
+        .filter(F.size("cids") <= max_bucket)
+    )
+    cand = (
+        batch_bands.join(corpus_buckets, ["band", "v"])
+        .select(F.col("id").alias("batch_id"), F.explode("cids").alias("corpus_id"))
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count("*").alias("n_match"))
+        .filter(F.col("n_match") >= min_match)
+        .select("batch_id", "corpus_id")
+        .cache()
+    )
+    # exact verify on the candidate slice only
+    b_ids = cand.select(F.col("batch_id").alias("id")).distinct()
+    c_ids = cand.select(F.col("corpus_id").alias("id")).distinct()
+    b_sh = batch_sh_raw.join(F.broadcast(b_ids), "id", "left_semi").distinct()
+    c_sh = (
+        shingles(
+            corpus.join(
+                F.broadcast(c_ids.select(F.col("id").alias(id_col))), id_col, "left_semi"
+            ),
+            id_col,
+            text_col,
+            n,
+            distinct=True,
+        )
+    )
+    bn = b_sh.groupBy("id").agg(F.count("*").alias("nb"))
+    cn = c_sh.groupBy("id").agg(F.count("*").alias("nc"))
+    inter = (
+        cand.join(b_sh.select(F.col("id").alias("batch_id"), "s"), "batch_id")
+        .join(c_sh.select(F.col("id").alias("corpus_id"), "s"), ["corpus_id", "s"])
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(bn.select(F.col("id").alias("batch_id"), "nb"), "batch_id")
+        .join(cn.select(F.col("id").alias("corpus_id"), "nc"), "corpus_id")
+        .withColumn("jaccard", F.col("i") / (F.col("nb") + F.col("nc") - F.col("i")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )

@@ -171,9 +171,11 @@ def graft_catalog() -> dict[str, Graft]:
         DOC_HASHES_SQL,
         DOC_TOKENS_IDENTITY,
         EMBEDDINGS_Q8_SQL,
+        LSH_INDEX_IDENTITY,
         PQ_CODEBOOKS_IDENTITY,
         PQ_CODES_IDENTITY,
         _build_doc_tokens,
+        _build_lsh_index,
         _build_pq_codebooks,
         _build_pq_codes,
     )
@@ -302,6 +304,16 @@ def graft_catalog() -> dict[str, Graft]:
         "graft_b_doc_tokens": Graft(
             DOC_TOKENS_IDENTITY, None, ["documents"], ["doc_id"], ["doc_id"],
             builder=_build_doc_tokens, appendable=True,
+        ),
+        # banded-MinHash index at ingest: long (id, band, v) signatures
+        # bucketed on (band, v) — incremental near-dup candidate
+        # generation (dedup_incremental_lsh) groups per bucket
+        # exchange-free and never rescans corpus text. Row-wise per doc
+        # (a signature depends only on its own doc), so appends refresh
+        # in place via the builder over the shadowed new-slice view.
+        "graft_b_lsh_index": Graft(
+            LSH_INDEX_IDENTITY, None, ["documents"], ["band", "v"],
+            ["band", "v", "id"], builder=_build_lsh_index, appendable=True,
         ),
         # derived (Python builders — the fit is a driver-side Lloyd's
         # loop SQL can't express): PQ codebooks (the trained model,
