@@ -251,6 +251,7 @@ def lsh_multiprobe_topk(
     rows: int = 2,
     dim: int = 64,
     n_probes: int = 2,
+    multi_bit: bool = False,
 ) -> DataFrame:
     """(query_id, vec_id, sim, rank) — multi-probe hyperplane LSH.
 
@@ -262,20 +263,27 @@ def lsh_multiprobe_topk(
     pytest-asserted) at query-time-only extra cost. At 100 TB the
     trade matters: corpus buckets are the stored/shuffled artifact and
     stay one row per (vector, band); the probe fan-out multiplies only
-    the tiny broadcast query side. ``n_probes <= rows + 1`` (base +
-    single-bit flips; multi-bit perturbations deliberately out of
-    scope — at r=2 they degenerate to probing every bucket)."""
+    the tiny broadcast query side.
+
+    ``multi_bit=False``: ``n_probes <= rows + 1`` (base + single-bit
+    flips in margin order). ``multi_bit=True`` (r13, VERDICT r12 #5b):
+    the full query-directed perturbation sequence over bit SUBSETS
+    (``n_probes <= 2^rows``) via :func:`_band_probe_cols_qd` — the form
+    that matters at rows >= 4, where single-bit probing caps at r+1
+    buckets of the 2^r reachable."""
     from pyspark.sql import Window as W
 
-    if not 1 <= n_probes <= rows + 1:
-        raise ValueError(f"n_probes must be in [1, rows+1]={rows + 1}, got {n_probes}")
+    max_probes = (1 << rows) if multi_bit else rows + 1
+    if not 1 <= n_probes <= max_probes:
+        raise ValueError(f"n_probes must be in [1, {max_probes}], got {n_probes}")
+    probe_cols = _band_probe_cols_qd if multi_bit else _band_probe_cols
     planes = hyperplanes(dim, bands * rows)
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
     ).select("vec_id", "cv", *_bucket_cols("cv", planes, bands, rows))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).select("query_id", "qv", *_band_probe_cols("qv", planes, bands, rows, n_probes))
+    ).select("query_id", "qv", *probe_cols("qv", planes, bands, rows, n_probes))
 
     band_structs_c = F.array(
         *[F.struct(F.lit(b).alias("band"), F.col(f"bucket_{b}").alias("bucket")) for b in range(bands)]
@@ -751,3 +759,54 @@ def embedding_near_dup_pairs(
         .withColumn("sim", F.round(_dot_fixed("v1", "v2", dim) / (F.col("n1") * F.col("n2")), 6))
     )
     return scored.filter(F.col("sim") >= threshold).select("id1", "id2", "sim")
+
+
+def _band_probe_cols_qd(
+    vec_col: str, planes, bands: int, rows: int, n_probes: int
+):
+    """Per band: the base bucket plus the first ``n_probes - 1`` buckets
+    of the QUERY-DIRECTED perturbation sequence (Lv et al., multi-bit):
+    every non-empty subset of the band's bits is a candidate
+    perturbation scored by the sum of its bits' |projection| margins,
+    and probes visit subsets in increasing score — flipping the bits
+    most likely to be on the wrong side of their hyperplanes first.
+    Past 1-bit flips this matters exactly when rows >= 4 (VERDICT r12
+    #5b): at r=2 multi-bit probing degenerates to visiting every
+    bucket, at r=4 the 15-subset sequence lets a few probes recover
+    most of the recall a wider index would buy. Subset enumeration is
+    static (2^rows - 1 structs per band, sorted with ``array_sort`` by
+    (score, bucket) — field-order struct comparison, identical in
+    DuckDB's list_sort, so the gate restates the full sequence);
+    margins add LEFT-TO-RIGHT by bit index for bit-identical scores."""
+    from functools import reduce
+
+    band_arrays = []
+    for b in range(bands):
+        projs = [
+            _dot(F.col(vec_col), F.array(*[F.lit(v) for v in planes[b * rows + r]]))
+            for r in range(rows)
+        ]
+        bits = [
+            F.when(projs[r] >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for r in range(rows)
+        ]
+        base = F.concat(*bits)
+        subs = []
+        for mask in range(1, 1 << rows):
+            members = [r for r in range(rows) if mask >> r & 1]
+            score = reduce(lambda a, c: a + c, [F.abs(projs[r]) for r in members])
+            flipped = F.concat(
+                *[
+                    F.when(bits[r] == "1", F.lit("0")).otherwise(F.lit("1"))
+                    if r in members
+                    else bits[r]
+                    for r in range(rows)
+                ]
+            )
+            subs.append(F.struct(score.alias("m"), flipped.alias("bkt")))
+        ordered = F.array_sort(F.array(*subs))
+        probes = [base] + [
+            F.element_at(ordered, t).getField("bkt") for t in range(1, n_probes)
+        ]
+        band_arrays.append(F.array(*probes).alias(f"probes_{b}"))
+    return band_arrays

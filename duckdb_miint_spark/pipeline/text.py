@@ -514,3 +514,61 @@ def bm25_topk(
         .filter(F.col("rk") <= k)
         .select(F.col("id").alias(id_col), "score", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# Hashed bag-of-words linear quality classifier (VERDICT r12 #5a): the
+# fasttext-style quality filter every curation pipeline runs before
+# training. Feature = token hashed into QUALITY_DIM buckets (first 8 hex
+# chars of md5 — the same engine-portable trick MinHash uses); weight =
+# a deterministic multiplicative-hash derivation in integer thousandths
+# standing in for trained coefficients (production swaps in a broadcast
+# weight array; the plan shape — one JVM projection, zero shuffle, zero
+# Python — is identical). All arithmetic is fixed-point BIGINT until the
+# final mean, so DuckDB restates it exactly.
+QUALITY_DIM = 1024
+QUALITY_W_MULT = 2654435761  # Knuth multiplicative constant
+QUALITY_W_MOD = 1001  # odd modulus -> weights in [-500, 500] milli
+
+
+def _quality_weight_milli(x: Column) -> Column:
+    """Integer weight (thousandths) for one token: hash to a bucket,
+    derive the bucket's coefficient multiplicatively."""
+    bucket = F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long") % QUALITY_DIM
+    return (bucket * F.lit(QUALITY_W_MULT)) % QUALITY_W_MOD - QUALITY_W_MOD // 2
+
+
+def hashed_quality_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document linear quality score over hashed token features.
+
+    One narrow projection: tokens are hashed, weighted, and summed
+    inside a single ``aggregate`` higher-order function — no explode, no
+    shuffle, no UDF — so at 100 TB the operator runs at scan speed with
+    full pushdown on every other column. Returns (id, n_tokens,
+    w_sum_milli, score, prob, quality_label): ``w_sum_milli`` is the
+    exact integer logit numerator, ``score`` its token-mean in milli
+    units (rounded, the gate column), ``prob`` the sigmoid of the mean
+    logit (float — NOT in the gate: libm exp() is not bit-portable
+    across engines), ``quality_label`` the >= 0 decision."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + _quality_weight_milli(x)
+        ).alias("w_sum_milli"),
+    )
+    mean_logit = F.col("w_sum_milli").cast("double") / F.col("n_tokens")
+    return base.select(
+        "id",
+        "n_tokens",
+        "w_sum_milli",
+        F.when(F.col("n_tokens") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(mean_logit, 6))
+        .alias("score"),
+        F.when(F.col("n_tokens") == 0, F.lit(None).cast("double"))
+        .otherwise(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean_logit / 1000.0)))
+        .alias("prob"),
+        (F.col("w_sum_milli") >= 0).cast("int").alias("quality_label"),
+    )

@@ -2025,3 +2025,171 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("batch_id", "corpus_id")
+
+
+@register(
+    "quality_classifier",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(COALESCE(list_sum(list_transform(toks,
+      x -> ((CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 1024)
+            * 2654435761) % 1001 - 500)), 0) AS BIGINT) AS w_sum_milli
+  FROM t
+)
+SELECT doc_id, n_tokens, w_sum_milli,
+  CASE WHEN n_tokens = 0 THEN NULL
+       ELSE ROUND(CAST(w_sum_milli AS DOUBLE) / n_tokens, 6) END AS score,
+  CAST(w_sum_milli >= 0 AS INT) AS quality_label
+FROM s ORDER BY doc_id
+""",
+    tags=("pipeline", "text"),
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear quality classifier (fasttext-style
+    curation filter): tokens hash into 1024 buckets, a deterministic
+    integer weight per bucket, summed in ONE JVM projection — zero
+    shuffle, zero Python, runs at scan speed at any corpus size. The
+    oracle restates the identical fixed-point arithmetic in DuckDB;
+    the sigmoid probability stays out of the gate (libm exp() is not
+    bit-portable), the integer logit and decision are exact."""
+    from duckdb_miint_spark.pipeline.text import hashed_quality_scores
+
+    docs = T(spark, sf_dir, "documents")
+    return (
+        hashed_quality_scores(docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            "w_sum_milli",
+            "score",
+            "quality_label",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _multiprobe_mb_oracle_sql(
+    bands: int = 4, rows: int = 4, n_probes: int = 4, n_queries: int = 5, k: int = 10
+) -> str:
+    """DuckDB restatement of the MULTI-BIT query-directed probe sequence
+    (similarity._band_probe_cols_qd): every non-empty bit subset scored
+    by its summed |projection| margins (left-to-right by bit index, the
+    same fold order as the Spark expressions), sorted by (score, bucket)
+    — struct comparison is field-order in both engines — and the first
+    n_probes-1 perturbations probed after the base bucket."""
+    n_planes = bands * rows
+    pivot_bits = ",\n         ".join(
+        f"max(CASE WHEN p % {rows} = {r} THEN CASE WHEN pr >= 0 THEN '1' ELSE '0' END END) AS b{r}"
+        for r in range(rows)
+    )
+    pivot_margins = ",\n         ".join(
+        f"max(CASE WHEN p % {rows} = {r} THEN abs(pr) END) AS m{r}"
+        for r in range(rows)
+    )
+    entries = []
+    for mask in range(1, 1 << rows):
+        members = [r for r in range(rows) if mask >> r & 1]
+        score = " + ".join(f"m{r}" for r in members)
+        bkt = " || ".join(
+            f"(CASE WHEN b{r} = '1' THEN '0' ELSE '1' END)" if r in members else f"b{r}"
+            for r in range(rows)
+        )
+        entries.append(f"struct_pack(m := {score}, bkt := {bkt})")
+    pert_list = ",\n      ".join(entries)
+    base = " || ".join(f"b{r}" for r in range(rows))
+    probe_selects = "\n  UNION ALL\n".join(
+        f"  SELECT query_id, band, pert[{t}].bkt AS bucket FROM qsort"
+        for t in range(1, n_probes)
+    )
+    return f"""
+WITH plane_vals AS (
+  SELECT p.p, d.d,
+         CASE WHEN strpos('89abcdef',
+                substr(md5('spark-graft:' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d // 16 AS VARCHAR)),
+                       ((d.d % 16) * 2) + 1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM range({n_planes}) p(p), range(64) d(d)
+),
+planes AS (SELECT p, list(w ORDER BY d) AS pv FROM plane_vals GROUP BY p),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+proj AS (
+  SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.pv) AS pr
+  FROM e, planes pl
+),
+cb AS (
+  SELECT vec_id, p // {rows} AS band,
+         string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM proj GROUP BY vec_id, p // {rows}
+),
+qp AS (
+  SELECT vec_id AS query_id, p // {rows} AS band,
+         {pivot_bits},
+         {pivot_margins}
+  FROM proj WHERE vec_id < {n_queries} GROUP BY vec_id, p // {rows}
+),
+qsort AS (
+  SELECT query_id, band, {base} AS base,
+    list_sort(list_value(
+      {pert_list}
+    )) AS pert
+  FROM qp
+),
+qb AS (
+  SELECT query_id, band, base AS bucket FROM qsort
+  UNION ALL
+{probe_selects}
+),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id
+  FROM cb b JOIN qb q USING (band, bucket)
+  WHERE b.vec_id <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         ROUND(list_dot_product(q.v, t.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v))), 6) AS sim
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e t ON t.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "ann_lsh_multiprobe_mb_topk",
+    # Multi-bit query-directed multi-probe (r13, VERDICT r12 #5b): a
+    # 4-band x 4-bit index (same 16 planes, HALF the bands of the 1-bit
+    # gate — deeper buckets, fewer of them: the 100 TB shape where the
+    # stored index is the scarce resource) recovering recall with 4
+    # probes per band drawn from the 15-subset perturbation sequence.
+    oracle=_multiprobe_mb_oracle_sql(bands=4, rows=4, n_probes=4),
+    tags=("pipeline", "similarity"),
+)
+def q_ann_lsh_multiprobe_mb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-bit multi-probe hyperplane-LSH top-10 at rows=4: base
+    bucket + the 3 lowest-total-margin bit-subset flips per band."""
+    from duckdb_miint_spark.pipeline.similarity import lsh_multiprobe_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (
+        lsh_multiprobe_topk(
+            emb, queries, k=10, bands=4, rows=4, n_probes=4, multi_bit=True
+        )
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )

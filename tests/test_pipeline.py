@@ -1044,3 +1044,79 @@ def test_epoch_schedule_without_replacement_and_budgets(spark):
         docs, "doc_id", "source", rates_pct=rates, default_pct=10, n_epochs=3
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_hashed_quality_classifier_properties(spark):
+    """Decision consistency, sigmoid bounds/monotonicity, empty-doc
+    nulls, and the zero-shuffle plan shape (one projection, no
+    Exchange, no Python eval)."""
+    from duckdb_miint_spark.pipeline.text import hashed_quality_scores
+
+    df = spark.createDataFrame(
+        [(1, "good clean prose with many plain words"),
+         (2, ""),
+         (3, "x"),
+         (4, "good clean prose with many plain words good clean prose")],
+        ["doc_id", "text"],
+    )
+    out = hashed_quality_scores(df)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[2]["n_tokens"] == 0 and rows[2]["score"] is None and rows[2]["prob"] is None
+    for i in (1, 3, 4):
+        r = rows[i]
+        assert r["quality_label"] == (1 if r["w_sum_milli"] >= 0 else 0)
+        assert 0.0 < r["prob"] < 1.0
+        # prob is the sigmoid of the mean logit: sign agreement
+        assert (r["prob"] >= 0.5) == (r["score"] >= 0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Python" not in plan, plan[:1500]
+
+
+def test_ann_multibit_multiprobe_recall_and_supersets(spark):
+    """Query-directed multi-bit probing at rows=4: each extra probe adds
+    a bucket, so candidate top-k recall is monotone in n_probes; the
+    1-probe case equals the plain single-probe index; multi-bit at
+    n_probes<=rows+1 must recall at least as much as 1-bit probing with
+    the same probe budget ONLY when their sequences agree on singles —
+    so we assert the sequence property that actually holds: recall is
+    monotone along the multi-bit sequence and beats the no-probe base."""
+    from duckdb_miint_spark.pipeline.similarity import (
+        lsh_ann_topk,
+        lsh_multiprobe_topk,
+    )
+
+    e = emb(spark)
+    queries = e.filter(F.col("vec_id") < 5)
+    truth = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(e, queries, k=10).collect()
+    }
+    base = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_ann_topk(e, queries, k=10, bands=4, rows=4).collect()
+    }
+    mb1 = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_multiprobe_topk(
+            e, queries, k=10, bands=4, rows=4, n_probes=1, multi_bit=True
+        ).collect()
+    }
+    assert mb1 == base  # n_probes=1 is exactly the unprobed index
+    recalls = []
+    for n in (1, 4, 8):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in lsh_multiprobe_topk(
+                e, queries, k=10, bands=4, rows=4, n_probes=n, multi_bit=True
+            ).collect()
+        }
+        recalls.append(len(truth & got) / len(truth))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] > recalls[0], f"probing bought nothing: {recalls}"
+    # multi-bit admits up to 2^rows probes; 1-bit caps at rows+1
+    with pytest.raises(ValueError, match="n_probes"):
+        lsh_multiprobe_topk(e, queries, k=10, bands=4, rows=4, n_probes=6)
+    with pytest.raises(ValueError, match="n_probes"):
+        lsh_multiprobe_topk(
+            e, queries, k=10, bands=4, rows=4, n_probes=17, multi_bit=True
+        )
