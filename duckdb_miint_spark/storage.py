@@ -40,6 +40,24 @@ SRC_SIG_PROP = "graft.src_sig"
 # not atomic across part files), so it dispositions the table to a full
 # rebuild instead of re-deriving the same delta and serving duplicates.
 PENDING_PROP = "graft.pending_append"
+# Table property recording the materialized row count at write time (a
+# parquet metadata count — free at any scale). Serving uses it to plan
+# TINY grains as a single partition: the dim-sized rollup re-merges
+# (events_hourly, orders_prio_cust, lineitem_pricing, word_counts) cost
+# 0.1-0.35 s at sf2 almost entirely in multi-task stage dispatch + one
+# exchange, while the actual aggregate is microseconds; one task does
+# the whole thing faster than the scheduler can launch 32 (VERDICT r12
+# #4). Data-sized grafts stay parallel — the decision is driven by the
+# MEASURED count, so a grain that grows past the threshold at 100 TB
+# automatically returns to the parallel plan on its next refresh.
+GRAIN_ROWS_PROP = "graft.grain_rows"
+# Below this many rows a graft is served coalesce(1): a single-task
+# scan+aggregate over ~200k narrow rows runs in low tens of ms, under
+# the multi-stage dispatch floor it replaces.
+TINY_GRAIN_ROWS = 200_000
+# Per-table opt-out of tiny-grain serving (Graft.tiny_serve=False),
+# persisted so the reader needs no catalog lookup.
+TINY_SERVE_PROP = "graft.tiny_serve"
 
 
 def layout_fingerprint(*parts: object) -> str:
@@ -110,13 +128,34 @@ def serve_bucketed(spark: SparkSession, table: str, fingerprint: str) -> DataFra
             return None
         if not spark.catalog.tableExists(table):
             return None
-        rows = spark.sql(
-            f"SHOW TBLPROPERTIES `{table}` ('{FINGERPRINT_PROP}')"
-        ).collect()
-        stored = rows[0]["value"] if rows else None
-        if stored != fingerprint:
+        # one catalog round-trip for ALL properties (fingerprint + grain
+        # count): a second SHOW statement measures ~20 ms — real money
+        # against the sub-100 ms queries this path serves
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES `{table}`").collect()
+        }
+        if props.get(FINGERPRINT_PROP) != fingerprint:
             return None
-        return spark.table(table)
+        df = spark.table(table)
+        # tiny-grain fast path: plan dim-sized grains as ONE partition
+        # (SinglePartition satisfies every ClusteredDistribution, so the
+        # consumer's re-merge runs single-stage with zero exchanges and
+        # zero multi-task dispatch). Threshold env-tunable; the stored
+        # count keeps the decision honest as the grain grows.
+        import os
+
+        tiny = int(os.environ.get("SPARK_GRAFT_TINY_GRAIN", str(TINY_GRAIN_ROWS)))
+        rows_prop = props.get(GRAIN_ROWS_PROP)
+        if props.get(TINY_SERVE_PROP) == "false":
+            rows_prop = None
+        if tiny > 0 and rows_prop is not None:
+            try:
+                if 0 < int(rows_prop) <= tiny:
+                    return df.coalesce(1)
+            except ValueError:
+                pass
+        return df
     except Exception:  # noqa: BLE001 — catalog access is best-effort
         return None
 
@@ -150,7 +189,7 @@ class Graft:
     and accept encode-drift) is rebuilt on any source change."""
 
     def __init__(self, identity, sql, sources, bucket_cols, sort_cols=None,
-                 builder=None, appendable=False, fact=None):
+                 builder=None, appendable=False, fact=None, tiny_serve=True):
         if sql is None and builder is not None and not isinstance(identity, str):
             raise ValueError("builder grafts need an explicit identity string")
         self.identity = identity
@@ -161,6 +200,12 @@ class Graft:
         self.builder = builder
         self.appendable = appendable
         self.fact = fact or self.sources[0]
+        # opt-out of the tiny-grain coalesce(1) serving: set False for
+        # grafts whose consumers are exchange-free ANYWAY (TakeOrdered
+        # partials) — there coalescing elides nothing and only
+        # serializes the per-bucket file opens (measured 0.77x on
+        # explode_word_counts at sf2)
+        self.tiny_serve = tiny_serve
 
 
 def graft_catalog() -> dict[str, Graft]:
@@ -282,11 +327,13 @@ def graft_catalog() -> dict[str, Graft]:
             appendable=True,
         ),
         # vocabulary-grain word frequencies (explode_word_counts):
-        # the token-instance explode is paid here, queries re-merge
+        # the token-instance explode is paid here, queries re-merge.
+        # tiny_serve off: the consumer is a TakeOrdered(20) whose
+        # partials are already exchange-free per partition.
         "graft_b_word_counts": Graft(
             WORD_COUNTS_SQL, WORD_COUNTS_SQL, ["documents"],
             ["word"], ["word"],
-            appendable=True,
+            appendable=True, tiny_serve=False,
         ),
         # fingerprint-at-ingest: (doc_id, content_hash), bucketed on the
         # hash so the dedup groupBy is exchange-free; row-wise append
@@ -377,6 +424,7 @@ def build_graft_layout(
             write_bucketed(
                 df, name, n_buckets, g.bucket_cols, g.sort_cols,
                 fingerprint=fp, src_sig=source_signature(sf_dir, g.sources),
+                tiny_serve=g.tiny_serve,
             )
             out[name] = fp
     finally:
@@ -477,7 +525,7 @@ def _compact_table(spark: SparkSession, table: str, g: Graft) -> str:
     # per bucket.
     write_bucketed(
         spark.read.parquet(loc), side, n_buckets, g.bucket_cols, g.sort_cols,
-        fingerprint=fp, src_sig=sig,
+        fingerprint=fp, src_sig=sig, tiny_serve=g.tiny_serve,
     )
     spark.sql(f"DROP TABLE IF EXISTS `{table}`")
     spark.sql(f"ALTER TABLE `{side}` RENAME TO `{table}`")
@@ -665,9 +713,19 @@ def refresh_graft_layout(
                     )
                 finally:
                     _register_full(g.fact)
+                try:
+                    grain_rows = spark.table(name).count()  # metadata count
+                except Exception:  # noqa: BLE001
+                    grain_rows = None
                 spark.sql(
                     f"ALTER TABLE `{name}` SET TBLPROPERTIES "
-                    f"('{FINGERPRINT_PROP}'='{fp}', '{SRC_SIG_PROP}'='{cur_sig}')"
+                    f"('{FINGERPRINT_PROP}'='{fp}', '{SRC_SIG_PROP}'='{cur_sig}'"
+                    + (
+                        f", '{GRAIN_ROWS_PROP}'='{grain_rows}'"
+                        if grain_rows is not None
+                        else ""
+                    )
+                    + ")"
                 )
                 spark.sql(
                     f"ALTER TABLE `{name}` UNSET TBLPROPERTIES IF EXISTS "
@@ -692,7 +750,7 @@ def refresh_graft_layout(
                 df = spark.table(g.sources[0])
             write_bucketed(
                 df, name, n_buckets, g.bucket_cols, g.sort_cols,
-                fingerprint=fp, src_sig=cur_sig,
+                fingerprint=fp, src_sig=cur_sig, tiny_serve=g.tiny_serve,
             )
             out[name] = "rebuilt"
     finally:
@@ -709,6 +767,7 @@ def write_bucketed(
     sort_cols: list[str] | tuple | None = None,
     fingerprint: str | None = None,
     src_sig: str | None = None,
+    tiny_serve: bool = True,
 ) -> None:
     """Write ``df`` as a bucketed (and optionally per-bucket sorted)
     catalog table. Joins/aggregations on ``bucket_cols`` against any
@@ -749,6 +808,14 @@ def write_bucketed(
         props.append(f"'{FINGERPRINT_PROP}'='{fingerprint}'")
     if src_sig is not None:
         props.append(f"'{SRC_SIG_PROP}'='{src_sig}'")
+    # materialized row count (parquet metadata count — no data scan):
+    # drives the tiny-grain single-partition serving decision
+    try:
+        props.append(f"'{GRAIN_ROWS_PROP}'='{spark.table(table).count()}'")
+    except Exception:  # noqa: BLE001 — the count is an optimization hint
+        pass
+    if not tiny_serve:
+        props.append(f"'{TINY_SERVE_PROP}'='false'")
     if props:
         spark.sql(
             f"ALTER TABLE `{table}` SET TBLPROPERTIES ({', '.join(props)})"
