@@ -482,7 +482,9 @@ def main() -> None:
         s_passes: list[float] = []
         d_passes: list[float] = []
         b_passes: list[float] = []
-        for _pass in range(timed_passes):
+        last_pdf: list = [None]
+
+        def one_pass(_pass: int) -> None:
             t0 = time.perf_counter()
             df = reg[name].spark_fn(spark, sf_dir)
             # Force analysis + Catalyst optimization + physical planning
@@ -501,6 +503,7 @@ def main() -> None:
             t0 = time.perf_counter()
             pdf = df.toPandas()
             dt = round(time.perf_counter() - t0, 4)
+            last_pdf[0] = pdf
             rows[name] = len(pdf)
             s_passes.append(dt)
             if sql is not None:
@@ -510,6 +513,19 @@ def main() -> None:
             if debug:
                 dd = f" duck={d_passes[-1]:.3f}s" if sql is not None else ""
                 print(f"#   {name} pass{_pass}: {dt:.3f}s{dd}", file=sys.stderr)
+
+        for _pass in range(timed_passes):
+            one_pass(_pass)
+        # Sub-second rows get median-of-5 (VERDICT r12 #2): per-pass
+        # stage-dispatch noise there is the same order as the
+        # measurement (the r12 sf10 record's only >2x row was a 0.8 s
+        # query whose median a same-day re-run didn't corroborate), and
+        # two extra interleaved passes cost milliseconds in absolute
+        # terms. Multi-second rows keep the configured pass count —
+        # their medians are already noise-dominated-corroborated.
+        while len(s_passes) < 5 and median(s_passes) < 1.0:
+            one_pass(len(s_passes))
+        pdf = last_pdf[0]
         timings[name] = round(median(s_passes), 4)
         build_timings[name] = round(median(b_passes), 4)
         samples[name] = {"spark": s_passes, "build": b_passes}

@@ -120,7 +120,23 @@ def _median_instability(passes: list[float]) -> float:
     return 1.0 if best == 1e18 else best
 
 
-def _spreads(samples_path: str) -> list[tuple[str, float, float]]:
+def _med_over_min(passes: list[float]) -> float:
+    """Reported-median / fastest-pass ratio (VERDICT r12 #2): a median
+    3x its own min means most passes were inflated relative to the best
+    the box demonstrably can do — ambient-load pollution the
+    neighbour-agreement check can miss when the inflation is consistent.
+    Floored at 0.2 s absolute difference so timer noise on ~0.1 s rows
+    cannot trip it."""
+    s = sorted(p for p in passes if p > 0)
+    if len(s) < 2:
+        return 1.0
+    mid = s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+    if mid - s[0] <= 0.2:
+        return 1.0
+    return mid / max(s[0], 1e-9)
+
+
+def _spreads(samples_path: str) -> list[tuple[str, float, float, float, float]]:
     rows = []
     samples = json.load(open(samples_path))["samples"]
     for q, s in samples.items():
@@ -128,6 +144,8 @@ def _spreads(samples_path: str) -> list[tuple[str, float, float]]:
             q,
             _median_instability(s.get("spark") or [1]),
             _median_instability(s.get("duckdb") or [1]),
+            _med_over_min(s.get("spark") or [1]),
+            _med_over_min(s.get("duckdb") or [1]),
         ))
     return rows
 
@@ -149,10 +167,20 @@ def run_bench(out_name: str, sf_dir: str | None, max_load: float, force: bool = 
     full = json.load(open(os.path.join(BENCH_DIR, "bench_summary_last.json")))
     d = json.load(open(cand_path))
     print(f"{out_name}: spark={d['value']} duck={d.get('duckdb', {}).get('value')} ratio={d.get('ratio_vs_duckdb')}", flush=True)
-    noisy = [(q, s, du) for q, s, du in _spreads(os.path.join(BENCH_DIR, "bench_samples_last.json")) if s > 1.5 or du > 1.5]
+    spreads = _spreads(os.path.join(BENCH_DIR, "bench_samples_last.json"))
+    noisy = [
+        (q, s, du, sm, dm)
+        for q, s, du, sm, dm in spreads
+        if s > 1.5 or du > 1.5 or sm > 3.0 or dm > 3.0
+    ]
     if noisy:
-        print(f"REJECTED: {out_name} pass spreads >1.5x (ambient load?) — candidate kept at {cand_path}, committed record untouched: {noisy}", flush=True)
+        print(f"REJECTED: {out_name} pass spread (neighbour-agreement >1.5x or median >3x min) — candidate kept at {cand_path}, committed record untouched: {noisy}", flush=True)
         return
+    # per-row spread disclosure travels WITH the committed record
+    full["pass_spreads"] = {
+        q: {"spark_med_over_min": round(sm, 3), "duck_med_over_min": round(dm, 3)}
+        for q, _s, _du, sm, dm in spreads
+    }
     with open(os.path.join(REPO, out_name), "w") as fh:
         json.dump(full, fh, indent=1)
 
