@@ -147,6 +147,12 @@ BENCH_QUERIES = [
     # recorded negative A/B).
     "ann_pq_shortlist_topk",
     "multimodal_image_features",
+    # The 100 TB ingest-loop question (r13, VERDICT r12 #3): which docs
+    # in this batch duplicate the already-ingested corpus. Spark serves
+    # the fingerprint-at-ingest graft; DuckDB gets the like-for-like
+    # materialized hash index (_duck_serve) — both sides pay ingest
+    # once, timed passes hash only the batch.
+    "dedup_incremental_exact",
 ]
 
 TIMED_PASSES = 3
@@ -278,6 +284,7 @@ BUCKETED_QUERIES = [
     "token_stats",
     "explode_word_counts",
     "dedup_exact_groups",
+    "dedup_incremental_exact",
 ]
 
 
@@ -299,12 +306,21 @@ def _duck_serve() -> dict:
     )
     from duckdb_miint_spark.queries_pipeline import _PQ_DIM, _PQ_ITERS, _PQ_K, _PQ_M
 
+    from duckdb_miint_spark.queries_pipeline import dedup_incremental_serve_sqls
+
+    dedup_setup, dedup_serve = dedup_incremental_serve_sqls()
     return {
         "ann_pq_shortlist_topk": {
             "setup": pq_index_setup_sqls(_PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM),
             "serve": pq_shortlist_serve_sql(
                 _PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM, topk=10, shortlist=100, n_queries=5
             ),
+        },
+        # batch-vs-corpus dedup: corpus hash index materialized once
+        # (the fingerprint-at-ingest analogue), passes hash the batch
+        "dedup_incremental_exact": {
+            "setup": dedup_setup,
+            "serve": dedup_serve,
         },
     }
 
@@ -335,8 +351,20 @@ class BucketedParityError(AssertionError):
 
 def _sorted_records(pdf) -> list:
     """Order-independent content of a result frame (rows as tuples,
-    sorted) for exact parity comparison between layouts."""
-    return sorted(map(tuple, pdf.itertuples(index=False, name=None)))
+    sorted) for exact parity comparison between layouts. NaN cells
+    (pandas' null for numeric columns — e.g. a nullable canonical_id)
+    canonicalize to None: NaN != NaN would fail parity on every null
+    row even when both layouts agree."""
+    def canon(v):
+        return None if isinstance(v, float) and v != v else v
+
+    rows = [
+        tuple(canon(v) for v in t)
+        for t in pdf.itertuples(index=False, name=None)
+    ]
+    return sorted(
+        rows, key=lambda r: tuple((v is None, 0 if v is None else v) for v in r)
+    )
 
 
 def write_bucketed_layout(spark, sf_dir: str, n_buckets: int) -> float:

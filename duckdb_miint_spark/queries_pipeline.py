@@ -2193,3 +2193,37 @@ def q_ann_lsh_multiprobe_mb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.col("rank").cast("long"))
         .orderBy("query_id", "rank")
     )
+
+
+def dedup_incremental_serve_sqls() -> tuple[list[str], str]:
+    """(setup DDL, serve SQL) — the bench's like-for-like DuckDB path
+    for dedup_incremental_exact. The correctness oracle re-hashes the
+    whole CORPUS per pass; no engine answers the ingest-dedup question
+    that way — both sides get the same pay-at-ingest trade: the corpus
+    hash index is materialized ONCE (timed as duck_index_build_sec, the
+    analogue of Spark's graft build) and timed passes hash only the
+    BATCH and join. Serve ≡ oracle equality is pytest-asserted
+    (tests/test_oracle.py)."""
+    setup = [
+        """
+CREATE OR REPLACE TABLE corpus_hash_index AS
+SELECT md5(text) AS h, MIN(doc_id) AS canonical_id
+FROM documents WHERE doc_id % 10 <> 7
+GROUP BY md5(text)
+"""
+    ]
+    serve = f"""
+WITH batch AS (
+  SELECT doc_id AS batch_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id + {_INCR_REKEY} AS batch_id, md5(text) AS h
+  FROM documents WHERE doc_id % 10 = 3
+)
+SELECT b.batch_id,
+       b.h AS content_hash,
+       CAST(ci.canonical_id IS NOT NULL AS INT) AS is_dup,
+       ci.canonical_id AS canonical_id
+FROM batch b LEFT JOIN corpus_hash_index ci ON b.h = ci.h
+ORDER BY batch_id
+"""
+    return setup, serve

@@ -143,3 +143,18 @@ def test_driver_canon_rejects_array_cells():
         driver_canon([(1, [1, 2, 3]), (2, [4, 5, 6])], ["id", "vec"])
     # ...and pass on an all-scalar result of the same shape.
     driver_canon([(1, "1,2,3"), (2, "4,5,6")], ["id", "vec"])
+
+
+def test_bench_dedup_incremental_serve_matches_oracle():
+    """The bench's like-for-like DuckDB path for dedup_incremental_exact
+    (corpus hash index built once, passes hash only the batch) must
+    return exactly the registry oracle's rows."""
+    from duckdb_miint_spark.queries_pipeline import dedup_incremental_serve_sqls
+
+    con = duck_con(SF_DIR)
+    setup, serve = dedup_incremental_serve_sqls()
+    for stmt in setup:
+        con.execute(stmt)
+    got = con.execute(serve).fetchall()
+    full = con.execute(REG["dedup_incremental_exact"].oracle).fetchall()
+    assert got and got == full
