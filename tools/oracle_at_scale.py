@@ -184,7 +184,11 @@ def main() -> None:
     if os.path.exists(out_path):
         try:
             prior = json.load(open(out_path))
-            if prior.get("sf_dir") == sf_dir:
+            # normalize both sides: records written via a relative path
+            # (refresh_records) must still resume a run invoked with the
+            # absolute one — a silent mismatch here discards hours of
+            # clean sweep rows and reruns the whole registry
+            if os.path.abspath(prior.get("sf_dir", "")) == os.path.abspath(sf_dir):
                 results = {
                     n: r
                     for n, r in prior.get("results", {}).items()
