@@ -437,16 +437,35 @@ def incremental_exact(
     corpus_hashes: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corpus_rows: int | None = None,
+    small_corpus_rows: int = 10_000_000,
 ) -> DataFrame:
     """Which docs in this new batch duplicate anything already ingested?
     (VERDICT r12 #3 — the natural 100 TB ingest question.)
 
     ``corpus_hashes`` is the fingerprint-at-ingest table
-    (doc_id, content_hash) — at scale the graft_b_doc_hashes layout,
-    bucketed on content_hash, so the canonical-id groupBy AND the
-    corpus side of the join are exchange-free; only the (small) batch
-    side shuffles. The batch's own hashes are computed here — it is new
-    data, so hashing it is the irreducible work.
+    (doc_id, content_hash) — at scale the graft_b_doc_hashes layout.
+    The batch's own hashes are computed here — it is new data, so
+    hashing it is the irreducible work.
+
+    Two plans, chosen by the MEASURED corpus size (``corpus_rows`` —
+    callers pass the layout's graft.grain_rows property; None means
+    "assume huge", the scale-safe default):
+
+    - **broadcast-probe** (corpus > ``small_corpus_rows``): the batch is
+      the SMALL side by construction (one ingest micro-batch vs the
+      whole corpus), so its hashes BROADCAST against the corpus — the
+      corpus is never shuffled, never sorted, never aggregated at its
+      own grain; a semi-probe keeps ~batch-sized matches, the
+      canonical-id min runs on that slice, and the tiny canonical map
+      broadcasts back onto the batch. The 100 TB shape: corpus cost is
+      one probe scan, everything else is batch-sized.
+    - **corpus-grain** (small corpus): aggregate the corpus grain (an
+      exchange-free map-side groupBy on the content_hash-bucketed
+      layout) and sort-merge the batch against it. Fewer serialized
+      stage barriers, which dominates when the corpus is only ~1e6 rows
+      (measured at sf10: 0.86 s vs 2.0 s for the probe plan, whose two
+      broadcast round-trips are pure latency at that size).
 
     Returns one row per batch doc: (batch_id, content_hash, is_dup,
     canonical_id) — canonical_id is the smallest corpus doc_id holding
@@ -454,10 +473,22 @@ def incremental_exact(
     b = batch.select(
         F.col(id_col).alias("batch_id"), F.md5(F.col(text_col)).alias("content_hash")
     )
-    canon = corpus_hashes.groupBy("content_hash").agg(
-        F.min(id_col).alias("canonical_id")
-    )
-    return b.join(canon, "content_hash", "left").select(
+    if corpus_rows is not None and 0 < corpus_rows <= small_corpus_rows:
+        canon = corpus_hashes.groupBy("content_hash").agg(
+            F.min(id_col).alias("canonical_id")
+        )
+        joined = b.join(canon, "content_hash", "left")
+    else:
+        matched = corpus_hashes.join(
+            F.broadcast(b.select("content_hash").distinct()),
+            "content_hash",
+            "left_semi",
+        )
+        canon = matched.groupBy("content_hash").agg(
+            F.min(id_col).alias("canonical_id")
+        )
+        joined = b.join(F.broadcast(canon), "content_hash", "left")
+    return joined.select(
         "batch_id",
         "content_hash",
         F.col("canonical_id").isNotNull().cast("int").alias("is_dup"),

@@ -1953,16 +1953,27 @@ def q_dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-derivation fallback. Batch hashes are computed fresh — the
     batch is new data."""
     from duckdb_miint_spark.pipeline.dedup import incremental_exact
+    from duckdb_miint_spark.storage import GRAIN_ROWS_PROP, _stored_prop
 
     pre = _doc_hashes(spark, sf_dir)
+    corpus_rows = None
     if pre is not None:
         corpus_hashes = pre.filter(F.col("doc_id") % 10 != 7)
+        # measured layout size drives the plan choice (grain vs probe)
+        try:
+            corpus_rows = int(
+                _stored_prop(spark, "graft_b_doc_hashes", GRAIN_ROWS_PROP) or 0
+            ) or None
+        except (TypeError, ValueError):
+            corpus_rows = None
     else:
         docs = T(spark, sf_dir, "documents")
         corpus_hashes = docs.filter(F.col("doc_id") % 10 != 7).select(
             "doc_id", F.md5("text").alias("content_hash")
         )
-    out = incremental_exact(_incremental_batch(spark, sf_dir), corpus_hashes)
+    out = incremental_exact(
+        _incremental_batch(spark, sf_dir), corpus_hashes, corpus_rows=corpus_rows
+    )
     return out.orderBy("batch_id")
 
 
