@@ -318,3 +318,101 @@ def test_ingest_appended_files_are_timestamp_micros(graft_session, tmp_path):
         if f.startswith("_ingest") and not f.endswith("_done")
     ]
     assert hidden == [], hidden
+
+
+def test_streaming_ingest_triggers_auto_compaction(graft_session, tmp_path):
+    """The full 100 TB operating loop in one test: a file-source stream
+    lands four micro-batches, each refresh appends the new slice, and
+    when files-per-bucket crosses the threshold the refresh itself
+    compacts — no external maintenance call — while the served gate
+    stays equal to the plain derivation over everything ingested."""
+    import json as _json
+
+    spark = graft_session
+    from duckdb_miint_spark.registry import load_all
+    from duckdb_miint_spark.storage import (
+        bucket_file_census,
+        build_graft_layout,
+    )
+    from duckdb_miint_spark.streaming.events import read_events_stream
+    from duckdb_miint_spark.streaming.ingest import stream_ingest_with_refresh
+
+    sf = _make_sf_dir(tmp_path)
+    build_graft_layout(spark, sf, 4, tables=REFRESH_TABLES)
+
+    tbl = pq.read_table(os.path.join(sf, "events.parquet", "part-000.parquet"))
+    rows = tbl.to_pylist()
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    for b in range(4):
+        with open(staging / f"batch-{b}.json", "w") as fh:
+            for r in rows[b * 50 : (b + 1) * 50]:
+                r = dict(r)
+                r["event_id"] += 40_000_000 + b * 1_000_000
+                r["ts"] = r["ts"].isoformat()
+                fh.write(_json.dumps(r) + "\n")
+
+    stream = read_events_stream(spark, str(staging), max_files=1)
+    # compact past 2 files/bucket: batches 1-2 append, batch 3 trips it
+    os.environ["SPARK_GRAFT_COMPACT_FILES"] = "2"
+    try:
+        q, actions = stream_ingest_with_refresh(
+            spark, stream, sf, "events", 4,
+            tables=REFRESH_TABLES, checkpoint_dir=str(tmp_path / "ck"),
+        )
+        try:
+            assert q.awaitTermination(240), "ingest stream did not finish"
+        finally:
+            q.stop()
+    finally:
+        del os.environ["SPARK_GRAFT_COMPACT_FILES"]
+    assert len(actions) == 4, actions
+    seen = [set(a.values()) for a in actions]
+    assert all(s <= {"appended", "appended+compacted"} for s in seen), actions
+    assert any("appended+compacted" in s for s in seen), actions
+    for t in REFRESH_TABLES:
+        census = bucket_file_census(spark, t)
+        assert census and max(census.values()) <= 3, (t, census)
+    reg = load_all()
+    got = sorted(tuple(r) for r in reg["events_hourly"].spark_fn(spark, sf).collect())
+    assert got == _events_hourly_plain(spark, sf)
+    n_src = spark.read.parquet(os.path.join(sf, "events.parquet")).count()
+    assert n_src == len(rows) + 200
+
+
+def test_tiny_grain_threshold_transition(spark, tmp_path):
+    """Tiny-grain serving follows the MEASURED count: under the
+    threshold a graft serves coalesce(1) (single-partition plan); when
+    the recorded grain exceeds the env threshold the same table serves
+    the parallel bucketed plan again."""
+    import os as _os
+
+    from duckdb_miint_spark.registry import load_all
+    from duckdb_miint_spark.storage import build_graft_layout, graft_catalog
+
+    sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.graft.bucketedLayout", "true")
+    try:
+        build_graft_layout(spark, sf, 4, tables=["graft_b_events_hourly"])
+        reg = load_all()
+
+        def n_parts():
+            df = reg["events_hourly"].spark_fn(spark, sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.count("Exchange hashpartitioning"), df
+
+        _os.environ["SPARK_GRAFT_TINY_GRAIN"] = "200000"
+        ex_tiny, df_tiny = n_parts()
+        _os.environ["SPARK_GRAFT_TINY_GRAIN"] = "1"  # grain now "too big"
+        ex_par, df_par = n_parts()
+        del _os.environ["SPARK_GRAFT_TINY_GRAIN"]
+        assert ex_tiny == 0, "tiny-grain plan should re-merge exchange-free"
+        # answers identical either way
+        assert sorted(map(tuple, df_tiny.collect())) == sorted(
+            map(tuple, df_par.collect())
+        )
+    finally:
+        spark.conf.set("spark.graft.bucketedLayout", "false")
+        _os.environ.pop("SPARK_GRAFT_TINY_GRAIN", None)
+        for t in ["graft_b_events_hourly"]:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
