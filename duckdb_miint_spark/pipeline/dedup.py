@@ -269,13 +269,27 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         .filter(F.col("t") != "")
         .withColumn("h", F.md5("t"))
     )
+    # Hex digit j >= '8' <=> the top bit of nibble j is set ('8'-'9' and
+    # 'a'-'f' are exactly the nibbles 8..15 in md5's lowercase hex), so
+    # the 32 votes come from bit arithmetic on 4 int chunks of the digest
+    # instead of 32 per-row substring allocations + string compares
+    # (r13 A/B, tools/ab_expr_variants.py: 1.236 -> 0.949 s at sf2).
+    chunked = tokens.select(
+        "id",
+        *[
+            F.conv(F.substring("h", 8 * c + 1, 8), 16, 10).cast("long").alias(f"__c{c}")
+            for c in range(4)
+        ],
+    )
     bit_sums = [
         F.sum(
-            F.when(F.substring("h", j + 1, 1) >= "8", 1).otherwise(-1)
+            F.shiftright(F.col(f"__c{j // 8}"), (7 - j % 8) * 4 + 3).bitwiseAND(F.lit(1))
+            * 2
+            - 1
         ).alias(f"b{j}")
         for j in range(32)
     ]
-    agg = tokens.groupBy("id").agg(*bit_sums)
+    agg = chunked.groupBy("id").agg(*bit_sums)
     bits = F.concat(*[F.when(F.col(f"b{j}") > 0, "1").otherwise("0") for j in range(32)])
     return agg.select("id", bits.alias("simhash"))
 

@@ -80,10 +80,16 @@ def quality_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     extreme length, low alpha ratio, high stopword share, short tokens —
     the standard pre-training corpus filters, each an exact expression."""
     t = F.col(text_col)
+    # alpha = total chars minus non-letters; translate() DELETES the 52
+    # ASCII letters (same set as the oracle's [^A-Za-z]) with one table
+    # lookup per char — no regex engine, no rewritten-string allocation
+    # proportional to the document (r13 A/B, tools/ab_expr_variants.py:
+    # 0.254 -> 0.207 s noop-sink at sf2; content-equal asserted there).
+    letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
     base = df.select(
         F.col(id_col).alias("id"),
         F.length(t).alias("__n_chars"),
-        F.length(F.regexp_replace(t, "[^A-Za-z]", "")).alias("__alpha"),
+        (F.length(t) - F.length(F.translate(t, letters, ""))).alias("__alpha"),
         F.filter(F.split(t, " "), lambda w: w != "").alias("__ws"),
     )
     n_chars = F.col("__n_chars")
