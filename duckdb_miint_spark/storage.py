@@ -371,9 +371,19 @@ def graft_catalog() -> dict[str, Graft]:
             PQ_CODEBOOKS_IDENTITY, None, ["embeddings"], ["subspace"],
             ["subspace", "cid"], builder=_build_pq_codebooks,
         ),
+        # tiny_serve off: the consumer is the mapInPandas ADC scorer —
+        # real per-row numpy compute in a Python worker, not the
+        # dim-sized JVM re-merge the tiny-grain fast path was built for.
+        # Coalesce(1) feeding MapInPandas serializes the whole shortlist
+        # scan onto one core (r13-opt: measured EQUAL at sf2 where the
+        # codes are 40k rows — medians 1.13 vs 1.15 s, ambient-noise
+        # bound — but at sf10 the 200k-row codes sit exactly at the
+        # tiny threshold and the single-worker scan is the wrong shape;
+        # parallel serving is the scale-safe default for Python-side
+        # consumers).
         "graft_b_pq_codes": Graft(
             PQ_CODES_IDENTITY, None, ["embeddings"], ["vec_id"],
-            builder=_build_pq_codes,
+            builder=_build_pq_codes, tiny_serve=False,
         ),
     }
 
