@@ -141,6 +141,42 @@ def minhash_long(
     )
 
 
+def xx_band_stream(sh_raw: DataFrame, num_perm: int = DEFAULT_NUM_PERM) -> DataFrame:
+    """(id, band, v) long-form LSH band stream from xxhash64 — the
+    candidate-generation analogue of :func:`minhash_long` for consumers
+    whose contract pins only the FINAL pair set (near_dup_pairs: the
+    oracle is the exact all-pairs Jaccard), not the hash values.
+
+    Each 64-bit digest yields two independent 32-bit band values
+    (top/bottom half), so ``num_perm`` permutations cost ``num_perm/2``
+    non-crypto hashes returning longs — no 32-hex-char materialization,
+    long MIN aggregates, 8-byte shuffle values. Same band structure
+    (b=num_perm, r=1) ⇒ identical recall guarantees to the md5 family.
+    Measured r13 (tools/ab_lsh_band_hash.py, sf2x20, noop sink): the
+    signature stage 2.20 → 1.11 s vs minhash_long; shingling is 0.29 s.
+
+    NOT for ``incremental_near_dup``: its corpus side is the
+    graft_b_lsh_index layout materialized at ingest with md5 values —
+    batch and index must hash identically."""
+    n_h = (num_perm + 1) // 2
+    hashed = sh_raw.select(
+        "id",
+        *[F.xxhash64(F.lit(g), "s").alias(f"__h{g}") for g in range(n_h)],
+    )
+    aggs = []
+    for p in range(num_perm):
+        col = F.col(f"__h{p // 2}")
+        e = F.shiftright(col, 32) if p % 2 == 0 else col.bitwiseAND(F.lit(0xFFFFFFFF))
+        aggs.append(F.min(e).alias(f"m{p}"))
+    sigs = hashed.groupBy("id").agg(*aggs)
+    bands = F.array(
+        *[F.struct(F.lit(p).alias("band"), F.col(f"m{p}").alias("v")) for p in range(num_perm)]
+    )
+    return sigs.select("id", F.explode(bands).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.v").alias("v")
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, num_perm: int = DEFAULT_NUM_PERM, max_bucket: int = 64
 ) -> DataFrame:
@@ -226,10 +262,13 @@ def near_dup_pairs(
     at 50k docs), not the full shingle set."""
     sh_raw = shingles(df, id_col, text_col, n, distinct=False).cache()
     # cached: consumed three times (cand_ids twice via the union + the
-    # intersection join) — without it the whole LSH subtree re-runs per use
+    # intersection join) — without it the whole LSH subtree re-runs per use.
+    # Candidate bands come from xx_band_stream, not minhash_long: the
+    # output contract (exact-Jaccard-verified pair set) pins no hash
+    # values, and the xxhash64 family halves the signature stage.
     cand = (
         lsh_candidate_pairs_long(
-            minhash_long(df, id_col, text_col, num_perm, n, _shingles=sh_raw),
+            xx_band_stream(sh_raw, num_perm),
             min_band_matches=max(1, int(num_perm * threshold / 2)),
         )
         .select("id1", "id2")

@@ -35,33 +35,11 @@ from duckdb_miint_spark.pipeline.dedup import (  # noqa: E402
     minhash_long,
     near_dup_pairs,
     shingles,
+    xx_band_stream,  # landed in the library after this A/B won its stage
 )
 
 
-def xx_band_stream(sh_raw: DataFrame, num_perm: int = 16) -> DataFrame:
-    """(id, band, v) long-form band stream from xxhash64: each 64-bit
-    digest yields two independent 32-bit band values (top/bottom half)."""
-    n_h = (num_perm + 1) // 2
-    hashed = sh_raw.select(
-        "id",
-        *[F.xxhash64(F.lit(g), "s").alias(f"__h{g}") for g in range(n_h)],
-    )
-    aggs = []
-    for p in range(num_perm):
-        g, hi = p // 2, p % 2 == 0
-        col = F.col(f"__h{g}")
-        e = F.shiftright(col, 32) if hi else col.bitwiseAND(F.lit(0xFFFFFFFF))
-        aggs.append(F.min(e).alias(f"m{p}"))
-    sigs = hashed.groupBy("id").agg(*aggs)
-    bands = F.array(
-        *[F.struct(F.lit(p).alias("band"), F.col(f"m{p}").alias("v")) for p in range(num_perm)]
-    )
-    return sigs.select("id", F.explode(bands).alias("b")).select(
-        "id", F.col("b.band").alias("band"), F.col("b.v").alias("v")
-    )
-
-
-def near_dup_pairs_xx(
+def near_dup_pairs_md5(
     df: DataFrame,
     threshold: float = 0.9,
     num_perm: int = 16,
@@ -70,7 +48,7 @@ def near_dup_pairs_xx(
     sh_raw = shingles(df, "doc_id", "text", n, distinct=False).cache()
     cand = (
         lsh_candidate_pairs_long(
-            xx_band_stream(sh_raw, num_perm),
+            minhash_long(df, "doc_id", "text", num_perm, n, _shingles=sh_raw),
             min_band_matches=max(1, int(num_perm * threshold / 2)),
         )
         .select("id1", "id2")
@@ -112,16 +90,16 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=5)
     args = ap.parse_args()
 
-    from duckdb_miint_spark.session import get_spark, size_session_for_input
+    from duckdb_miint_spark.session import dir_parquet_bytes, get_spark, size_session_for_input
 
     spark = get_spark("ab-lsh-band-hash", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    size_session_for_input(spark, args.sf)
+    size_session_for_input(spark, dir_parquet_bytes(args.sf))
     from duckdb_miint_spark.session import read_table
 
     docs = read_table(spark, args.sf, "documents")
 
-    cur = finalize(near_dup_pairs(docs, threshold=0.9))
-    new = finalize(near_dup_pairs_xx(docs, threshold=0.9))
+    cur = finalize(near_dup_pairs(docs, threshold=0.9))       # xx-banded
+    new = finalize(near_dup_pairs_md5(docs, threshold=0.9))    # md5-banded
 
     a = [tuple(r) for r in cur.collect()]
     b = [tuple(r) for r in new.collect()]
@@ -132,8 +110,8 @@ def main() -> None:
     print(f"content equal: {len(a)} pairs", flush=True)
 
     builders = {
-        "cur_md5": lambda: finalize(near_dup_pairs(docs, threshold=0.9)),
-        "new_xx": lambda: finalize(near_dup_pairs_xx(docs, threshold=0.9)),
+        "cur_xx": lambda: finalize(near_dup_pairs(docs, threshold=0.9)),
+        "old_md5": lambda: finalize(near_dup_pairs_md5(docs, threshold=0.9)),
     }
     for name, mk in builders.items():  # warm-up
         noop(mk())
