@@ -196,36 +196,66 @@ def lsh_ann_topk(
     )
 
 
-def _band_probe_cols(vec_col: str, planes, bands: int, rows: int, n_probes: int):
-    """Per band: an ARRAY of probe buckets — the base r-bit bucket plus
-    single-bit flips in increasing |projection| order (Lv et al.'s
-    multi-probe perturbation sequence truncated to 1-bit perturbations,
-    so ``n_probes <= rows + 1``). The bit with the smallest margin is
-    the one most likely to be on the wrong side of its hyperplane for a
-    true neighbour, so it is flipped first; ties break on bit index.
-    All-JVM: projections are the same left-to-right ``_dot`` fold the
-    base buckets use, ordering is an ``array_sort`` over (|proj|, idx)
-    structs — no UDF, and every step restates exactly in the gate's
-    DuckDB oracle."""
-    band_arrays = []
-    for b in range(bands):
-        projs = F.array(
-            *[
-                _dot(F.col(vec_col), F.array(*[F.lit(v) for v in planes[b * rows + r]]))
-                for r in range(rows)
-            ]
+def _proj_stage(q: DataFrame, vec_col: str, planes, bands: int, rows: int) -> DataFrame:
+    """Materialize the ``bands*rows`` hyperplane projections as real
+    columns (``__p_{b}_{r}``) in ONE projection stage. Every downstream
+    probe expression then references an attribute instead of re-embedding
+    the 64-literal ``_dot`` fold — the fold subtree exists once per plane
+    in the plan. CollapseProject will not re-inline them: each projection
+    is non-cheap and referenced more than once (sign + |margin| uses), so
+    the stage boundary survives optimization (r13: the inlined form built
+    ~300k-node projections — 67 s of DRIVER analysis per run on the
+    multi-bit query at sf0.01; staged, the same values analyze in
+    milliseconds). Fold order per projection is unchanged, so every value
+    is bit-identical to the single-expression form."""
+    pcols = [
+        _dot(F.col(vec_col), F.array(*[F.lit(v) for v in planes[b * rows + r]])).alias(
+            f"__p_{b}_{r}"
         )
-        bits = F.transform(
-            projs, lambda p: F.when(p >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(bands)
+        for r in range(rows)
+    ]
+    return q.select("*", *pcols)
+
+
+def _band_probe_stage(
+    q: DataFrame, vec_col: str, planes, bands: int, rows: int, n_probes: int
+) -> DataFrame:
+    """Add ``probes_{b}`` columns: an ARRAY of probe buckets per band —
+    the base r-bit bucket plus single-bit flips in increasing
+    |projection| order (Lv et al.'s multi-probe perturbation sequence
+    truncated to 1-bit perturbations, so ``n_probes <= rows + 1``). The
+    bit with the smallest margin is the one most likely to be on the
+    wrong side of its hyperplane for a true neighbour, so it is flipped
+    first; ties break on bit index. All-JVM: projections are the same
+    left-to-right ``_dot`` fold the base buckets use (staged once via
+    :func:`_proj_stage`), ordering is an ``array_sort`` over
+    (|proj|, idx) structs — no UDF, and every step restates exactly in
+    the gate's DuckDB oracle."""
+    q = _proj_stage(q, vec_col, planes, bands, rows)
+    mid = []
+    for b in range(bands):
+        projs = [F.col(f"__p_{b}_{r}") for r in range(rows)]
+        bits = F.array(
+            *[F.when(p >= 0, F.lit("1")).otherwise(F.lit("0")) for p in projs]
         )
         order = F.transform(
             F.array_sort(
-                F.transform(
-                    projs, lambda p, i: F.struct(F.abs(p).alias("m"), i.alias("i"))
+                F.array(
+                    *[
+                        F.struct(F.abs(projs[r]).alias("m"), F.lit(r).alias("i"))
+                        for r in range(rows)
+                    ]
                 )
             ),
             lambda s: s["i"],
         )
+        mid.append(bits.alias(f"__bits_{b}"))
+        mid.append(order.alias(f"__ord_{b}"))
+    q = q.select("*", *mid)
+    band_arrays = []
+    for b in range(bands):
+        bits, order = F.col(f"__bits_{b}"), F.col(f"__ord_{b}")
         probes = [F.array_join(bits, "")]
         for t in range(1, n_probes):
             j = F.element_at(order, t)  # t-th smallest |proj| (1-based)
@@ -238,7 +268,7 @@ def _band_probe_cols(vec_col: str, planes, bands: int, rows: int, n_probes: int)
             )
             probes.append(F.array_join(flipped, ""))
         band_arrays.append(F.array(*probes).alias(f"probes_{b}"))
-    return band_arrays
+    return q.select("query_id", vec_col, *band_arrays)
 
 
 def lsh_multiprobe_topk(
@@ -268,7 +298,7 @@ def lsh_multiprobe_topk(
     ``multi_bit=False``: ``n_probes <= rows + 1`` (base + single-bit
     flips in margin order). ``multi_bit=True`` (r13, VERDICT r12 #5b):
     the full query-directed perturbation sequence over bit SUBSETS
-    (``n_probes <= 2^rows``) via :func:`_band_probe_cols_qd` — the form
+    (``n_probes <= 2^rows``) via :func:`_band_probe_stage_qd` — the form
     that matters at rows >= 4, where single-bit probing caps at r+1
     buckets of the 2^r reachable."""
     from pyspark.sql import Window as W
@@ -276,14 +306,19 @@ def lsh_multiprobe_topk(
     max_probes = (1 << rows) if multi_bit else rows + 1
     if not 1 <= n_probes <= max_probes:
         raise ValueError(f"n_probes must be in [1, {max_probes}], got {n_probes}")
-    probe_cols = _band_probe_cols_qd if multi_bit else _band_probe_cols
+    probe_stage = _band_probe_stage_qd if multi_bit else _band_probe_stage
     planes = hyperplanes(dim, bands * rows)
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
     ).select("vec_id", "cv", *_bucket_cols("cv", planes, bands, rows))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).select("query_id", "qv", *probe_cols("qv", planes, bands, rows, n_probes))
+    q = probe_stage(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv",
+        planes,
+        bands,
+        rows,
+        n_probes,
+    )
 
     band_structs_c = F.array(
         *[F.struct(F.lit(b).alias("band"), F.col(f"bucket_{b}").alias("bucket")) for b in range(bands)]
@@ -761,9 +796,9 @@ def embedding_near_dup_pairs(
     return scored.filter(F.col("sim") >= threshold).select("id1", "id2", "sim")
 
 
-def _band_probe_cols_qd(
-    vec_col: str, planes, bands: int, rows: int, n_probes: int
-):
+def _band_probe_stage_qd(
+    q: DataFrame, vec_col: str, planes, bands: int, rows: int, n_probes: int
+) -> DataFrame:
     """Per band: the base bucket plus the first ``n_probes - 1`` buckets
     of the QUERY-DIRECTED perturbation sequence (Lv et al., multi-bit):
     every non-empty subset of the band's bits is a candidate
@@ -777,20 +812,30 @@ def _band_probe_cols_qd(
     static (2^rows - 1 structs per band, sorted with ``array_sort`` by
     (score, bucket) — field-order struct comparison, identical in
     DuckDB's list_sort, so the gate restates the full sequence);
-    margins add LEFT-TO-RIGHT by bit index for bit-identical scores."""
+    margins add LEFT-TO-RIGHT by bit index for bit-identical scores.
+
+    Staged like :func:`_band_probe_stage` (projections → bits → sorted
+    perturbation sequence → probes, one projection stage each) so every
+    non-cheap subtree appears ONCE in the plan; the single-expression
+    form re-embedded the whole 15-struct ``ordered`` sort per
+    ``element_at`` — ~300k expression nodes at b=4/r=4/p=4, 67 s of
+    driver-side analysis at sf0.01 (r13). Values are bit-identical: the
+    staging only replaces textual re-expansion with attribute refs."""
     from functools import reduce
 
-    band_arrays = []
+    q = _proj_stage(q, vec_col, planes, bands, rows)
+    bitc = [
+        F.when(F.col(f"__p_{b}_{r}") >= 0, F.lit("1"))
+        .otherwise(F.lit("0"))
+        .alias(f"__bit_{b}_{r}")
+        for b in range(bands)
+        for r in range(rows)
+    ]
+    q = q.select("*", *bitc)
+    ordc = []
     for b in range(bands):
-        projs = [
-            _dot(F.col(vec_col), F.array(*[F.lit(v) for v in planes[b * rows + r]]))
-            for r in range(rows)
-        ]
-        bits = [
-            F.when(projs[r] >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for r in range(rows)
-        ]
-        base = F.concat(*bits)
+        projs = [F.col(f"__p_{b}_{r}") for r in range(rows)]
+        bits = [F.col(f"__bit_{b}_{r}") for r in range(rows)]
         subs = []
         for mask in range(1, 1 << rows):
             members = [r for r in range(rows) if mask >> r & 1]
@@ -804,9 +849,14 @@ def _band_probe_cols_qd(
                 ]
             )
             subs.append(F.struct(score.alias("m"), flipped.alias("bkt")))
-        ordered = F.array_sort(F.array(*subs))
+        ordc.append(F.array_sort(F.array(*subs)).alias(f"__ordered_{b}"))
+    q = q.select("*", *ordc)
+    band_arrays = []
+    for b in range(bands):
+        base = F.concat(*[F.col(f"__bit_{b}_{r}") for r in range(rows)])
         probes = [base] + [
-            F.element_at(ordered, t).getField("bkt") for t in range(1, n_probes)
+            F.element_at(F.col(f"__ordered_{b}"), t).getField("bkt")
+            for t in range(1, n_probes)
         ]
         band_arrays.append(F.array(*probes).alias(f"probes_{b}"))
-    return band_arrays
+    return q.select("query_id", vec_col, *band_arrays)

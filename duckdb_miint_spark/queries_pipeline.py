@@ -2089,7 +2089,7 @@ def _multiprobe_mb_oracle_sql(
     bands: int = 4, rows: int = 4, n_probes: int = 4, n_queries: int = 5, k: int = 10
 ) -> str:
     """DuckDB restatement of the MULTI-BIT query-directed probe sequence
-    (similarity._band_probe_cols_qd): every non-empty bit subset scored
+    (similarity._band_probe_stage_qd): every non-empty bit subset scored
     by its summed |projection| margins (left-to-right by bit index, the
     same fold order as the Spark expressions), sorted by (score, bucket)
     — struct comparison is field-order in both engines — and the first
