@@ -18,6 +18,13 @@ Variants under test this round:
 - ``quality``: alpha count via regexp_replace('[^A-Za-z]','')   vs
   length(text) - length(translate(text, <52 letters>, '')) — counts
   the SAME ASCII-letter set without the regex engine.
+- ``fingerprint``: bottom-k via collect_set(ALL hashes) + sort + slice
+  (shuffles every distinct shingle hash per doc)   vs  dense_rank() <= k
+  pre-filter: Spark 3.5+ rewrites rank-limit filters into a PARTIAL
+  WindowGroupLimit below the exchange, so each map partition ships only
+  the rows whose hash is among its local k smallest distinct values
+  (~k values per doc instead of ~all shingles per doc — guide §2.2,
+  shuffle fewer bytes), at the cost of a map-side local sort.
 
 Each variant also cross-checks CONTENT EQUALITY against the current
 form (sorted-row comparison) before timing, so a rewrite that changes
@@ -141,6 +148,27 @@ def quality_stats_translate(df: DataFrame, id_col: str = "doc_id", text_col: str
     )
 
 
+def bottomk_fingerprint_wgl(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, n: int = 3,
+) -> DataFrame:
+    """Candidate: dense_rank() <= k pre-filter before the aggregate.
+    Rows surviving the filter are exactly those whose md5 is among the
+    k smallest DISTINCT values per doc, so the identical final
+    collect_set/sort/slice yields the same fingerprint."""
+    from pyspark.sql import Window as W
+
+    from duckdb_miint_spark.pipeline.dedup import shingles
+
+    sh = shingles(df, id_col, text_col, n, distinct=False)
+    h = sh.select("id", F.md5("s").alias("h"))
+    w = W.partitionBy("id").orderBy("h")
+    top = h.withColumn("dr", F.dense_rank().over(w)).filter(F.col("dr") <= k)
+    return top.groupBy("id").agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("fingerprint")
+    )
+
+
 def noop_time(df: DataFrame, passes: int) -> list[float]:
     out = []
     for _ in range(passes):
@@ -165,7 +193,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from duckdb_miint_spark.pipeline.dedup import minhash_signatures, simhash32
-    from duckdb_miint_spark.pipeline.text import quality_stats
+    from duckdb_miint_spark.pipeline.text import bottomk_fingerprint, quality_stats
     from duckdb_miint_spark.session import (
         dir_parquet_bytes, get_spark, read_table, size_session_for_input,
     )
@@ -180,6 +208,10 @@ def main() -> None:
         "simhash": (lambda: simhash32(docs), lambda: simhash32_bits(docs)),
         "minhash": (lambda: minhash_signatures(docs), lambda: minhash_longmin(docs)),
         "quality": (lambda: quality_stats(docs), lambda: quality_stats_translate(docs)),
+        "fingerprint": (
+            lambda: bottomk_fingerprint(docs),
+            lambda: bottomk_fingerprint_wgl(docs),
+        ),
     }
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
     for name in args.which.split(","):
