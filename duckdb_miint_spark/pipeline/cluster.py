@@ -109,7 +109,17 @@ def _centroid_mat(centroids: dict[int, list[float]]):
 
 
 def _np_best(vec_series, cmat):
-    """(cluster, dist) per row — the shared nearest-centroid kernel.
+    """(cluster, dist) per row from a pandas Series of vectors — see
+    :func:`_np_best_mat` for the kernel contract."""
+    import numpy as np
+
+    V = np.stack(vec_series.to_numpy()).astype(np.float64, copy=False)
+    return _np_best_mat(V, cmat)
+
+
+def _np_best_mat(V, cmat):
+    """(cluster, dist) per row — the shared nearest-centroid kernel, on
+    an (n, dim) float64 matrix.
 
     Every accumulation is the repo-wide LEFT-TO-RIGHT double fold applied
     as a j-loop of vectorized elementwise ops, so each ROW sees the
@@ -119,7 +129,6 @@ def _np_best(vec_series, cmat):
     """
     import numpy as np
 
-    V = np.stack(vec_series.to_numpy()).astype(np.float64, copy=False)
     n, dim = V.shape
     vv = V[:, 0] * V[:, 0]
     for j in range(1, dim):
@@ -205,8 +214,6 @@ def kmeans_fit(
     fixed-point sums; a cluster that loses all members keeps its previous
     centroid.
     """
-    if dim is None:
-        dim = emb.select(F.size(vec_col)).first()[0]
     base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v")).cache()
 
     init = base.orderBy(id_col).limit(k).collect()
@@ -214,6 +221,10 @@ def kmeans_fit(
         base.unpersist()
         raise ValueError(f"need at least k={k} vectors, got {len(init)}")
     centroids = {i: list(row["__v"]) for i, row in enumerate(init)}
+    if dim is None:
+        # dim rides the init collect — a separate F.size() first() was one
+        # more whole driver job (stage-barrier floor) per fit (r14).
+        dim = len(init[0]["__v"])
 
     for _ in range(iters):
         rows = _fixed_partials(base, "__v", centroids, dim)
@@ -227,6 +238,114 @@ def kmeans_fit(
     # session would otherwise leak storage.
     base.unpersist()
     return centroids
+
+
+def kmeans_fit_multi(
+    emb: DataFrame,
+    specs: list[tuple[int, int, int]],
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[dict[int, list[float]]]:
+    """Fit SEVERAL deterministic Lloyd's k-means models over slices of one
+    vector column in ONE job per iteration (r14, guide §1.3: the per-fit
+    driver collects were the whole cost of the PQ/IVF build paths — 13
+    stage-barrier floors for a 4-subspace pq_fit, ~17 for IVF-PQ's
+    coarse+subspace training at query time).
+
+    ``specs`` is a list of ``(lo, sub, k)``: model i clusters the slice
+    ``vec[lo : lo+sub]`` into ``k`` centroids. Returns one centroid model
+    per spec, BIT-IDENTICAL to ``kmeans_fit`` run per slice: init is the
+    k lowest-id (sub)vectors (one shared collect — slicing commutes with
+    the id ordering), assignment is the shared :func:`_np_best_mat`
+    j-loop fold on the numpy slice (float->double cast then slice ==
+    engine slice then cast: both exact), and updates go through the same
+    order-free fixed-point int64 sums, aggregated for ALL specs in one
+    map-side-combined pass (rows keyed (spec, cluster), sum columns
+    zero-padded to the widest slice — padding sums to 0 and is dropped).
+
+    Driver jobs: 1 (init collect, which also yields dim) + ``iters``
+    (one partials aggregate each), independent of ``len(specs)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if not specs:
+        return []
+    k_max = max(k for _, _, k in specs)
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v")).cache()
+    init = base.orderBy(id_col).limit(k_max).collect()
+    if len(init) < k_max:
+        base.unpersist()
+        raise ValueError(f"need at least k={k_max} vectors, got {len(init)}")
+    dim = len(init[0]["__v"])
+    for lo, sub, _k in specs:
+        if lo < 0 or lo + sub > dim:
+            base.unpersist()
+            raise ValueError(f"spec slice [{lo}, {lo + sub}) outside dim {dim}")
+    models: list[dict[int, list[float]]] = [
+        {i: list(init[i]["__v"])[lo : lo + sub] for i in range(k)} for lo, sub, k in specs
+    ]
+
+    max_sub = max(sub for _, sub, _ in specs)
+    out_schema = T.StructType(
+        [
+            T.StructField("spec", T.IntegerType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+        ]
+        + [T.StructField(f"s{j}", T.LongType()) for j in range(max_sub)]
+    )
+
+    for _ in range(iters):
+        cmats = [_centroid_mat(m) for m in models]
+
+        def _partials(batches, cmats=cmats):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["__v"].to_numpy()).astype(np.float64, copy=False)
+                out = {"spec": [], "cluster": [], "n": []}
+                sums = []
+                for si, (lo, sub, _k) in enumerate(specs):
+                    Vs = V[:, lo : lo + sub]
+                    best_c, _ = _np_best_mat(Vs, cmats[si])
+                    fixed = _fixed_round(Vs * float(FIXED_SCALE))
+                    for cid in np.unique(best_c):
+                        m = best_c == cid
+                        out["spec"].append(si)
+                        out["cluster"].append(int(cid))
+                        out["n"].append(int(m.sum()))
+                        row = np.zeros(max_sub, dtype=np.int64)
+                        row[:sub] = fixed[m].sum(axis=0)
+                        sums.append(row)
+                S = np.stack(sums)
+                for j in range(max_sub):
+                    out[f"s{j}"] = S[:, j]
+                yield pd.DataFrame(out)
+
+        aggs = [F.sum("n").alias("n")] + [
+            F.sum(f"s{j}").alias(f"s{j}") for j in range(max_sub)
+        ]
+        rows = (
+            base.mapInPandas(_partials, out_schema)
+            .groupBy("spec", "cluster")
+            .agg(*aggs)
+            .collect()
+        )
+        new_models = [dict(m) for m in models]  # empty cluster keeps its centroid
+        for r in rows:
+            si, n = r["spec"], r["n"]
+            sub = specs[si][1]
+            new_models[si][r["cluster"]] = [
+                float(r[f"s{j}"]) / FIXED_SCALE / n for j in range(sub)
+            ]
+        models = new_models
+
+    base.unpersist()
+    return models
 
 
 def kmeans_fit_predict(

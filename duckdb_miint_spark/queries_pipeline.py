@@ -1564,7 +1564,7 @@ def _pq_books(spark: SparkSession, sf_dir: str):
     from duckdb_miint_spark.pipeline.pq import pq_fit
 
     emb = T(spark, sf_dir, "embeddings")
-    return emb, pq_fit(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    return emb, pq_fit(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM)
 
 
 @register(
@@ -1703,7 +1703,7 @@ def _pq_build_key(sf_dir: str) -> str:
 def _build_pq_codebooks(spark: SparkSession, sf_dir: str):
     from duckdb_miint_spark.pipeline.pq import codebooks_to_df, pq_fit
 
-    books = pq_fit(spark.table("embeddings"), m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    books = pq_fit(spark.table("embeddings"), m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM)
     _PQ_FIT_CACHE[_pq_build_key(sf_dir)] = books
     return codebooks_to_df(spark, books)
 
@@ -1713,7 +1713,7 @@ def _build_pq_codes(spark: SparkSession, sf_dir: str):
 
     books = _PQ_FIT_CACHE.pop(_pq_build_key(sf_dir), None)
     if books is None:
-        books = pq_fit(spark.table("embeddings"), m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+        books = pq_fit(spark.table("embeddings"), m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM)
     return pq_encode(spark.table("embeddings"), books)
 
 
@@ -1824,15 +1824,26 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the coarse model trains deterministically at query time like the
     ann_ivf gate. Recall vs the exact ranking is pytest-asserted
     (tests/test_pipeline.py::test_ivf_pq_recall_vs_exact)."""
-    from duckdb_miint_spark.pipeline.cluster import kmeans_fit
-    from duckdb_miint_spark.pipeline.pq import ivf_pq_topk, pq_encode, pq_fit
+    from duckdb_miint_spark.pipeline.cluster import kmeans_fit, kmeans_fit_multi
+    from duckdb_miint_spark.pipeline.pq import ivf_pq_topk, pq_encode
 
     emb = T(spark, sf_dir, "embeddings")
-    coarse = kmeans_fit(emb, k=16, iters=2, id_col="vec_id", vec_col="embedding")
     books, codes = _pq_layout(spark, sf_dir)
     if books is None:
-        books = pq_fit(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+        # Coarse + all M subspace fits in ONE kmeans_fit_multi call
+        # (r14, guide §1.3): 3 driver jobs (init + 2 iter aggregates)
+        # replace the 17 stage-barrier floors of the per-model loop.
+        # Spec 0 is the full-dim coarse model — bit-identical to
+        # kmeans_fit(emb, k=16, iters=2) per the fused-fit contract.
+        sub = _PQ_DIM // _PQ_M
+        specs = [(0, _PQ_DIM, 16)] + [(s * sub, sub, _PQ_K) for s in range(_PQ_M)]
+        models = kmeans_fit_multi(emb, specs, iters=_PQ_ITERS)
+        coarse, books = models[0], models[1:]
         codes = pq_encode(emb, books)
+    else:
+        coarse = kmeans_fit(
+            emb, k=16, iters=2, id_col="vec_id", vec_col="embedding", dim=_PQ_DIM
+        )
     out = ivf_pq_topk(
         emb,
         emb.filter(F.col("vec_id") < 5),
@@ -1868,7 +1879,7 @@ def q_pq_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     books, codes = _pq_layout(spark, sf_dir)
     if books is None:
-        books = pq_fit(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+        books = pq_fit(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM)
         codes = pq_encode(emb, books)
     out = pq_shortlist_rerank(
         emb, codes, emb.filter(F.col("vec_id") < 5), books, k=10, shortlist=100

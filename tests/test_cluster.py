@@ -24,6 +24,26 @@ def test_kmeans_partitioning_invariant(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_kmeans_fit_multi_matches_per_slice(spark):
+    """The fused multi-spec fit must be BIT-IDENTICAL to kmeans_fit run
+    per slice (the contract pq_fit and the IVF-PQ build path rely on):
+    exercised with a full-dim spec plus uneven sub-slices and mixed k so
+    the zero-padded shared sum columns and the per-spec init are both
+    covered. The reference path slices first then casts; the fused path
+    casts then slices in numpy — both elementwise-exact."""
+    from duckdb_miint_spark.pipeline.cluster import kmeans_fit, kmeans_fit_multi
+
+    emb = read_table(spark, SF, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    specs = [(0, dim, 5), (0, 16, 8), (16, 16, 8), (dim - 32, 32, 3)]
+    multi = kmeans_fit_multi(emb, specs, iters=2)
+    assert len(multi) == len(specs)
+    for (lo, sub, k), got in zip(specs, multi):
+        sliced = emb.select("vec_id", F.slice("embedding", lo + 1, sub).alias("__s"))
+        ref = kmeans_fit(sliced, k=k, iters=2, vec_col="__s", dim=sub)
+        assert got == ref, f"spec (lo={lo}, sub={sub}, k={k}) diverged"
+
+
 def test_kmeans_assignment_is_nearest(spark):
     """Every vector's reported dist is minimal over the final centroids:
     re-deriving centroids from the assignment and scoring puts no vector
