@@ -46,22 +46,39 @@ def _dot_fixed(a, b, dim: int):
     return expr
 
 
-def _band_buckets_udf(planes: list[list[float]], bands: int, rows: int):
-    """Arrow-batched pandas UDF: embedding → one r-bit bucket string per band.
+def _plane_projections(v: pd.Series, P: np.ndarray) -> np.ndarray:
+    """(n, n_planes) hyperplane projections of a Series of vectors, by
+    the repo-wide exact LEFT-TO-RIGHT double fold, vectorized as a
+    j-loop of elementwise ops over all planes at once (the
+    :func:`cluster._np_best_mat` pattern) — each (row, plane) sees the
+    identical IEEE add/mul sequence as the ``_dot`` HOF / DuckDB
+    ``list_dot_product`` forms, so every projection (and hence every
+    sign bit) is BIT-IDENTICAL to the engine-expression form and to the
+    SQL oracles. (r14: the earlier numpy matmul's pairwise summation
+    could in principle flip a near-zero projection's sign vs the
+    sequential fold — the exact j-loop removes that risk class instead
+    of arguing about its measure; ~dim vectorized (n, planes) ops per
+    batch is still miles from the interpreted per-row HOF cost the
+    Arrow UDFs exist to avoid.) ``P`` is (dim, n_planes)."""
+    M = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
+    acc = M[:, 0:1] * P[0]  # (n, n_planes)
+    for j in range(1, P.shape[0]):
+        acc = acc + M[:, j : j + 1] * P[j]
+    return acc
 
-    One numpy matmul per Arrow batch replaces ``bands*rows`` interpreted
-    HOF projections per row; the planes matrix is a closure constant
-    shipped once per task."""
+
+def _band_buckets_udf(planes: list[list[float]], bands: int, rows: int):
+    """Arrow-batched pandas UDF: embedding → one r-bit bucket string per
+    band, sign bits from the exact-fold :func:`_plane_projections`."""
     from pyspark.sql.functions import pandas_udf
 
-    P = np.array(planes, dtype=np.float64)  # (bands*rows, dim)
+    P = np.ascontiguousarray(np.array(planes, dtype=np.float64).T)  # (dim, bands*rows)
 
     @pandas_udf("array<string>")
     def band_buckets(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        M = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
-        bits = np.where(M @ P.T >= 0, "1", "0")  # (n, bands*rows)
+        bits = np.where(_plane_projections(v, P) >= 0, "1", "0")
         out = [
             ["".join(row[b * rows : (b + 1) * rows]) for b in range(bands)]
             for row in bits
@@ -69,6 +86,25 @@ def _band_buckets_udf(planes: list[list[float]], bands: int, rows: int):
         return pd.Series(out)
 
     return band_buckets
+
+
+def _projections_udf(planes: list[list[float]]):
+    """Arrow-batched pandas UDF: embedding → array<double> of all
+    hyperplane projections (exact fold — :func:`_plane_projections`).
+    Feeds the multiprobe margin logic as ONE attribute the probe
+    expressions take ``element_at`` slices of, instead of bands*rows
+    64-literal dot folds embedded in the plan."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.ascontiguousarray(np.array(planes, dtype=np.float64).T)
+
+    @pandas_udf("array<double>")
+    def projections(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        return pd.Series(list(_plane_projections(v, P)))
+
+    return projections
 
 
 def cosine_topk(
@@ -129,19 +165,6 @@ def hyperplanes(dim: int, n_planes: int, seed: str = "spark-graft") -> list[list
     return planes
 
 
-def _bucket_cols(vec_col: str, planes: list[list[float]], bands: int, rows: int):
-    """One bucket string per band: the sign bits of ``rows`` projections."""
-    cols = []
-    for b in range(bands):
-        bits = []
-        for r in range(rows):
-            plane = planes[b * rows + r]
-            proj = _dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane]))
-            bits.append(F.when(proj >= 0, "1").otherwise("0"))
-        cols.append(F.concat(*bits).alias(f"bucket_{b}"))
-    return cols
-
-
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -160,25 +183,17 @@ def lsh_ann_topk(
     from pyspark.sql import Window as W
 
     planes = hyperplanes(dim, bands * rows)
-    c = corpus.select(
+    # Bucket bits via the exact-fold Arrow UDF on BOTH sides (r14): the
+    # engine-expression _bucket_cols embedded bands*rows 64-literal dot
+    # folds per side in the plan — most of this query's analysis cost —
+    # while producing the identical bits (see _band_buckets_udf).
+    buckets = _band_buckets_udf(planes, bands, rows)
+    cf = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
-    ).select("vec_id", "cv", *_bucket_cols("cv", planes, bands, rows))
-    q = queries.select(
+    ).select("vec_id", "cv", F.posexplode(buckets("cv")).alias("band", "bucket"))
+    qf = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).select("query_id", "qv", *_bucket_cols("qv", planes, bands, rows))
-
-    band_structs_c = F.array(
-        *[F.struct(F.lit(b).alias("band"), F.col(f"bucket_{b}").alias("bucket")) for b in range(bands)]
-    )
-    band_structs_q = F.array(
-        *[F.struct(F.lit(b).alias("band"), F.col(f"bucket_{b}").alias("bucket")) for b in range(bands)]
-    )
-    cf = c.select("vec_id", "cv", F.explode(band_structs_c).alias("bb")).select(
-        "vec_id", "cv", "bb.band", "bb.bucket"
-    )
-    qf = q.select("query_id", "qv", F.explode(band_structs_q).alias("bb")).select(
-        "query_id", "qv", "bb.band", "bb.bucket"
-    )
+    ).select("query_id", "qv", F.posexplode(buckets("qv")).alias("band", "bucket"))
     cand = (
         cf.join(F.broadcast(qf), ["band", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -198,24 +213,24 @@ def lsh_ann_topk(
 
 def _proj_stage(q: DataFrame, vec_col: str, planes, bands: int, rows: int) -> DataFrame:
     """Materialize the ``bands*rows`` hyperplane projections as real
-    columns (``__p_{b}_{r}``) in ONE projection stage. Every downstream
-    probe expression then references an attribute instead of re-embedding
-    the 64-literal ``_dot`` fold — the fold subtree exists once per plane
-    in the plan. CollapseProject will not re-inline them: each projection
-    is non-cheap and referenced more than once (sign + |margin| uses), so
-    the stage boundary survives optimization (r13: the inlined form built
-    ~300k-node projections — 67 s of DRIVER analysis per run on the
-    multi-bit query at sf0.01; staged, the same values analyze in
-    milliseconds). Fold order per projection is unchanged, so every value
-    is bit-identical to the single-expression form."""
+    columns (``__p_{b}_{r}``): ONE exact-fold Arrow UDF producing the
+    projection array (evaluated once in an ArrowEvalPython node —
+    Catalyst extracts Python UDFs, so downstream refs cannot re-expand
+    it), then cheap ``element_at`` extracts. Replaces the r13 staged
+    engine-expression form, which still embedded bands*rows 64-literal
+    ``_dot`` folds in the plan (~20-30k plan chars and the residual
+    multi-second analysis cost of the multiprobe queries; the r12
+    UNstaged form re-expanded those folds per probe — ~300k-node
+    projections, 67 s of driver analysis). Values are bit-identical to
+    both earlier forms: :func:`_plane_projections` is the same
+    left-to-right IEEE fold."""
+    q = q.select("*", _projections_udf(planes)(F.col(vec_col)).alias("__pj"))
     pcols = [
-        _dot(F.col(vec_col), F.array(*[F.lit(v) for v in planes[b * rows + r]])).alias(
-            f"__p_{b}_{r}"
-        )
+        F.col("__pj")[b * rows + r].alias(f"__p_{b}_{r}")
         for b in range(bands)
         for r in range(rows)
     ]
-    return q.select("*", *pcols)
+    return q.select(*[c for c in q.columns if c != "__pj"], *pcols)
 
 
 def _band_probe_stage(
@@ -308,9 +323,12 @@ def lsh_multiprobe_topk(
         raise ValueError(f"n_probes must be in [1, {max_probes}], got {n_probes}")
     probe_stage = _band_probe_stage_qd if multi_bit else _band_probe_stage
     planes = hyperplanes(dim, bands * rows)
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
-    ).select("vec_id", "cv", *_bucket_cols("cv", planes, bands, rows))
+    # Corpus-side buckets via the exact-fold Arrow UDF (r14, VERDICT r13
+    # #2): the _bucket_cols engine folds restated bands*rows 64-literal
+    # projections in the plan — the residual ~3 s of multiprobe plan
+    # build after the r13 probe staging. Bit-identical bits by the
+    # left-to-right j-loop fold (see _band_buckets_udf).
+    buckets = _band_buckets_udf(planes, bands, rows)
     q = probe_stage(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
         "qv",
@@ -320,15 +338,12 @@ def lsh_multiprobe_topk(
         n_probes,
     )
 
-    band_structs_c = F.array(
-        *[F.struct(F.lit(b).alias("band"), F.col(f"bucket_{b}").alias("bucket")) for b in range(bands)]
-    )
     band_structs_q = F.array(
         *[F.struct(F.lit(b).alias("band"), F.col(f"probes_{b}").alias("probes")) for b in range(bands)]
     )
-    cf = c.select("vec_id", "cv", F.explode(band_structs_c).alias("bb")).select(
-        "vec_id", "cv", "bb.band", "bb.bucket"
-    )
+    cf = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    ).select("vec_id", "cv", F.posexplode(buckets("cv")).alias("band", "bucket"))
     qf = (
         q.select("query_id", "qv", F.explode(band_structs_q).alias("bb"))
         .select("query_id", "qv", "bb.band", F.explode("bb.probes").alias("bucket"))
