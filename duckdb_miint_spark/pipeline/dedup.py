@@ -507,18 +507,36 @@ def incremental_exact(
 
     - **broadcast-probe** (corpus > ``small_corpus_rows``): the batch is
       the SMALL side by construction (one ingest micro-batch vs the
-      whole corpus), so its hashes BROADCAST against the corpus — the
-      corpus is never shuffled, never sorted, never aggregated at its
-      own grain; a semi-probe keeps ~batch-sized matches, the
-      canonical-id min runs on that slice, and the tiny canonical map
-      broadcasts back onto the batch. The 100 TB shape: corpus cost is
-      one probe scan, everything else is batch-sized.
+      whole corpus), so its hashes BROADCAST against the corpus in ONE
+      probe (r14, VERDICT r13 #7): corpus INNER JOIN broadcast(batch)
+      on content_hash, UNIONed with one null-candidate row per batch
+      doc, then a batch-keyed min aggregate (min skips nulls, so a
+      batch doc with no corpus match aggregates to NULL canonical_id) —
+      the corpus is scanned once against a broadcast hash table, never
+      shuffled, never aggregated at its own grain, and only batch-sized
+      (map-side-combined) rows cross the network. One broadcast barrier
+      where the r13 shape (semi-probe → matched-slice aggregate →
+      broadcast the canonical map back) paid two; measured at sf2x20
+      interleaved (tools/ab_incr_exact.py): single-probe median 1.21 s
+      vs probe 4.05 s under load, and it dominates structurally (same
+      probe scan, one fewer broadcast round-trip). The union-with-base
+      form rather than RIGHT OUTER JOIN broadcast(batch), which reads
+      the same: a BroadcastHashJoin cannot PRESERVE its broadcast side
+      (unmatched build rows are untrackable across tasks), so for
+      RightOuter only BuildLeft is plannable and the broadcast hint on
+      the batch is silently unusable — once the corpus outgrows the
+      size-based threshold the outer form degrades to a SortMergeJoin
+      that shuffles the ENTIRE corpus (verified on a plan with
+      autoBroadcastJoinThreshold=-1). Inner+BuildRight is legal at any
+      corpus size, so this shape survives 100 TB.
     - **corpus-grain** (small corpus): aggregate the corpus grain (an
       exchange-free map-side groupBy on the content_hash-bucketed
       layout) and sort-merge the batch against it. Fewer serialized
       stage barriers, which dominates when the corpus is only ~1e6 rows
-      (measured at sf10: 0.86 s vs 2.0 s for the probe plan, whose two
-      broadcast round-trips are pure latency at that size).
+      (measured at sf10: 0.86 s vs 2.0 s for the 2-barrier probe plan;
+      sf2x20 r14 A/B: grain 0.49-0.78 s vs routb 1.12-1.21 s — the
+      broadcast build itself is the latency floor at this size, so the
+      measured-size plan choice stands).
 
     Returns one row per batch doc: (batch_id, content_hash, is_dup,
     canonical_id) — canonical_id is the smallest corpus doc_id holding
@@ -531,21 +549,30 @@ def incremental_exact(
             F.min(id_col).alias("canonical_id")
         )
         joined = b.join(canon, "content_hash", "left")
-    else:
-        matched = corpus_hashes.join(
-            F.broadcast(b.select("content_hash").distinct()),
+        return joined.select(
+            "batch_id",
             "content_hash",
-            "left_semi",
+            F.col("canonical_id").isNotNull().cast("int").alias("is_dup"),
+            "canonical_id",
         )
-        canon = matched.groupBy("content_hash").agg(
-            F.min(id_col).alias("canonical_id")
-        )
-        joined = b.join(F.broadcast(canon), "content_hash", "left")
-    return joined.select(
+    matched = corpus_hashes.join(F.broadcast(b), "content_hash", "inner").select(
+        "batch_id", "content_hash", F.col(id_col).alias("__cand")
+    )
+    base = b.select(
         "batch_id",
         "content_hash",
-        F.col("canonical_id").isNotNull().cast("int").alias("is_dup"),
-        "canonical_id",
+        F.lit(None).cast(corpus_hashes.schema[id_col].dataType).alias("__cand"),
+    )
+    return (
+        base.unionByName(matched)
+        .groupBy("batch_id", "content_hash")
+        .agg(F.min("__cand").alias("canonical_id"))
+        .select(
+            "batch_id",
+            "content_hash",
+            F.col("canonical_id").isNotNull().cast("int").alias("is_dup"),
+            "canonical_id",
+        )
     )
 
 
