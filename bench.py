@@ -13,7 +13,10 @@ Prints ONE JSON line (compact, HARD-guarded to <=1,900 chars so the
 driver's 2,000-char stdout tail parses it whole — VERDICT r10 #2):
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
  "sf": dir, "layout": "graft", "bucket_write_sec": float-or-null,
- "duckdb": {"value": sec}, "ratio_vs_duckdb": ...,
+ "duckdb": {"value": sec, "queries_sec": [per-row seconds aligned with
+ the "queries" key order, null where no DuckDB SQL — r14, so PERF diffs
+ can normalize box drift; first casualty of the size guard]},
+ "ratio_vs_duckdb": ...,
  "graft_ratio_vs_duckdb_plain": same number under its honest name,
  "plain_equiv_value"/"plain_equiv_ratio_vs_duckdb": full-set total with
  promoted queries at their plain-layout timings (like-for-like vs the
@@ -747,7 +750,18 @@ def main() -> None:
     if layout_error:
         compact["layout_error"] = layout_error[:200]
     if duck_timings:
-        compact["duckdb"] = {"value": out["duckdb"]["value"]}
+        # Per-row DuckDB seconds in the COMPACT line (VERDICT r13 #3):
+        # round-over-round PERF diffs need them to normalize box drift
+        # (r13's 16 phantom "regressions" were a 2.7x slower box, visible
+        # only because DuckDB's total moved with it). Names are not
+        # repeated — the 1,900-char budget cannot fit a second 24-key
+        # dict — instead ``queries_sec`` aligns positionally with the
+        # key order of ``queries`` (null where a row has no DuckDB SQL).
+        # Additions-only: every pre-existing field is unchanged.
+        compact["duckdb"] = {
+            "value": out["duckdb"]["value"],
+            "queries_sec": [duck_timings.get(n) for n in timings],
+        }
         if "ratio_vs_duckdb" in out:
             compact["ratio_vs_duckdb"] = out["ratio_vs_duckdb"]
         if "graft_ratio_vs_duckdb_plain" in out:
@@ -767,6 +781,7 @@ def main() -> None:
     elif isinstance(other_out, dict) and other_out.get("error"):
         compact[other_label] = {"error": str(other_out["error"])[:200]}
     for drop in (
+        ("duckdb", "queries_sec"),
         (other_label, "ratio_per_query"),
         (other_label,),
         ("detail_file",),
