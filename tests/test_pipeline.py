@@ -1120,3 +1120,56 @@ def test_ann_multibit_multiprobe_recall_and_supersets(spark):
         lsh_multiprobe_topk(
             e, queries, k=10, bands=4, rows=4, n_probes=17, multi_bit=True
         )
+
+
+def test_xx_band_candidate_recall_vs_exact(spark):
+    """Empirical half of the xx_band_stream recall-margin property
+    (VERDICT r13 #6; analytic bound in
+    test_properties.py::test_xx_band_cutoff_false_negative_bound):
+    at sf0.1, EVERY exact-Jaccard >= 0.9 pair must survive the
+    min_band_matches candidate prune, and the least-colliding true pair
+    must clear the cutoff with margin — the lsh_near_dup_pairs oracle is
+    the exact all-pairs answer, so candidate recall IS correctness."""
+    from duckdb_miint_spark.pipeline.dedup import (
+        lsh_candidate_pairs_long,
+        shingles,
+        xx_band_stream,
+    )
+    from duckdb_miint_spark.session import read_table
+
+    num_perm, t = 16, 0.9
+    cutoff = max(1, int(num_perm * t / 2))
+    docs = read_table(spark, "/root/testdata/sf0.1", "documents")
+    sh_raw = shingles(docs, "doc_id", "text", 3, distinct=False).cache()
+    cand = {
+        (r["id1"], r["id2"]): r["n_match"]
+        for r in lsh_candidate_pairs_long(
+            xx_band_stream(sh_raw, num_perm), min_band_matches=cutoff
+        ).collect()
+    }
+    # exact all-pairs ground truth (the oracle's derivation, in Spark)
+    sh = sh_raw.distinct()
+    counts = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.select(F.col("id").alias("id1"), "s")
+        .join(sh.select(F.col("id").alias("id2"), "s"), "s")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("i"))
+    )
+    exact = (
+        inter.join(counts.select(F.col("id").alias("id1"), F.col("n").alias("n1")), "id1")
+        .join(counts.select(F.col("id").alias("id2"), F.col("n").alias("n2")), "id2")
+        .filter(F.col("i") / (F.col("n1") + F.col("n2") - F.col("i")) >= t)
+        .select("id1", "id2")
+        .collect()
+    )
+    sh_raw.unpersist()
+    assert exact, "fixture has no true near-dup pairs — test is vacuous"
+    missed = [(r["id1"], r["id2"]) for r in exact if (r["id1"], r["id2"]) not in cand]
+    assert not missed, f"{len(missed)} true pairs pruned: {missed[:5]}"
+    min_match = min(cand[(r["id1"], r["id2"])] for r in exact)
+    assert min_match > cutoff, (
+        f"least-colliding true pair sits AT the cutoff ({min_match} == {cutoff}) — "
+        "no margin left; revisit num_perm/min_band_matches"
+    )

@@ -151,3 +151,40 @@ def test_newick_parse_structure(tree_str):
     # tip count equals leaf labels in the source (every leaf has a name here)
     n_tips = sum(1 for r in rows if r[5])
     assert n_tips >= 1
+
+
+def test_xx_band_cutoff_false_negative_bound():
+    """Recall-margin bound for the xx_band_stream candidate prune
+    (VERDICT r13 #6). near_dup_pairs keeps a candidate pair only if it
+    collides in >= cutoff = floor(num_perm*t/2) of the num_perm r=1
+    bands, and its oracle is the EXACT all-pairs Jaccard — so the
+    prune's false-negative probability is load-bearing for correctness.
+    xx_band_stream derives band pairs (2g, 2g+1) from the two halves of
+    ONE xxhash64 digest, so the 16 bands are only pairwise independent:
+    the classical Binom(num_perm, s) miss bound assumes more
+    independence than the construction provides. This test pins the
+    WORST-CASE dependence model — both halves of a digest match or miss
+    together, i.e. matches = 2*Binom(num_perm/2, s) — and asserts the
+    miss bound at the verify threshold stays negligible there too, so
+    no future num_perm/threshold/cutoff change can silently thin the
+    tail past the gate. (Empirical counterpart:
+    tests/test_pipeline.py::test_xx_band_candidate_recall_vs_exact.)"""
+    from math import comb
+
+    num_perm, t = 16, 0.9  # near_dup_pairs defaults (DEFAULT_NUM_PERM)
+    cutoff = max(1, int(num_perm * t / 2))  # the min_band_matches prune
+
+    def binom_cdf(n: int, p: float, k: int) -> float:
+        return sum(comb(n, j) * p**j * (1 - p) ** (n - j) for j in range(k + 1))
+
+    # fully-independent model: miss iff Binom(num_perm, s) < cutoff
+    indep_miss = binom_cdf(num_perm, t, cutoff - 1)
+    # worst-case correlated-halves model: miss iff 2*Binom(num_perm/2, s)
+    # < cutoff, i.e. Binom(num_perm/2, s) <= ceil(cutoff/2) - 1
+    half_miss = binom_cdf(num_perm // 2, t, (cutoff - 1) // 2)
+    assert indep_miss < 1e-6, indep_miss
+    assert half_miss < 1e-3, half_miss
+    # and the cutoff itself must sit BELOW the expected match count at
+    # the threshold with real slack (E = num_perm*t), else the bounds
+    # above are vacuous
+    assert cutoff <= num_perm * t - 2 * (num_perm * t * (1 - t)) ** 0.5
