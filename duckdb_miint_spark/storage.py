@@ -149,6 +149,16 @@ def serve_bucketed(spark: SparkSession, table: str, fingerprint: str) -> DataFra
         rows_prop = props.get(GRAIN_ROWS_PROP)
         if props.get(TINY_SERVE_PROP) == "false":
             rows_prop = None
+        else:
+            # The CATALOG's tiny_serve flag also gates the fast path
+            # (ADVICE r13): a table materialized BEFORE its catalog
+            # entry opted out carries a stale "true" property and a
+            # still-valid fingerprint, so the stored property alone
+            # would keep coalesce(1)-serving a consumer the flag was
+            # turned off for (e.g. the pq_codes mapInPandas scorer).
+            g = graft_catalog().get(table)
+            if g is not None and not g.tiny_serve:
+                rows_prop = None
         if tiny > 0 and rows_prop is not None:
             try:
                 if 0 < int(rows_prop) <= tiny:

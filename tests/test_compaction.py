@@ -416,3 +416,42 @@ def test_tiny_grain_threshold_transition(spark, tmp_path):
         _os.environ.pop("SPARK_GRAFT_TINY_GRAIN", None)
         for t in ["graft_b_events_hourly"]:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_catalog_tiny_serve_overrides_stale_property(spark):
+    """A table materialized BEFORE its catalog entry opted out of
+    tiny-grain serving carries a stale 'graft.tiny_serve=true' property
+    and a still-valid fingerprint; serve_bucketed must consult the
+    CATALOG flag too, so the opt-out applies without a rebuild (ADVICE
+    r13: pq_codes' mapInPandas consumer was still being fed a
+    coalesce(1) plan from pre-opt-out warehouses)."""
+    import os as _os
+
+    from duckdb_miint_spark.queries_pipeline import PQ_CODES_IDENTITY
+    from duckdb_miint_spark.storage import (
+        build_graft_layout,
+        graft_fingerprint,
+        serve_bucketed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.graft.bucketedLayout", "true")
+    try:
+        build_graft_layout(spark, sf, 4, tables=["graft_b_pq_codes"])
+        # simulate the pre-opt-out warehouse: stored property says true
+        spark.sql(
+            "ALTER TABLE graft_b_pq_codes SET TBLPROPERTIES('graft.tiny_serve'='true')"
+        )
+        _os.environ["SPARK_GRAFT_TINY_GRAIN"] = "10000000"  # grain well under
+        served = serve_bucketed(
+            spark,
+            "graft_b_pq_codes",
+            graft_fingerprint(sf, PQ_CODES_IDENTITY, ["embeddings"]),
+        )
+        assert served is not None
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert "Coalesce" not in plan, plan
+    finally:
+        spark.conf.set("spark.graft.bucketedLayout", "false")
+        _os.environ.pop("SPARK_GRAFT_TINY_GRAIN", None)
+        spark.sql("DROP TABLE IF EXISTS graft_b_pq_codes")
