@@ -140,7 +140,12 @@ def bottomk_fingerprint(
     surviving the filter are exactly those whose md5 is among the k
     smallest DISTINCT values per doc, so the same collect_set/sort/slice
     yields the identical fingerprint (r13 A/B, tools/ab_expr_variants.py:
-    0.825 -> 0.694 s median at sf2x20, content equal)."""
+    0.825 -> 0.694 s median at sf2x20, content equal).
+
+    The rewrite needs Spark >= 3.5 (InferWindowGroupLimit); on an engine
+    without that rule the added window is a full per-doc sort BEFORE the
+    aggregate — a perf regression, never a wrong answer (ADVICE r13).
+    This repo targets Spark 4.x, where the rule always fires."""
     from pyspark.sql import Window as W
 
     from duckdb_miint_spark.pipeline.dedup import shingles

@@ -108,6 +108,31 @@ def minhash_longmin(
     )
 
 
+def minhash_presub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = 16, n: int = 3,
+) -> DataFrame:
+    """Candidate (VERDICT r13 #8): the fixed 8-char substr slices are
+    PROJECTED before the groupBy, so the aggregate's input columns are
+    the 8-char slices rather than min(substring(digest)) expressions
+    over the 32-char digests. (Partial aggregation already evaluates
+    the substring map-side in the current form — this tests whether the
+    explicit projection changes anything measurable.)"""
+    from duckdb_miint_spark.pipeline.dedup import shingles
+
+    sh = shingles(df, id_col, text_col, n, distinct=False)
+    slices = [
+        F.substring(
+            F.md5(F.concat(F.lit(f"{p // 4}:"), F.col("s"))), (p % 4) * 8 + 1, 8
+        ).alias(f"c{p}")
+        for p in range(num_perm)
+    ]
+    hashed = sh.select("id", *slices)
+    return hashed.groupBy("id").agg(
+        *[F.min(F.col(f"c{p}")).alias(f"m{p}") for p in range(num_perm)]
+    )
+
+
 def quality_stats_translate(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Candidate: alpha = n_chars - length(translate(text, letters, ''))."""
     from duckdb_miint_spark.pipeline.text import STOPWORDS
@@ -207,6 +232,7 @@ def main() -> None:
     cases = {
         "simhash": (lambda: simhash32(docs), lambda: simhash32_bits(docs)),
         "minhash": (lambda: minhash_signatures(docs), lambda: minhash_longmin(docs)),
+        "minhash_presub": (lambda: minhash_signatures(docs), lambda: minhash_presub(docs)),
         "quality": (lambda: quality_stats(docs), lambda: quality_stats_translate(docs)),
         "fingerprint": (
             lambda: bottomk_fingerprint(docs),

@@ -229,7 +229,10 @@ def main() -> None:
         with open(out_path, "w") as fh:
             json.dump({"sf_dir": sf_dir, "results": results}, fh, indent=1)
 
+    only = {n for n in os.environ.get("ORACLE_ONLY", "").split(",") if n}
     for name in sorted(reg):
+        if only and name not in only:
+            continue
         if name in results:
             continue
         qd = reg[name]
