@@ -186,6 +186,19 @@ def size_session_for_input(spark: SparkSession, input_bytes: int) -> int:
     # input_bytes is huge and the 4 MB cap binds) don't over-fragment.
     open_cost = max(64 << 10, min(4 << 20, input_bytes // (32 * cores)))
     spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
+    # NOT set (r14, measured): coalescePartitions.parallelismFirst=false
+    # + an input-scaled advisoryPartitionSizeInBytes was the candidate
+    # fix for dim-sized reduce stages fanning to `cores` tasks (VERDICT
+    # r13 #5 — 9 of 24 bench rows ran faster at 8 cores than 32). Three
+    # within-session interleaved A/Bs (tools/ab_aqe.py) killed it: at
+    # sf10 under AQE-on the byte-based coalescing SERIALIZES CPU-dense
+    # reduce stages whose shuffled bytes are tiny (minhash 2.49x,
+    # dedup_exact_groups 1.66x, geomean 1.127 across the bench set) —
+    # bytes do not measure CPU, which is exactly why Spark defaults
+    # parallelismFirst=true — and at sf2 AQE is off below the 1 GB gate
+    # anyway, so there is no regime where the profile helps. The sf2
+    # AQE off-vs-on A/B (geomean 0.987, but lsh_near_dup_pairs +41%)
+    # keeps the sub-GB gate as-is.
     # AQE's value is runtime re-planning — skew splitting, partition
     # coalescing, join-strategy switches — all of which need stages big
     # enough for the per-stage replan round-trip to pay for itself. With
