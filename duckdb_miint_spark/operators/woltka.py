@@ -119,3 +119,64 @@ def woltka_ogu(
     """Sample-agnostic OGU counts: (feature_id, value)."""
     split = _per_read_split(relation, sequence_id_field, [], fixed_point=fixed_point)
     return _fold(split, ["feature_id"], fixed_point)
+
+
+def _base_weight(n, fixed_point: bool):
+    """Per-observation weight from the per-read hit count ``n`` — the
+    same expression _per_read_split builds from F.size(__hits), so the
+    two paths are term-identical (ROUND(1e9/N) over the same integer N
+    in the fixed-point form; 1.0/N in the float form)."""
+    if fixed_point:
+        return F.round(F.lit(float(FIXED_SCALE)) / n, 0).cast("long")
+    return F.lit(1.0) / n
+
+
+def woltka_ogu_per_sample_from_base(
+    base: DataFrame, fixed_point: bool = False
+) -> DataFrame:
+    """Per-sample OGU counts from an ALREADY-DEDUPLICATED base relation
+    (one row per distinct (read_id, sample_id, reference, is_fwd) — the
+    graft_b_woltka_base layout).
+
+    The per-read multi-mapping count N is a window COUNT over
+    (read_id, is_fwd): on a layout bucketed on read_id and per-bucket
+    sorted on (read_id, is_fwd) the window needs no exchange (bucket
+    clustering satisfies the partition distribution) and no sort (the
+    file order satisfies the required child ordering), so the whole
+    query is scan → window → one (sample, feature) aggregate. The
+    collect_set dedup the per-query path pays — the one data-sized
+    ObjectHashAggregate left after the bucketed aln removed its
+    exchange — was paid once at layout build. Counting rows per
+    (read_id, is_fwd) equals SIZE(collect_set(sample, feature)) exactly
+    because the base is distinct on all four columns."""
+    from pyspark.sql import Window
+
+    n = F.count(F.lit(1)).over(Window.partitionBy("read_id", "is_fwd"))
+    split = base.select(
+        F.col("sample_id").alias("__sample_id"),
+        F.col("reference").alias("feature_id"),
+        _base_weight(n, fixed_point).alias("__local_value"),
+    )
+    return _fold(
+        split, [F.col("__sample_id").alias("sample_id"), "feature_id"], fixed_point
+    )
+
+
+def woltka_ogu_from_base(base: DataFrame, fixed_point: bool = False) -> DataFrame:
+    """Sample-agnostic OGU counts from the deduplicated base relation.
+
+    The sample-agnostic dedup grain is (read_id, reference, is_fwd) —
+    coarser than the base's — so one more distinct pass runs over the
+    (much smaller) base; bucketing on read_id keeps it exchange-free.
+    The window count then needs a local sort (the aggregate does not
+    preserve file order) but still no exchange."""
+    from pyspark.sql import Window
+
+    dedup = base.select(
+        "read_id", "is_fwd", F.col("reference").alias("feature_id")
+    ).distinct()
+    n = F.count(F.lit(1)).over(Window.partitionBy("read_id", "is_fwd"))
+    split = dedup.select(
+        "feature_id", _base_weight(n, fixed_point).alias("__local_value")
+    )
+    return _fold(split, ["feature_id"], fixed_point)

@@ -50,7 +50,12 @@ from duckdb_miint_spark.functions.sequence import (
 )
 from duckdb_miint_spark.operators.coverage import genome_coverage
 from duckdb_miint_spark.operators.gff import parse_gff_attributes
-from duckdb_miint_spark.operators.woltka import woltka_ogu, woltka_ogu_per_sample
+from duckdb_miint_spark.operators.woltka import (
+    woltka_ogu,
+    woltka_ogu_from_base,
+    woltka_ogu_per_sample,
+    woltka_ogu_per_sample_from_base,
+)
 from duckdb_miint_spark.registry import bounded_sort, register
 from duckdb_miint_spark.session import read_table
 
@@ -226,6 +231,39 @@ FROM (
 )
 GROUP BY reference, s
 """
+
+
+# Woltka's per-read dedup base — one row per DISTINCT (read, sample,
+# feature, orientation) observation — materialized at layout-build time.
+# The per-query cost of woltka_ogu_per_sample is dominated by exactly
+# this dedup (an ObjectHashAggregate collect_set of (sample, feature)
+# structs per (read, orientation) — the one data-sized aggregate left
+# after graft_b_aln_read removed its exchange), so a layout that stores
+# the deduplicated rows bucketed on read_id and per-bucket sorted on
+# (read_id, is_fwd) turns the query into one sort-free window COUNT over
+# the bucket order plus the tiny (sample, feature) fold. Spark-SQL
+# dialect (consumed by storage.build_graft_layout via spark.sql).
+WOLTKA_BASE_SQL = f"""
+SELECT DISTINCT
+  read_id,
+  sample_id,
+  reference,
+  (flags & 64) != 0 AS is_fwd
+FROM ({ALN_SQL})
+"""
+
+
+def _woltka_base(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The materialized woltka dedup base, or None (callers run the
+    collect_set dedup on the plain/bucketed aln per query)."""
+    from duckdb_miint_spark.storage import graft_fingerprint, serve_bucketed
+
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return serve_bucketed(
+        spark,
+        "graft_b_woltka_base",
+        graft_fingerprint(sf_dir, WOLTKA_BASE_SQL, ["lineitem"]),
+    )
 
 
 def _aln_ranked(spark: SparkSession, sf_dir: str) -> DataFrame | None:
@@ -430,9 +468,18 @@ def q_woltka_ogu_per_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gate runs the fixed-point fold (order-free integer sums — the
     double fold's 6th decimal diverged from the oracle at the sf10
     sweep's ~240k-term feature sums); the library default keeps the
-    reference macro's float semantics."""
-    aln = _aln(spark, sf_dir, bucket="read")
-    out = woltka_ogu_per_sample(aln, "sample_id", "read_id", fixed_point=True)
+    reference macro's float semantics.
+
+    Layout ladder: the dedup-at-ingest base (graft_b_woltka_base —
+    scan → sort-free window COUNT → one aggregate) when current, else
+    the read-bucketed aln (collect_set dedup, no exchange), else the
+    plain derivation."""
+    base = _woltka_base(spark, sf_dir)
+    if base is not None:
+        out = woltka_ogu_per_sample_from_base(base, fixed_point=True)
+    else:
+        aln = _aln(spark, sf_dir, bucket="read")
+        out = woltka_ogu_per_sample(aln, "sample_id", "read_id", fixed_point=True)
     # no F.round here: the fixed-point fold already emits the exact
     # 6-dp value (re-rounding the double re-opened the half-boundary
     # divergence the integer rounding exists to close)
@@ -469,8 +516,12 @@ ORDER BY feature_id
 def q_woltka_ogu(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Woltka OGU counts, sample-agnostic (miint_macros.hpp:80-100).
     Fixed-point fold in the gate — see q_woltka_ogu_per_sample."""
-    aln = _aln(spark, sf_dir, bucket="read")
-    out = woltka_ogu(aln, "read_id", fixed_point=True)
+    base = _woltka_base(spark, sf_dir)
+    if base is not None:
+        out = woltka_ogu_from_base(base, fixed_point=True)
+    else:
+        aln = _aln(spark, sf_dir, bucket="read")
+        out = woltka_ogu(aln, "read_id", fixed_point=True)
     return bounded_sort(
         out.select("feature_id", "value"), "feature_id"
     )

@@ -221,7 +221,11 @@ class Graft:
 def graft_catalog() -> dict[str, Graft]:
     """Every graft table the engine can serve (lazily imported — the
     derivation SQL strings live next to the queries they accelerate)."""
-    from duckdb_miint_spark.queries_domain import ALN_RANKED_SQL, ALN_SQL
+    from duckdb_miint_spark.queries_domain import (
+        ALN_RANKED_SQL,
+        ALN_SQL,
+        WOLTKA_BASE_SQL,
+    )
     from duckdb_miint_spark.queries_pipeline import (
         DOC_HASHES_SQL,
         DOC_TOKENS_IDENTITY,
@@ -269,6 +273,22 @@ def graft_catalog() -> dict[str, Graft]:
             # partial-aggregate append: the island consumers merge
             # duplicate (reference, s) rows by construction
             appendable=True,
+        ),
+        # derived: woltka's deduplicated observation base (one row per
+        # DISTINCT (read, sample, feature, orientation)), bucketed on
+        # read_id + per-bucket sorted on (read_id, is_fwd) — the
+        # query-time collect_set dedup becomes a sort-free window COUNT
+        # over the bucket order. NOT appendable: DISTINCT is not
+        # append-decomposable over lineitem (a new slice can repeat an
+        # existing tuple, and the consumers COUNT rows per (read,
+        # is_fwd) without re-deduplicating), so any source change
+        # rebuilds.
+        "graft_b_woltka_base": Graft(
+            WOLTKA_BASE_SQL,
+            WOLTKA_BASE_SQL,
+            ["lineitem"],
+            ["read_id"],
+            ["read_id", "is_fwd", "sample_id", "reference"],
         ),
         # derived: orders⋈customer star-flattening (q3 zero exchanges)
         "graft_b_orders_cnat": Graft(

@@ -290,6 +290,52 @@ def test_woltka_goldens(spark):
     assert len(got_ps) == 19
 
 
+def test_woltka_from_base_matches_per_query_dedup(spark):
+    """The dedup-at-ingest formulation (window COUNT over the distinct
+    base — graft_b_woltka_base's serving shape, r14) must be
+    row-identical to the per-query collect_set dedup on the same
+    relation, for both operators. Fixed-point sums are order-free, so
+    equality is exact; the float fold's terms are identical but the sum
+    order is plan-dependent, so it compares at 1e-9 relative."""
+    from duckdb_miint_spark.operators import (
+        woltka_ogu,
+        woltka_ogu_from_base,
+        woltka_ogu_per_sample,
+        woltka_ogu_per_sample_from_base,
+    )
+    from duckdb_miint_spark.queries_domain import ALN_SQL, WOLTKA_BASE_SQL
+
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
+    aln = spark.sql(ALN_SQL)
+    base = spark.sql(WOLTKA_BASE_SQL)
+    pairs = [
+        (
+            woltka_ogu_per_sample(aln, "sample_id", "read_id", fixed_point=fp),
+            woltka_ogu_per_sample_from_base(base, fixed_point=fp),
+            fp,
+        )
+        for fp in (True, False)
+    ] + [
+        (
+            woltka_ogu(aln, "read_id", fixed_point=fp),
+            woltka_ogu_from_base(base, fixed_point=fp),
+            fp,
+        )
+        for fp in (True, False)
+    ]
+    for per_query, from_base, fp in pairs:
+        a = {tuple(r[:-1]): r[-1] for r in sorted(map(tuple, per_query.collect()))}
+        b = {tuple(r[:-1]): r[-1] for r in sorted(map(tuple, from_base.collect()))}
+        assert a.keys() == b.keys()
+        if fp:
+            assert a == b  # integer fold: bit-identical
+        else:
+            for k in a:
+                assert b[k] == pytest.approx(a[k], rel=1e-9), k
+
+
 # --- SQL surface registration (reference names callable from spark.sql) ------
 
 
