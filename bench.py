@@ -288,6 +288,10 @@ BUCKETED_QUERIES = [
     "explode_word_counts",
     "dedup_exact_groups",
     "dedup_incremental_exact",
+    # r14: candidates served from the ingest-time banded-MinHash index
+    # (graft_b_lsh_index) — the plain treatment re-derives bands per
+    # query; parity between the two pair sets is asserted like the rest
+    "lsh_near_dup_pairs",
 ]
 
 

@@ -251,29 +251,44 @@ def near_dup_pairs(
     threshold: float = 0.9,
     num_perm: int = DEFAULT_NUM_PERM,
     n: int = DEFAULT_SHINGLE,
+    _bands: DataFrame | None = None,
 ) -> DataFrame:
     """(id1, id2, jaccard) — LSH candidates verified with exact Jaccard ≥
     threshold. jaccard = |∩| / (|s1|+|s2|−|∩|), an exact int/int divide.
 
-    Shingles are generated ONCE without distinct (cached) — MinHash only
-    needs the multiset. The Jaccard verify step needs distinct shingles,
-    but only for docs that survive candidate pruning, so the dedup
-    shuffle runs on the semi-joined candidate slice (~0.1% of the corpus
-    at 50k docs), not the full shingle set."""
-    sh_raw = shingles(df, id_col, text_col, n, distinct=False).cache()
-    # cached: consumed three times (cand_ids twice via the union + the
-    # intersection join) — without it the whole LSH subtree re-runs per use.
+    Shingles are generated without distinct — MinHash only needs the
+    multiset. The Jaccard verify step needs distinct shingles, but only
+    for docs that survive candidate pruning, so the dedup shuffle runs
+    on the semi-joined candidate slice (~0.1% of the corpus at 50k
+    docs), not the full shingle set.
+
+    NO intra-query .cache() (r14, tools/ab_lsh_cache.py at sf2x20):
+    the multiply-consumed subtrees (the candidate pairs, 3 uses; the
+    shingle stream, 2 uses) both end at or feed exchanges whose
+    canonical plans are identical across uses, so Spark's ReuseExchange
+    already computes them once per job — while materializing the
+    corpus-sized shingle stream into the block-store cost ~2 s/pass and
+    its memory pressure made every sample erratic. Measured interleaved
+    cold-cache medians: cache-both 4.70 s, no-cache 2.64 s (and the
+    no-cache samples were the only stable ones).
+
+    ``_bands`` substitutes a pre-materialized long (id, band, v) band
+    stream for the in-query xx_band_stream — the graft_b_lsh_index
+    layout maintained at ingest. The caller must guarantee it was built
+    over the SAME documents with the same num_perm/shingle params (the
+    graft fingerprint does); band VALUES may differ from xxhash64's
+    (the index pins md5 minima) because the output contract pins only
+    the exact-Jaccard-verified pair set and the (b=num_perm, r=1) band
+    structure — and with it the recall bound — is identical."""
+    sh_raw = shingles(df, id_col, text_col, n, distinct=False)
     # Candidate bands come from xx_band_stream, not minhash_long: the
     # output contract (exact-Jaccard-verified pair set) pins no hash
     # values, and the xxhash64 family halves the signature stage.
-    cand = (
-        lsh_candidate_pairs_long(
-            xx_band_stream(sh_raw, num_perm),
-            min_band_matches=max(1, int(num_perm * threshold / 2)),
-        )
-        .select("id1", "id2")
-        .cache()
-    )
+    band_src = _bands if _bands is not None else xx_band_stream(sh_raw, num_perm)
+    cand = lsh_candidate_pairs_long(
+        band_src,
+        min_band_matches=max(1, int(num_perm * threshold / 2)),
+    ).select("id1", "id2")
     cand_ids = cand.select(F.col("id1").alias("id")).union(
         cand.select(F.col("id2").alias("id"))
     ).distinct()

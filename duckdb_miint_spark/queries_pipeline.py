@@ -165,9 +165,16 @@ ORDER BY id1, id2
 def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH near-duplicate pairs, verified with exact Jaccard ≥ 0.9.
     The oracle computes the ground-truth all-pairs answer; the Spark plan
-    must find the same pairs through buckets only."""
+    must find the same pairs through buckets only.
+
+    Layout ladder (r14): candidate bands come from the banded-MinHash
+    index maintained at ingest (graft_b_lsh_index, bucketed on
+    (band, v) — the bucket groupBy runs exchange-free and the corpus is
+    never re-signed per query) when current, else from the in-query
+    xxhash64 band stream. Same (b=16, r=1) band structure either way;
+    the exact-Jaccard verify is identical, so the pair set is too."""
     docs = T(spark, sf_dir, "documents")
-    out = near_dup_pairs(docs, threshold=0.9)
+    out = near_dup_pairs(docs, threshold=0.9, _bands=_lsh_index(spark, sf_dir))
     return out.select("id1", "id2", F.round("jaccard", 6).alias("jaccard")).orderBy("id1", "id2")
 
 
