@@ -256,11 +256,12 @@ def near_dup_pairs(
     """(id1, id2, jaccard) — LSH candidates verified with exact Jaccard ≥
     threshold. jaccard = |∩| / (|s1|+|s2|−|∩|), an exact int/int divide.
 
-    Shingles are generated without distinct — MinHash only needs the
-    multiset. The Jaccard verify step needs distinct shingles, but only
-    for docs that survive candidate pruning, so the dedup shuffle runs
-    on the semi-joined candidate slice (~0.1% of the corpus at 50k
-    docs), not the full shingle set.
+    Candidate-side shingles are generated without distinct — MinHash
+    only needs the multiset. The Jaccard verify step needs distinct
+    shingles, but only for docs that survive candidate pruning, so BOTH
+    the shingle generation (explode) and its dedup shuffle run on the
+    candidate-doc slice (~0.1% of the corpus at 50k docs), never the
+    full corpus.
 
     NO intra-query .cache() (r14, tools/ab_lsh_cache.py at sf2x20):
     the multiply-consumed subtrees (the candidate pairs, 3 uses; the
@@ -280,11 +281,14 @@ def near_dup_pairs(
     (the index pins md5 minima) because the output contract pins only
     the exact-Jaccard-verified pair set and the (b=num_perm, r=1) band
     structure — and with it the recall bound — is identical."""
-    sh_raw = shingles(df, id_col, text_col, n, distinct=False)
     # Candidate bands come from xx_band_stream, not minhash_long: the
     # output contract (exact-Jaccard-verified pair set) pins no hash
     # values, and the xxhash64 family halves the signature stage.
-    band_src = _bands if _bands is not None else xx_band_stream(sh_raw, num_perm)
+    band_src = (
+        _bands
+        if _bands is not None
+        else xx_band_stream(shingles(df, id_col, text_col, n, distinct=False), num_perm)
+    )
     cand = lsh_candidate_pairs_long(
         band_src,
         min_band_matches=max(1, int(num_perm * threshold / 2)),
@@ -292,7 +296,16 @@ def near_dup_pairs(
     cand_ids = cand.select(F.col("id1").alias("id")).union(
         cand.select(F.col("id2").alias("id"))
     ).distinct()
-    sh = sh_raw.join(F.broadcast(cand_ids), "id", "left_semi").distinct()
+    # Shingle ONLY candidate docs for the exact-Jaccard verify: a doc's
+    # shingles depend on that row alone, so the candidate semi-join
+    # commutes with shingle generation — filtering df BEFORE the explode
+    # re-shingles ~0.1% of the corpus instead of 100% (the old form
+    # semi-joined the already-exploded corpus shingle stream, which the
+    # engine cannot push below the Generate). Same distinct (id, s) set.
+    cand_docs = df.join(
+        F.broadcast(cand_ids.withColumnRenamed("id", id_col)), id_col, "left_semi"
+    )
+    sh = shingles(cand_docs, id_col, text_col, n, distinct=True)
     counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     # equi-join on (id, shingle) BOTH times: |result| = |actual overlaps|,
     # never candidate-count × shingle-count (the quadratic trap)

@@ -877,7 +877,13 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_miint_spark.pipeline.components import label_documents
 
     docs = T(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(docs, threshold=0.9).select("id1", "id2")
+    # Candidate bands from the ingest-time graft_b_lsh_index when current
+    # (same legality as lsh_near_dup_pairs: the contract pins only the
+    # exact-Jaccard-verified pair graph, and both band sources are
+    # (b=16, r=1) banded MinHash with the same cutoff).
+    pairs = near_dup_pairs(
+        docs, threshold=0.9, _bands=_lsh_index(spark, sf_dir)
+    ).select("id1", "id2")
     return label_documents(docs, pairs).orderBy("doc_id")
 
 
@@ -1166,7 +1172,11 @@ def q_training_set_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = quality_stats(docs).filter(F.col("quality_score") >= 0.95).select(
         F.col("id").alias("doc_id"), "quality_score"
     )
-    pairs = near_dup_pairs(docs, threshold=0.9).select("id1", "id2")
+    # Same ingest-time band-index serving as lsh_near_dup_pairs /
+    # dedup_components — the pair-set contract is identical.
+    pairs = near_dup_pairs(
+        docs, threshold=0.9, _bands=_lsh_index(spark, sf_dir)
+    ).select("id1", "id2")
     canon = label_documents(docs, pairs).filter("is_canonical").select("doc_id")
     selected = (
         docs.join(q, "doc_id")
