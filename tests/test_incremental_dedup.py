@@ -178,3 +178,31 @@ def test_incremental_gates_serve_from_layout(graft_session, tmp_path):
     for name, want in plain.items():
         got = sorted(tuple(r) for r in reg[name].spark_fn(spark, sf).collect())
         assert got == want, name
+
+
+def test_index_served_components_match_plain(graft_session, tmp_path):
+    """dedup_components and training_set_selection serve candidate bands
+    from graft_b_lsh_index when current (r14 round 2); the result must
+    be identical to the plain in-query band-stream derivation — the
+    index pins md5 band minima, the plain path xxhash64 halves, and the
+    output contract pins only the exact-Jaccard-verified pair graph, so
+    the band source must never show through."""
+    spark = graft_session
+    from duckdb_miint_spark.queries_pipeline import _lsh_index
+    from duckdb_miint_spark.registry import load_all
+    from duckdb_miint_spark.storage import build_graft_layout
+
+    sf = _make_docs_sf_dir(tmp_path)
+    reg = load_all()
+
+    spark.conf.set("spark.graft.bucketedLayout", "false")
+    plain = {
+        name: sorted(tuple(r) for r in reg[name].spark_fn(spark, sf).collect())
+        for name in ("dedup_components", "training_set_selection")
+    }
+    build_graft_layout(spark, sf, 4, tables=["graft_b_lsh_index"])
+    spark.conf.set("spark.graft.bucketedLayout", "true")
+    assert _lsh_index(spark, sf) is not None, "index must actually serve"
+    for name, want in plain.items():
+        got = sorted(tuple(r) for r in reg[name].spark_fn(spark, sf).collect())
+        assert got == want, name
